@@ -1,0 +1,166 @@
+"""Aggregators: grouping / batching / shard-hash routing + sink metrics.
+
+The reference's "aggregation" is physical batching and grouping, not
+numeric reduction (SURVEY.md §2.4); its only numeric aggregation is the
+self-monitor counter set (§2.7). Both are represented here:
+
+* grouping/batching → ``repartition`` / ``groupBy`` (Batcher tag-hash ≙
+  shuffle-by-key; flush thresholds ≙ output file sizing)
+* shard hash       → ``repartition(n, xxhash64(...))``
+* self-monitor     → per-sink ``groupBy().agg`` producing counts, byte
+  volumes and error-class histograms keyed by (conv_id prefix, hour
+  bucket) — the BASELINE per-sink aggregates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shardhash_repartition(
+    df: DataFrame,
+    source_keys: list[str],
+    shard_count: int,
+    connector: str = "_",
+    shard_col: str | None = "__shardhash__",
+) -> DataFrame:
+    """aggregator_shardhash: route each row to one of ``shard_count``
+    (power of two) shards by ``xxhash64(concat(values, connector)) %
+    shard_count`` (plugins/aggregator/shardhash/aggregator_shardhash.go:
+    68-84,158-190). Spark's built-in ``xxhash64`` gives the same keyed
+    distribution (seed differs from the Go impl — we assert distribution
+    properties, not hash equality). The repartition IS the shard routing:
+    co-located shards, deterministic key → partition mapping.
+    """
+    if shard_count & (shard_count - 1):
+        raise ValueError("ShardCount must be a power of 2")
+    key = F.concat_ws(connector, *[F.col(k) for k in source_keys])
+    bucket = F.pmod(F.xxhash64(key), F.lit(shard_count)).cast("int")
+    out = df.withColumn("__lc_bucket__", bucket)
+    out = out.repartition(shard_count, F.col("__lc_bucket__"))
+    if shard_col:
+        out = out.withColumn(shard_col, F.md5(key.cast("binary")))
+    return out.drop("__lc_bucket__")
+
+
+def content_value_group(
+    df: DataFrame, group_keys: list[str], partitions: int | None = None
+) -> DataFrame:
+    """aggregator_content_value_group: co-locate rows by the *values* of
+    content fields (plugins/aggregator/contentvaluegroup/
+    aggregator_content_value_group.go:67-77). One shuffle; downstream
+    per-group work (batch serialization, per-group files) is then narrow.
+    """
+    cols = [F.col(k) for k in group_keys]
+    return df.repartition(partitions, *cols) if partitions else df.repartition(*cols)
+
+
+def context_order(df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx") -> DataFrame:
+    """aggregator_context: preserve per-source ordering
+    (plugins/aggregator/context/aggregator_context.go:45-61). Our stable
+    invariant: rows of one conversation are contiguous and ordered by
+    turn_idx — ``sortWithinPartitions`` after a key repartition, which is
+    a local sort, no extra shuffle."""
+    return df.sortWithinPartitions(conv_col, idx_col)
+
+
+def batch_pack_ids(
+    df: DataFrame, pack_col: str = "__pack_id__"
+) -> DataFrame:
+    """aggregator_base emits a ``__pack_id__`` prefix+seq per LogGroup
+    (plugins/aggregator/baseagg/aggregator_base.go). Distributed analogue:
+    (partition id, monotonic seq) — unique, lineage-traceable, no driver
+    coordination."""
+    return df.withColumn(
+        pack_col,
+        F.concat_ws(
+            "-",
+            F.spark_partition_id().cast("string"),
+            F.monotonically_increasing_id().cast("string"),
+        ),
+    )
+
+
+def sink_metrics(
+    df: DataFrame,
+    sink_name: str,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    error_class_col: str | None = "error_class",
+    prefix_len: int = 6,
+) -> DataFrame:
+    """Per-sink aggregate counters (the BASELINE contract).
+
+    Mirrors the reference's per-plugin self-monitor counters
+    (METRIC_PLUGIN_IN/OUT/DISCARDED_EVENTS_TOTAL,
+    core/monitor/metric_constants/MetricConstants.h:80-171; parser counters
+    ProcessorParseRegexNative.h:64-67) materialized per sink per
+    (conv_id prefix, hour bucket):
+
+    * ``n_rows``      — count(*)
+    * ``n_bytes``     — sum(octet_length(text))
+    * ``error_hist``  — map error_class → count (histogram; '' = ok)
+
+    Partial (map-side) aggregation applies automatically; the shuffle key
+    (prefix, bucket) has bounded cardinality, so this is skew-safe even
+    when one conv_id is hot.
+    """
+    prefix = F.substring(F.col(conv_col), 1, prefix_len).alias("conv_prefix")
+    bucket = F.date_trunc("hour", F.col(ts_col)).alias("ts_hour")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.octet_length(F.col(text_col))).alias("n_bytes"),
+    ]
+    group_cols = [prefix, bucket]
+    if error_class_col and error_class_col in df.columns:
+        # histogram as sorted entries → deterministic map
+        ec = F.coalesce(F.col(error_class_col), F.lit("")).alias("error_class")
+        inner = df.groupBy(prefix, bucket, ec).agg(*aggs)
+        return (
+            inner.groupBy("conv_prefix", "ts_hour")
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_bytes").alias("n_bytes"),
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("error_class"), F.col("n_rows").alias("n"))
+                        )
+                    )
+                ).alias("error_hist"),
+            )
+            .withColumn("sink", F.lit(sink_name))
+        )
+    return (
+        df.groupBy(*group_cols).agg(*aggs).withColumn("sink", F.lit(sink_name))
+    )
+
+
+def sink_metrics_flat(
+    df: DataFrame,
+    sink_name: str,
+    text_col: str = "text",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    error_class_col: str | None = "error_class",
+    prefix_len: int = 6,
+) -> DataFrame:
+    """SQL-oracle-friendly variant: error histogram as flat rows
+    (sink, conv_prefix, ts_hour, error_class, n_rows, n_bytes)."""
+    prefix = F.substring(F.col(conv_col), 1, prefix_len).alias("conv_prefix")
+    bucket = F.date_trunc("hour", F.col(ts_col)).alias("ts_hour")
+    group = [prefix, bucket]
+    if error_class_col and error_class_col in df.columns:
+        group.append(
+            F.coalesce(F.col(error_class_col), F.lit("")).alias("error_class")
+        )
+    return (
+        df.groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.octet_length(F.col(text_col))).alias("n_bytes"),
+        )
+        .withColumn("sink", F.lit(sink_name))
+    )

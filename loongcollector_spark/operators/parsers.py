@@ -1,0 +1,571 @@
+"""Parser processors: scan → project operators (SURVEY.md §2.1).
+
+Each parser re-expresses a reference processor as a declarative DataFrame
+transform. Default path is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd); a pandas-UDF (Arrow-vectorized) path exists where
+the reference semantics can't be matched by built-ins (Python-regex
+dialect, exact JSON value stringification, quote-aware delimiter FSM).
+No per-row Python anywhere.
+
+Reference parity targets:
+* processor_parse_regex_native  — core/plugin/processor/ProcessorParseRegexNative.cpp:29-257
+* processor_parse_json_native   — core/plugin/processor/ProcessorParseJsonNative.cpp:107-250
+* processor_parse_delimiter_native — core/plugin/processor/ProcessorParseDelimiterNative.cpp:245-424
+* processor_parse_apsara_native — core/plugin/processor/ProcessorParseApsaraNative.cpp:203-340,433+
+* processor_parse_timestamp_native — core/plugin/processor/ProcessorParseTimestampNative.cpp
+* processor_split_key_value     — plugins/processor/split/keyvalue/key_value_splitter.go:27-44
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from loongcollector_spark.operators.base import ParserOptions, Processor, register
+
+
+def _split_keys(keys) -> list[str]:
+    """Reference compat: a single comma-joined key is split
+    (ProcessorParseRegexNative.cpp:86-88)."""
+    if isinstance(keys, str):
+        return keys.split(",")
+    if len(keys) == 1 and "," in keys[0]:
+        return keys[0].split(",")
+    return list(keys)
+
+
+@register("processor_parse_regex_native")
+class ParseRegexNative(Processor):
+    """Regex with capture groups → named string columns.
+
+    Full-match semantics (the reference uses boost::regex_match —
+    ProcessorParseRegexNative.cpp:186-253), so the pattern is anchored.
+    Whole-line fast path when ``Regex == '(.*)'``: the source is renamed to
+    ``Keys[0]`` with no regex evaluation (reference :68,147-151; our config
+    compiler emits a plain column alias — the analogue of that fast path).
+
+    ``Engine='jvm'`` (default) uses ``F.regexp_extract`` (Java regex,
+    codegen). ``Engine='python'`` runs ``Series.str.extract`` in one Arrow
+    batch UDF for boost/Perl dialect parity (backrefs, lookarounds).
+    """
+
+    def __init__(
+        self,
+        SourceKey: str,
+        Regex: str,
+        Keys,
+        Engine: str = "jvm",
+        **options,
+    ) -> None:
+        self.regex = Regex
+        self.keys = _split_keys(Keys)
+        self.engine = Engine
+        self.opts = ParserOptions(SourceKey=SourceKey, **options)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.opts.source_key)
+        if self.regex == "(.*)":
+            # Whole-line fast path: pure rename, always succeeds.
+            out = df.withColumn(self.keys[0], src)
+            return self.opts.finalize(out, F.lit(True), [self.keys[0]])
+
+        if self.engine == "python":
+            return self._call_python(df)
+
+        anchored = f"^(?:{self.regex})$"
+        ok = src.rlike(anchored)
+        out = df
+        for i, k in enumerate(self.keys):
+            out = out.withColumn(k, F.regexp_extract(src, anchored, i + 1))
+        return self.opts.finalize(out, ok, self.keys)
+
+    def _call_python(self, df: DataFrame) -> DataFrame:
+        import pandas as pd  # noqa: F401
+
+        keys = self.keys
+        pattern = self.regex
+        fields = [T.StructField("__ok__", T.BooleanType())] + [
+            T.StructField(k, T.StringType()) for k in keys
+        ]
+        out_type = T.StructType(fields)
+
+        @F.pandas_udf(out_type)
+        def extract(s):
+            import pandas as pd
+
+            rx = re.compile(pattern)
+            ext = s.str.extract(f"^(?:{pattern})$", expand=True)
+            ngroups = rx.groups
+            res = pd.DataFrame(index=s.index)
+            res["__ok__"] = s.str.fullmatch(pattern).fillna(False)
+            for i, k in enumerate(keys):
+                res[k] = ext[i] if i < ngroups else None
+            return res
+
+        tmp = "__lc_regex_struct__"
+        out = df.withColumn(tmp, extract(F.col(self.opts.source_key)))
+        ok = F.col(f"{tmp}.__ok__")
+        for k in keys:
+            out = out.withColumn(k, F.col(f"{tmp}.{k}"))
+        out = self.opts.finalize(out, ok, keys)
+        return out.drop(tmp)
+
+
+def _stringify_json_value(v) -> str:
+    """Exact value stringification of the reference JSON parser:
+    null→'', bool→'true'/'false', int→decimal, double→std::to_string
+    (6 fixed decimals), nested object/array→re-serialized JSON
+    (ProcessorParseJsonNative.cpp:148-239,379-403)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, str):
+        return v
+    return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+
+@register("processor_parse_json_native")
+class ParseJsonNative(Processor):
+    """Parse a top-level JSON object: one string column per member.
+
+    Two modes:
+    * ``Keys`` given + ``Engine='jvm'`` (default): ``get_json_object`` per
+      key — pushdown-friendly, codegen. Numeric doubles keep their JSON
+      text form (``2.5``), not the reference's ``2.500000``.
+    * ``Engine='native'``: Arrow-batch pandas UDF reproducing the exact
+      value-stringification semantics above; with ``Keys=None`` returns a
+      ``map<string,string>`` column ``ParsedKey`` (default ``parsed``)
+      holding *all* members — the schema-less shape of the reference.
+    """
+
+    def __init__(
+        self,
+        SourceKey: str,
+        Keys=None,
+        Engine: str = "jvm",
+        ParsedKey: str = "parsed",
+        **options,
+    ) -> None:
+        self.keys = _split_keys(Keys) if Keys is not None else None
+        self.engine = Engine
+        self.parsed_key = ParsedKey
+        self.opts = ParserOptions(
+            SourceKey=SourceKey, ErrorClass="json_parse_fail", **options
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.opts.source_key)
+        if self.engine == "native":
+            return self._call_native(df)
+        # A value is parseable iff it is a JSON *object* (reference rejects
+        # scalars/arrays at top level): json_object_keys is NULL otherwise.
+        ok = F.json_object_keys(src).isNotNull()
+        out = df
+        if self.keys is not None:
+            for k in self.keys:
+                out = out.withColumn(
+                    k, F.coalesce(F.get_json_object(src, f"$.{k}"), F.lit(""))
+                )
+            return self.opts.finalize(out, ok, self.keys)
+        out = out.withColumn(
+            self.parsed_key, F.from_json(src, T.MapType(T.StringType(), T.StringType()))
+        )
+        return self.opts.finalize(out, ok, [self.parsed_key])
+
+    def _call_native(self, df: DataFrame) -> DataFrame:
+        keys = self.keys
+
+        if keys is not None:
+            fields = [T.StructField("__ok__", T.BooleanType())] + [
+                T.StructField(k, T.StringType()) for k in keys
+            ]
+        else:
+            fields = [
+                T.StructField("__ok__", T.BooleanType()),
+                T.StructField(
+                    self.parsed_key, T.MapType(T.StringType(), T.StringType())
+                ),
+            ]
+        out_type = T.StructType(fields)
+        parsed_key = self.parsed_key
+
+        @F.pandas_udf(out_type)
+        def parse(s):
+            import pandas as pd
+
+            oks, rows = [], []
+            for v in s:
+                try:
+                    obj = json.loads(v) if v is not None else None
+                except (ValueError, TypeError):
+                    obj = None
+                if not isinstance(obj, dict):
+                    oks.append(False)
+                    rows.append(None)
+                else:
+                    oks.append(True)
+                    rows.append({k: _stringify_json_value(x) for k, x in obj.items()})
+            res = pd.DataFrame(index=s.index)
+            res["__ok__"] = oks
+            if keys is not None:
+                for k in keys:
+                    res[k] = [None if r is None else r.get(k, "") for r in rows]
+            else:
+                res[parsed_key] = rows
+            return res
+
+        tmp = "__lc_json_struct__"
+        out = df.withColumn(tmp, parse(F.col(self.opts.source_key)))
+        ok = F.col(f"{tmp}.__ok__")
+        new_cols = keys if keys is not None else [parsed_key]
+        for k in new_cols:
+            out = out.withColumn(k, F.col(f"{tmp}.{k}"))
+        out = self.opts.finalize(out, ok, new_cols)
+        return out.drop(tmp)
+
+
+@register("processor_parse_delimiter_native")
+class ParseDelimiterNative(Processor):
+    """Split by a 1–4 char separator into named columns.
+
+    Overflow/underflow parity (ProcessorParseDelimiterNative.cpp:245-424):
+    * underflow (< len(Keys) fields): fail unless ``AllowingShortenedFields``
+      (then missing keys are absent → NULL columns)
+    * overflow, ``OverflowedFieldsTreatment='extend'``: extra field at
+      absolute index i becomes column ``__column{i}__``
+    * ``'keep'``: the *unsplit* rest (separator-prefixed) becomes one extra
+      column ``__column{len(Keys)}__`` (SplitString early-exit, .cpp:398-402)
+    * ``'discard'``: extra fields dropped; additionally keys named ``_``
+      are skipped (ExtractingPartialFields)
+    ``Quote`` set → quote-aware CSV FSM via an Arrow-batch pandas UDF
+    (reference: core/parser/DelimiterModeFsmParser.cpp).
+    """
+
+    OVERFLOW_EXTEND_MAX = 8  # static columns emitted for 'extend' mode
+
+    def __init__(
+        self,
+        SourceKey: str,
+        Separator: str,
+        Keys,
+        Quote: str | None = None,
+        AllowingShortenedFields: bool = False,
+        OverflowedFieldsTreatment: str = "extend",
+        **options,
+    ) -> None:
+        if not (1 <= len(Separator) <= 4):
+            raise ValueError("Separator must be 1-4 chars")
+        self.sep = Separator
+        self.quote = Quote
+        self.keys = _split_keys(Keys)
+        self.allow_short = AllowingShortenedFields
+        self.overflow = OverflowedFieldsTreatment
+        self.opts = ParserOptions(
+            SourceKey=SourceKey, ErrorClass="delimiter_parse_fail", **options
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.quote:
+            return self._call_fsm(df)
+        src = F.col(self.opts.source_key)
+        nk = len(self.keys)
+        arr = F.split(src, re.escape(self.sep), -1)
+        n = F.size(arr)
+        ok = src.isNotNull() & (F.lit(self.allow_short) | (n >= nk))
+
+        out = df
+        new_cols = []
+        extract_partial = self.overflow == "discard"
+        for i, k in enumerate(self.keys):
+            if extract_partial and k == "_":
+                continue
+            out = out.withColumn(k, F.element_at(arr, i + 1))
+            new_cols.append(k)
+
+        if self.overflow == "extend":
+            for j in range(self.OVERFLOW_EXTEND_MAX):
+                i = nk + j
+                col = f"__column{i}__"
+                out = out.withColumn(
+                    col, F.when(n > i, F.element_at(arr, i + 1))
+                )
+                new_cols.append(col)
+        elif self.overflow == "keep":
+            col = f"__column{nk}__"
+            rest = F.concat(
+                F.lit(self.sep),
+                F.array_join(F.slice(arr, nk + 1, 1_000_000), self.sep),
+            )
+            out = out.withColumn(col, F.when(n > nk, rest))
+            new_cols.append(col)
+        # 'discard': nothing beyond Keys
+
+        return self.opts.finalize(out, ok, new_cols)
+
+    def _call_fsm(self, df: DataFrame) -> DataFrame:
+        import csv
+        import io
+
+        keys = self.keys
+        sep, quote = self.sep, self.quote
+        nk = len(keys)
+        overflow = self.overflow
+        allow_short = self.allow_short
+        extend_max = self.OVERFLOW_EXTEND_MAX
+        extra_cols = (
+            [f"__column{nk + j}__" for j in range(extend_max)]
+            if overflow == "extend"
+            else ([f"__column{nk}__"] if overflow == "keep" else [])
+        )
+        out_cols = [k for k in keys if not (overflow == "discard" and k == "_")]
+        fields = [T.StructField("__ok__", T.BooleanType())] + [
+            T.StructField(c, T.StringType()) for c in out_cols + extra_cols
+        ]
+        out_type = T.StructType(fields)
+
+        @F.pandas_udf(out_type)
+        def parse(s):
+            import pandas as pd
+
+            oks, rows = [], []
+            for line in s:
+                if line is None:
+                    oks.append(False)
+                    rows.append(None)
+                    continue
+                try:
+                    vals = next(
+                        csv.reader(
+                            io.StringIO(line), delimiter=sep, quotechar=quote
+                        )
+                    )
+                except (csv.Error, StopIteration):
+                    vals = None
+                if vals is None or (not allow_short and len(vals) < nk):
+                    oks.append(False)
+                    rows.append(None)
+                    continue
+                row = {}
+                for i, k in enumerate(keys):
+                    if overflow == "discard" and k == "_":
+                        continue
+                    row[k] = vals[i] if i < len(vals) else None
+                if overflow == "extend":
+                    for j in range(extend_max):
+                        i = nk + j
+                        row[f"__column{i}__"] = vals[i] if i < len(vals) else None
+                elif overflow == "keep" and len(vals) > nk:
+                    row[f"__column{nk}__"] = sep + sep.join(vals[nk:])
+                oks.append(True)
+                rows.append(row)
+            res = pd.DataFrame(index=s.index)
+            res["__ok__"] = oks
+            for c in out_cols + extra_cols:
+                res[c] = [None if r is None else r.get(c) for r in rows]
+            return res
+
+        tmp = "__lc_delim_struct__"
+        out = df.withColumn(tmp, parse(F.col(self.opts.source_key)))
+        ok = F.col(f"{tmp}.__ok__")
+        for c in out_cols + extra_cols:
+            out = out.withColumn(c, F.col(f"{tmp}.{c}"))
+        out = self.opts.finalize(out, ok, out_cols + extra_cols)
+        return out.drop(tmp)
+
+
+# Fixed apsara line shape: [time]\t[LEVEL]\t[thread]\t[file:line]\t k:v pairs.
+_APSARA_RX = r"^\[([^\]]+)\]\t\[([^\]]+)\]\t\[(\d+)\]\t\[([^\]]*):(\d+)\]\t?(.*)$"
+
+
+@register("processor_parse_apsara_native")
+class ParseApsaraNative(Processor):
+    """Parse Alibaba 'apsara' format logs.
+
+    Built-in-function path for the canonical field order
+    ``[time]\\t[level]\\t[thread]\\t[file:line]\\tk1:v1\\tk2:v2`` — base
+    fields → ``__LEVEL__/__THREAD__/__FILE__/__LINE__``
+    (ProcessorParseApsaraNative.cpp:31-34), trailing pairs split on tab
+    with the *first* ``:`` as k/v separator (.cpp:203-232) into a
+    ``map<string,string>`` column ``PairsKey`` (default ``apsara_kv``),
+    and ``microtime`` (epoch micros, .cpp:226-232). Time accepts epoch
+    (``[1378882630]``, .cpp:259) or ``%Y-%m-%d %H:%M:%S(.%f)``.
+    """
+
+    def __init__(
+        self, SourceKey: str, Timezone: str = "UTC", PairsKey: str = "apsara_kv", **options
+    ) -> None:
+        self.tz = Timezone
+        self.pairs_key = PairsKey
+        self.opts = ParserOptions(
+            SourceKey=SourceKey, ErrorClass="apsara_parse_fail", **options
+        )
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.opts.source_key)
+        ok = src.rlike(_APSARA_RX)
+        time_str = F.regexp_extract(src, _APSARA_RX, 1)
+        is_epoch = time_str.rlike(r"^1\d*$")
+        ts = F.when(
+            is_epoch, F.timestamp_seconds(time_str.cast("long"))
+        ).otherwise(
+            F.coalesce(
+                F.to_timestamp(time_str, "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                F.to_timestamp(time_str, "yyyy-MM-dd HH:mm:ss"),
+            )
+        )
+        micro = (F.unix_timestamp(ts) * F.lit(1_000_000)) + (
+            F.date_format(ts, "SSSSSS").cast("long")
+        )
+        rest = F.regexp_extract(src, _APSARA_RX, 6)
+        pairs = F.when(
+            rest != "",
+            F.map_from_entries(
+                F.transform(
+                    F.split(rest, "\t"),
+                    lambda p: F.struct(
+                        F.substring_index(p, ":", 1).alias("key"),
+                        # everything after the FIRST colon (the value may
+                        # itself contain colons — .cpp:220-221)
+                        F.substring(
+                            p, F.instr(p, ":") + F.lit(1), F.length(p)
+                        ).alias("value"),
+                    ),
+                )
+            ),
+        )
+        out = (
+            df.withColumn("__LEVEL__", F.regexp_extract(src, _APSARA_RX, 2))
+            .withColumn("__THREAD__", F.regexp_extract(src, _APSARA_RX, 3))
+            .withColumn("__FILE__", F.regexp_extract(src, _APSARA_RX, 4))
+            .withColumn("__LINE__", F.regexp_extract(src, _APSARA_RX, 5))
+            .withColumn("microtime", micro.cast("string"))
+            .withColumn(self.pairs_key, pairs)
+        )
+        new_cols = [
+            "__LEVEL__",
+            "__THREAD__",
+            "__FILE__",
+            "__LINE__",
+            "microtime",
+            self.pairs_key,
+        ]
+        return self.opts.finalize(out, ok, new_cols)
+
+
+@register("processor_parse_timestamp_native")
+class ParseTimestampNative(Processor):
+    """strptime a string field into the event time column.
+
+    ``SourceFormat`` uses strptime directives (reference:
+    ProcessorParseTimestampNative.cpp:45-46); we translate the common
+    subset to Spark datetime patterns. ``'%s'`` = epoch seconds.
+    Output: ``DestKey`` (default ``ts``) TimestampType; unparseable rows
+    keep a NULL ``DestKey`` (reference discards or keeps per history
+    policy; we tag via ErrorClassKey if configured).
+    """
+
+    _MAP = [
+        ("%Y", "yyyy"),
+        ("%m", "MM"),
+        ("%d", "dd"),
+        ("%H", "HH"),
+        ("%M", "mm"),
+        ("%S", "ss"),
+        ("%f", "SSSSSS"),
+    ]
+
+    def __init__(
+        self,
+        SourceKey: str,
+        SourceFormat: str,
+        SourceTimezone: str = "UTC",
+        DestKey: str = "ts",
+        ErrorClassKey: str | None = None,
+    ) -> None:
+        self.source_key = SourceKey
+        self.fmt = SourceFormat
+        self.tz = SourceTimezone
+        self.dest = DestKey
+        self.error_class_key = ErrorClassKey
+
+    def spark_format(self) -> str | None:
+        if self.fmt == "%s":
+            return None
+        out = self.fmt
+        for a, b in self._MAP:
+            out = out.replace(a, b)
+        return out
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        fmt = self.spark_format()
+        if fmt is None:
+            ts = F.timestamp_seconds(src.cast("long"))
+        else:
+            ts = F.try_to_timestamp(src, F.lit(fmt))
+        if self.tz not in ("UTC", "GMT+00:00"):
+            ts = F.to_utc_timestamp(ts, self.tz)
+        out = df.withColumn(self.dest, ts)
+        if self.error_class_key:
+            out = out.withColumn(
+                self.error_class_key,
+                F.when(ts.isNotNull(), F.lit("")).otherwise(F.lit("time_parse_fail")),
+            )
+        return out
+
+
+@register("processor_split_key_value")
+class SplitKeyValue(Processor):
+    """k=v pair splitting into a map column (reference:
+    plugins/processor/split/keyvalue/key_value_splitter.go:27-44; SPL
+    ``parse-kv`` core/unittest/spl/spl.txt:16-19).
+
+    ``str_to_map`` built-in; ``EmptyKeyPrefix``/``NoSeparatorKeyPrefix``
+    policies applied with higher-order map functions — still no UDF.
+    Pairs with no separator become ``{prefix}{i}`` keys in the reference;
+    here they map to key=pair/value='' then get prefixed.
+    """
+
+    def __init__(
+        self,
+        SourceKey: str,
+        Delimiter: str = "&",
+        Separator: str = "=",
+        DestKey: str = "kv",
+        EmptyKeyPrefix: str = "empty_key_",
+        NoSeparatorKeyPrefix: str = "no_separator_key_",
+        KeepSource: bool = True,
+    ) -> None:
+        self.source_key = SourceKey
+        self.delim = Delimiter
+        self.sep = Separator
+        self.dest = DestKey
+        self.empty_prefix = EmptyKeyPrefix
+        self.nosep_prefix = NoSeparatorKeyPrefix
+        self.keep_source = KeepSource
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        m = F.str_to_map(src, F.lit(re.escape(self.delim)), F.lit(re.escape(self.sep)))
+        out = df.withColumn(self.dest, m)
+        if not self.keep_source:
+            out = out.drop(self.source_key)
+        return out
+
+
+def parse_kv_columns(df: DataFrame, source: str, keys: list[str],
+                     delim: str = "&", sep: str = "=") -> DataFrame:
+    """Typed-column convenience: project selected kv keys to columns."""
+    m = F.str_to_map(F.col(source), F.lit(re.escape(delim)), F.lit(re.escape(sep)))
+    for k in keys:
+        df = df.withColumn(k, F.element_at(m, k))
+    return df

@@ -1,0 +1,292 @@
+"""The flagship job: parse → enrich → route → aggregate over transcripts.
+
+This is the single end-to-end slice of SURVEY.md §7 Stage 1, exercising
+every operator category:
+
+1. **parse** — anchored dispatch over the five payload grammars
+   (regex / JSON / delimiter / apsara / key-value), first match wins —
+   the multi-``Match`` fallback semantics of processor_grok
+   (plugins/processor/grok/processor_grok.go:148-194) expressed as one
+   codegen'd ``CASE WHEN`` chain of built-in functions. No UDF: at
+   10^12 rows the parse stage must stay inside whole-stage codegen.
+2. **enrich** — broadcast dict-map joins (tool→tool_class,
+   role→role_class), reference processor_dict_map semantics.
+3. **route** — multicast tag router (Router.cpp:50-82): sink A
+   (role_class == 'model'), sink B (error_class != ''), sink C
+   (unconditional) — A/B rows also land in C.
+4. **aggregate** — per-sink counters keyed by (conv_id prefix, hour
+   bucket): counts, byte volumes, error-class histogram — the
+   reference's self-monitor counters per sink.
+
+Every stage has an equivalent DuckDB SQL (``oracle_*`` functions) over
+the same ``events`` parquet, giving the driver a full value-level
+correctness oracle for the whole pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loongcollector_spark.aggregators import sink_metrics_flat
+from loongcollector_spark.operators.enrich import DictMap
+from loongcollector_spark.routing import Route, Router, TagCondition, ExprCondition
+from loongcollector_spark.sources.transcripts import (
+    transcripts_duckdb_sql,
+    transcripts_from_events,
+)
+
+# ---------------------------------------------------------------------------
+# Grammar patterns (shared between the Spark plan and the DuckDB oracle —
+# both RE2 and Java regex read these identically; no SQL-literal escaping
+# issues because the Spark side passes them through the Python API).
+PAT_REGEX = r"^(u\d+)\t(\w+)\tk=(\d+)$"
+PAT_DELIM = r"^(\d+\.\d+\.\d+\.\d+)\|([A-Z]+)\|(\d+)$"
+PAT_APSARA = r"^\[(\d+)\]\t\[(\w+)\]\t\[(\d+)\]\t\[([^\]]*):(\d+)\]\t"
+PAT_KV = r"^user=(u\d+)&etype=([a-z]+)&k=(\d+)$"
+
+TOOL_CLASS_DICT = {
+    "search": "retrieval",
+    "code": "execution",
+    "browser": "web",
+    "db": "storage",
+    # 'none' deliberately unmapped → HandleMissing/Missing semantics
+}
+ROLE_CLASS_DICT = {
+    "user": "human",
+    "assistant": "model",
+    "system": "meta",
+    "tool": "machine",
+}
+
+
+class TranscriptPipeline:
+    """parse → enrich → route → aggregate, built-ins only."""
+
+    SINKS = ("sink_model", "sink_errors", "sink_all")
+
+    def __init__(self, conv_prefix_len: int = 6):
+        self.conv_prefix_len = conv_prefix_len
+        self.router = Router(
+            [
+                Route("sink_model", TagCondition("role_class", "model")),
+                Route("sink_errors", ExprCondition("error_class <> ''")),
+                Route("sink_all", None),  # unconditional — multicast target
+            ]
+        )
+
+    # -- parse ---------------------------------------------------------
+    def parse(self, df: DataFrame) -> DataFrame:
+        """Anchored dispatch: regex → JSON → delimiter → apsara → kv."""
+        t = F.col("text")
+        is_regex = t.rlike(PAT_REGEX)
+        is_json = F.json_object_keys(t).isNotNull() & F.get_json_object(
+            t, "$.etype"
+        ).isNotNull()
+        is_delim = t.rlike(PAT_DELIM)
+        is_apsara = t.rlike(PAT_APSARA)
+        is_kv = t.rlike(PAT_KV)
+
+        grammar = (
+            F.when(is_regex, F.lit("regex"))
+            .when(is_json, F.lit("json"))
+            .when(is_delim, F.lit("delim"))
+            .when(is_apsara, F.lit("apsara"))
+            .when(is_kv, F.lit("kv"))
+            .otherwise(F.lit("unparsed"))
+        )
+        parsed_user = (
+            F.when(is_regex, F.regexp_extract(t, PAT_REGEX, 1))
+            .when(is_json, F.get_json_object(t, "$.user"))
+            .when(is_apsara, F.regexp_extract(t, r"user:(u\d+)", 1))
+            .when(is_kv, F.regexp_extract(t, PAT_KV, 1))
+        )
+        etype = (
+            F.when(is_regex, F.regexp_extract(t, PAT_REGEX, 2))
+            .when(is_json, F.get_json_object(t, "$.etype"))
+            .when(is_delim, F.lower(F.regexp_extract(t, PAT_DELIM, 2)))
+            .when(is_apsara, F.regexp_extract(t, r"etype:([a-z]+)", 1))
+            .when(is_kv, F.regexp_extract(t, PAT_KV, 2))
+        )
+        status = F.when(is_delim, F.regexp_extract(t, PAT_DELIM, 3))
+        level = F.when(is_apsara, F.regexp_extract(t, PAT_APSARA, 2))
+        k_val = (
+            F.when(is_regex, F.regexp_extract(t, PAT_REGEX, 3))
+            .when(is_json, F.get_json_object(t, "$.k"))
+            .when(is_kv, F.regexp_extract(t, PAT_KV, 3))
+        )
+        error_class = (
+            F.when(grammar == "unparsed", F.lit("parse_fail"))
+            .when(status == "500", F.lit("http_500"))
+            .when(level == "ERROR", F.lit("app_error"))
+            .otherwise(F.lit(""))
+        )
+        return (
+            df.withColumn("grammar", grammar)
+            .withColumn("parsed_user", parsed_user)
+            .withColumn("etype", etype)
+            .withColumn("status", status)
+            .withColumn("level", level)
+            .withColumn("k_val", k_val)
+            .withColumn("error_class", error_class)
+        )
+
+    # -- enrich ----------------------------------------------------------
+    def enrich(self, df: DataFrame) -> DataFrame:
+        tool_map = DictMap(
+            SourceKey="tool",
+            DestKey="tool_class",
+            MapDict=TOOL_CLASS_DICT,
+            HandleMissing=False,  # 'none' rows keep NULL tool_class... see below
+        )
+        role_map = DictMap(
+            SourceKey="role", DestKey="role_class", MapDict=ROLE_CLASS_DICT
+        )
+        out = role_map(tool_map(df))
+        # reference HandleMissing=true twin: unmapped tool → 'Unknown'
+        return out.withColumn(
+            "tool_class", F.coalesce(F.col("tool_class"), F.lit("Unknown"))
+        )
+
+    # -- route -----------------------------------------------------------
+    def route(self, df: DataFrame) -> dict[str, DataFrame]:
+        return self.router.route(df)
+
+    # -- aggregate ---------------------------------------------------------
+    def metrics(self, sinks: dict[str, DataFrame]) -> DataFrame:
+        parts = [
+            sink_metrics_flat(df, name, prefix_len=self.conv_prefix_len)
+            for name, df in sinks.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- end to end ---------------------------------------------------------
+    def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
+        parsed = self.parse(transcripts)
+        enriched = self.enrich(parsed)
+        sinks = self.route(enriched)
+        sinks["__metrics__"] = self.metrics(
+            {k: v for k, v in sinks.items()}
+        )
+        return sinks
+
+    def run_on_events(self, spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+        return self.run(transcripts_from_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — independent recomputation of each stage for the
+# driver's correctness gate. RE2 regexes; same patterns as above.
+
+_PARSED_TEMPLATE = """
+WITH transcripts AS ({transcripts}),
+parsed AS (
+  SELECT *,
+    CASE
+      WHEN regexp_matches(text, '{p_regex}') THEN 'regex'
+      WHEN json_valid(text) AND text LIKE '{{%' AND json_extract_string(text, '$.etype') IS NOT NULL THEN 'json'
+      WHEN regexp_matches(text, '{p_delim}') THEN 'delim'
+      WHEN regexp_matches(text, '{p_apsara}') THEN 'apsara'
+      WHEN regexp_matches(text, '{p_kv}') THEN 'kv'
+      ELSE 'unparsed'
+    END AS grammar
+  FROM transcripts
+),
+extracted AS (
+  SELECT *,
+    CASE grammar
+      WHEN 'regex' THEN regexp_extract(text, '{p_regex}', 1)
+      WHEN 'json' THEN json_extract_string(text, '$.user')
+      WHEN 'apsara' THEN regexp_extract(text, 'user:(u\\d+)', 1)
+      WHEN 'kv' THEN regexp_extract(text, '{p_kv}', 1)
+    END AS parsed_user,
+    CASE grammar
+      WHEN 'regex' THEN regexp_extract(text, '{p_regex}', 2)
+      WHEN 'json' THEN json_extract_string(text, '$.etype')
+      WHEN 'delim' THEN lower(regexp_extract(text, '{p_delim}', 2))
+      WHEN 'apsara' THEN regexp_extract(text, 'etype:([a-z]+)', 1)
+      WHEN 'kv' THEN regexp_extract(text, '{p_kv}', 2)
+    END AS etype,
+    CASE grammar WHEN 'delim' THEN regexp_extract(text, '{p_delim}', 3) END AS status,
+    CASE grammar WHEN 'apsara' THEN regexp_extract(text, '{p_apsara}', 2) END AS level,
+    CASE grammar
+      WHEN 'regex' THEN regexp_extract(text, '{p_regex}', 3)
+      WHEN 'json' THEN json_extract_string(text, '$.k')
+      WHEN 'kv' THEN regexp_extract(text, '{p_kv}', 3)
+    END AS k_val
+  FROM parsed
+),
+with_err AS (
+  SELECT *,
+    CASE
+      WHEN grammar = 'unparsed' THEN 'parse_fail'
+      WHEN status = '500' THEN 'http_500'
+      WHEN level = 'ERROR' THEN 'app_error'
+      ELSE ''
+    END AS error_class
+  FROM extracted
+),
+enriched AS (
+  SELECT *,
+    CASE tool WHEN 'search' THEN 'retrieval' WHEN 'code' THEN 'execution'
+         WHEN 'browser' THEN 'web' WHEN 'db' THEN 'storage'
+         ELSE 'Unknown' END AS tool_class,
+    CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model'
+         WHEN 'system' THEN 'meta' WHEN 'tool' THEN 'machine' END AS role_class
+  FROM with_err
+)
+"""
+
+
+def oracle_enriched_sql(events_relation: str = "events") -> str:
+    """CTE prefix ending in the fully parsed+enriched relation ``enriched``."""
+    # duckdb regexes: \d must survive as backslash-d; the template uses
+    # doubled backslashes only where the template itself is written, the
+    # PAT_* constants are raw and inserted verbatim.
+    return _PARSED_TEMPLATE.format(
+        transcripts=transcripts_duckdb_sql(events_relation),
+        p_regex=PAT_REGEX.replace("'", "''"),
+        p_delim=PAT_DELIM,
+        p_apsara=PAT_APSARA.replace("'", "''"),
+        p_kv=PAT_KV,
+    )
+
+
+_SINK_WHERE = {
+    "sink_model": "role_class = 'model'",
+    "sink_errors": "error_class <> ''",
+    "sink_all": "TRUE",
+}
+
+
+def oracle_sink_rows_sql(sink: str, events_relation: str = "events") -> str:
+    """Routed rows of one sink, stable (conv_id, turn_idx) order columns."""
+    return (
+        oracle_enriched_sql(events_relation)
+        + f"""
+SELECT conv_id, turn_idx, role, text, tool, ts, grammar, parsed_user,
+       etype, error_class, tool_class, role_class
+FROM enriched WHERE {_SINK_WHERE[sink]}
+"""
+    )
+
+
+def oracle_metrics_sql(events_relation: str = "events") -> str:
+    """Per-sink flat aggregates across all three sinks (multicast)."""
+    parts = []
+    for sink, where in _SINK_WHERE.items():
+        parts.append(
+            f"""
+SELECT substr(conv_id, 1, 6) AS conv_prefix,
+       date_trunc('hour', ts) AS ts_hour,
+       error_class,
+       count(*) AS n_rows,
+       CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes,
+       '{sink}' AS sink
+FROM enriched WHERE {where}
+GROUP BY 1, 2, 3"""
+        )
+    return oracle_enriched_sql(events_relation) + " UNION ALL ".join(parts)

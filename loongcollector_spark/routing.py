@@ -1,0 +1,133 @@
+"""Tag router: fan one DataFrame out to conditional sinks, multicast.
+
+Reference: core/collection_pipeline/route/Router.cpp:50-82 — each flusher
+may declare a Condition; unconditional flushers always receive; a group
+matching k conditions is copied k times (multicast, non-exclusive).
+Conditions (core/collection_pipeline/route/Condition.h:28-73) are either
+event-type equality or tag equality, with optional ``DiscardingTag``
+(the matched tag is removed after routing).
+
+Spark realization: the routed parent DataFrame is computed ONCE and
+cached/persisted; each sink is a filtered view written independently.
+Multicast = non-exclusive filters over the same cached plan — no second
+scan, no shuffle. At 100 TB the cache spills per-partition; alternatively
+``persist(DISK_ONLY)`` or a single pre-partitioned intermediate table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class TagCondition:
+    """Equality on a tag (column) value — Condition.h:41-56."""
+
+    key: str
+    value: str
+    discarding_tag: bool = False
+
+    def predicate(self) -> Column:
+        return F.col(self.key) == F.lit(self.value)
+
+
+@dataclass
+class ExprCondition:
+    """Engine extension: arbitrary SQL boolean expression condition
+    (covers EventTypeCondition and the Go logstorerouter regex route)."""
+
+    expr: str
+
+    def predicate(self) -> Column:
+        return F.expr(self.expr)
+
+
+@dataclass
+class Route:
+    """One flusher's route: name + optional condition."""
+
+    name: str
+    condition: TagCondition | ExprCondition | None = None  # None = unconditional
+
+
+class Router:
+    """Multicast router over a cached parent DataFrame.
+
+    ``route(df)`` returns ``{sink_name: DataFrame}``. Rows matching
+    multiple conditions appear in every matching sink (deep-copy
+    semantics of Router.cpp:66-77 — in Spark a copy is just another
+    filtered view of the same cached data). Unconditional routes receive
+    everything (Router.cpp:50-54).
+    """
+
+    def __init__(self, routes: list[Route], cache: bool = True):
+        if not routes:
+            raise ValueError("at least one route required")
+        names = [r.name for r in routes]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate sink names")
+        self.routes = list(routes)
+        self.cache = cache
+
+    def route(self, df: DataFrame) -> dict[str, DataFrame]:
+        if self.cache and len(self.routes) > 1:
+            df = df.persist()
+        out: dict[str, DataFrame] = {}
+        for r in self.routes:
+            if r.condition is None:
+                out[r.name] = df
+            else:
+                sink_df = df.filter(r.condition.predicate())
+                if isinstance(r.condition, TagCondition) and r.condition.discarding_tag:
+                    sink_df = sink_df.drop(r.condition.key)
+                out[r.name] = sink_df
+        return out
+
+    def route_exclusive_tagged(self, df: DataFrame, dest_col: str = "__sink__") -> DataFrame:
+        """Alternative single-pass physical strategy for *exclusive* routes:
+        tag each row with its first matching sink (the Go
+        aggregator_logstorerouter semantics —
+        plugins/aggregator/logstorerouter/aggregator_router.go:44-60), then
+        one partitioned write handles all sinks in a single job. Use when
+        conditions are disjoint and sinks share a format."""
+        expr = F.lit(None).cast("string")
+        for r in reversed(self.routes):
+            pred = F.lit(True) if r.condition is None else r.condition.predicate()
+            expr = F.when(pred, F.lit(r.name)).otherwise(expr)
+        # reversed() + otherwise chaining makes the FIRST route win
+        return df.withColumn(dest_col, expr)
+
+
+@dataclass
+class LogstoreRouter:
+    """Go row-level router: first matching regex (on SourceKey value) wins
+    (plugins/aggregator/logstorerouter/aggregator_router.go:44-60).
+
+    ``DropDisMatch``: rows matching nothing are dropped, else they go to
+    ``DefaultLogstore``.
+    """
+
+    source_key: str
+    router_regex: list[str] = field(default_factory=list)
+    router_logstore: list[str] = field(default_factory=list)
+    drop_dis_match: bool = False
+    default_logstore: str = "default"
+    dest_col: str = "__logstore__"
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        expr = (
+            F.lit(None).cast("string")
+            if self.drop_dis_match
+            else F.lit(self.default_logstore)
+        )
+        for rx, store in zip(reversed(self.router_regex), reversed(self.router_logstore)):
+            # reference uses regex search (not full match) here
+            expr = F.when(src.rlike(rx), F.lit(store)).otherwise(expr)
+        out = df.withColumn(self.dest_col, expr)
+        if self.drop_dis_match:
+            out = out.filter(F.col(self.dest_col).isNotNull())
+        return out
