@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship parse→enrich→route→aggregate pipeline at
+sf0.001. ``queries()`` — one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` — the DuckDB-equivalent SQL for each. The transcript input
+is derived deterministically from the ``events`` table in BOTH dialects
+(loongcollector_spark/sources/transcripts.py), so even the full pipeline
+has a value-level oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +13,483 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from loongcollector_spark.operators.enrich import DictMap, Desensitize, Md5, PackJson
+from loongcollector_spark.operators.filters import (
+    FilterNative,
+    FilterRegex,
+    PickKey,
+    RateLimit,
+    TimestampFilterNative,
+)
+from loongcollector_spark.operators.parsers import (
+    ParseApsaraNative,
+    ParseDelimiterNative,
+    ParseJsonNative,
+    ParseRegexNative,
+    parse_kv_columns,
+)
+from loongcollector_spark.aggregators import shardhash_repartition, sink_metrics_flat
+from loongcollector_spark.plans import transcript_pipeline as tp
+from loongcollector_spark.sources.transcripts import (
+    transcripts_duckdb_sql,
+    transcripts_from_events,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_T = "WITH transcripts AS ({t})".format(t=transcripts_duckdb_sql("events"))
+
+PAT_REGEX = tp.PAT_REGEX
+PAT_DELIM = tp.PAT_DELIM
+PAT_APSARA = tp.PAT_APSARA
+PAT_KV = tp.PAT_KV
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline at sf0.001, returns the per-sink metrics."""
+    sinks = tp.TranscriptPipeline().run_on_events(spark, "/root/testdata/sf0.001")
+    return sinks["__metrics__"]
 
+
+# ---------------------------------------------------------------------------
+# queries
+
+def q_transcripts(spark, sf_dir):
+    return _transcripts(spark, sf_dir)
+
+
+def q_parse_dispatch(spark, sf_dir):
+    out = tp.TranscriptPipeline().parse(_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "turn_idx", "grammar", "parsed_user", "etype",
+        "status", "level", "k_val", "error_class",
+    )
+
+
+def q_enriched(spark, sf_dir):
+    p = tp.TranscriptPipeline()
+    out = p.enrich(p.parse(_transcripts(spark, sf_dir)))
+    return out.select(
+        "conv_id", "turn_idx", "role", "tool", "tool_class", "role_class", "error_class"
+    )
+
+
+def _q_sink(sink):
+    def q(spark, sf_dir):
+        sinks = tp.TranscriptPipeline().run(_transcripts(spark, sf_dir))
+        return sinks[sink].select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts", "grammar",
+            "parsed_user", "etype", "error_class", "tool_class", "role_class",
+        )
+
+    return q
+
+
+def q_sink_metrics(spark, sf_dir):
+    p = tp.TranscriptPipeline()
+    sinks = p.run(_transcripts(spark, sf_dir))
+    return sinks["__metrics__"].select(
+        "conv_prefix", "ts_hour", "error_class", "n_rows", "n_bytes", "sink"
+    )
+
+
+# ---------------------------------------------------------------------------
+# operator-level queries (reference plugin parity, each with an oracle)
+
+def q_parse_regex(spark, sf_dir):
+    proc = ParseRegexNative(
+        SourceKey="text",
+        Regex=r"(u\d+)\t(\w+)\tk=(\d+)",
+        Keys=["user_key", "etype", "k_val"],
+    )
+    return proc(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "user_key", "etype", "k_val"
+    )
+
+
+def q_parse_regex_keepfail(spark, sf_dir):
+    """CommonParserOptions matrix: keep failed rows, rename source."""
+    proc = ParseRegexNative(
+        SourceKey="text",
+        Regex=r"(u\d+)\t(\w+)\tk=(\d+)",
+        Keys=["user_key", "etype", "k_val"],
+        KeepingSourceWhenParseFail=True,
+        RenamedSourceKey="rawLog",
+        CopingRawLog=True,
+    )
+    return proc(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "user_key", "etype", "k_val", "rawLog",
+        F.col("__raw_log__").alias("raw_log_legacy"),
+    )
+
+
+def q_parse_json(spark, sf_dir):
+    proc = ParseJsonNative(SourceKey="text", Keys=["user", "etype", "k"])
+    return proc(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "user", "etype", "k"
+    )
+
+
+def q_parse_delimiter(spark, sf_dir):
+    proc = ParseDelimiterNative(
+        SourceKey="text",
+        Separator="|",
+        Keys=["ip", "method", "status_code"],
+        OverflowedFieldsTreatment="discard",
+    )
+    df = _transcripts(spark, sf_dir).filter(F.col("text").rlike(PAT_DELIM))
+    return proc(df).select("conv_id", "turn_idx", "ip", "method", "status_code")
+
+
+def q_parse_apsara(spark, sf_dir):
+    proc = ParseApsaraNative(SourceKey="text")
+    out = proc(_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id", "turn_idx", "__LEVEL__", "__THREAD__", "__FILE__", "__LINE__",
+        "microtime", F.try_element_at(F.col("apsara_kv"), F.lit("user")).alias("kv_user"),
+        F.try_element_at(F.col("apsara_kv"), F.lit("etype")).alias("kv_etype"),
+    )
+
+
+def q_parse_kv(spark, sf_dir):
+    df = _transcripts(spark, sf_dir).filter(F.col("text").rlike(PAT_KV))
+    out = parse_kv_columns(df, "text", ["user", "etype", "k"], delim="&", sep="=")
+    return out.select("conv_id", "turn_idx", "user", "etype", "k")
+
+
+def q_filter_condition_exp(spark, sf_dir):
+    proc = FilterNative(
+        ConditionExp={
+            "operator": "and",
+            "operands": [
+                {"key": "role", "exp": "user|assistant"},
+                {
+                    "operator": "not",
+                    "operands": [{"key": "tool", "exp": "none"}],
+                },
+            ],
+        }
+    )
+    return proc(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "tool"
+    )
+
+
+def q_filter_include_exclude(spark, sf_dir):
+    proc = FilterRegex(Include={"role": "tool|assistant"}, Exclude={"tool": "db"})
+    return proc(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "tool"
+    )
+
+
+def q_timestamp_filter(spark, sf_dir):
+    proc = TimestampFilterNative(
+        TimeKey="ts", Start="2024-01-03 00:00:00", End="2024-01-10 00:00:00"
+    )
+    return proc(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx", "ts")
+
+
+def q_dict_map_fill(spark, sf_dir):
+    """fill mode + HandleMissing over a pre-set dest column."""
+    df = _transcripts(spark, sf_dir).withColumn(
+        "tool_class",
+        F.when(F.col("turn_idx") % 2 == 0, F.lit("preset")),
+    )
+    proc = DictMap(
+        SourceKey="tool",
+        DestKey="tool_class",
+        MapDict=tp.TOOL_CLASS_DICT,
+        Mode="fill",
+        HandleMissing=True,
+        Missing="Unknown",
+    )
+    return proc(df).select("conv_id", "turn_idx", "tool", "tool_class")
+
+
+def q_dict_map_inplace(spark, sf_dir):
+    proc = DictMap(SourceKey="role", MapDict=tp.ROLE_CLASS_DICT)
+    return proc(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx", "role")
+
+
+def q_rate_limit(spark, sf_dir):
+    proc = RateLimit(
+        Fields=["role"],
+        Limit=3,
+        BucketSeconds=3600,
+        TimeKey="ts",
+        OrderBy=["ts", "conv_id", "turn_idx"],
+    )
+    return proc(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx", "role", "ts")
+
+
+def q_desensitize_regex(spark, sf_dir):
+    proc = Desensitize(
+        SourceKey="text",
+        Method="const",
+        Match="regex",
+        ReplaceString="***",
+        RegexBegin="user=",
+        RegexContent=r"u\d+",
+    )
+    return proc(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", F.col("text").alias("masked_text")
+    )
+
+
+def q_md5_field(spark, sf_dir):
+    proc = Md5(SourceKey="text", NewKey="text_md5")
+    return proc(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx", "text_md5")
+
+
+def q_pack_json(spark, sf_dir):
+    proc = PackJson(SourceKeys=["role", "tool"], DestKey="packed")
+    return proc(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx", "packed")
+
+
+def q_pick_key(spark, sf_dir):
+    proc = PickKey(Include=["conv_id", "turn_idx", "role"])
+    return proc(_transcripts(spark, sf_dir))
+
+
+def q_shardhash(spark, sf_dir):
+    """aggregator_shardhash: keyed repartition into 8 shards. The xxhash64
+    seed differs from the Go impl, so the oracle is distribution-shaped:
+    per-conv_id row counts are preserved (routing is a pure repartition).
+    The shard assignment itself is asserted in pytest (power-of-2 buckets,
+    same key → same shard)."""
+    df = shardhash_repartition(
+        _transcripts(spark, sf_dir), ["conv_id"], 8, shard_col=None
+    )
+    return df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# -- training-data ops over documents ---------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text, keep min doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+    )
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting + quality scoring signals, built-ins only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.octet_length("text").alias("n_bytes"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias("distinct_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcripts": q_transcripts,
+        "parse_grammar_dispatch": q_parse_dispatch,
+        "enrich_dict_map_broadcast": q_enriched,
+        "route_sink_model": _q_sink("sink_model"),
+        "route_sink_errors": _q_sink("sink_errors"),
+        "route_sink_all_multicast": _q_sink("sink_all"),
+        "pipeline_sink_metrics": q_sink_metrics,
+        "parse_regex_native": q_parse_regex,
+        "parse_regex_keepfail_matrix": q_parse_regex_keepfail,
+        "parse_json_native": q_parse_json,
+        "parse_delimiter_native": q_parse_delimiter,
+        "parse_apsara_native": q_parse_apsara,
+        "parse_kv": q_parse_kv,
+        "filter_condition_exp": q_filter_condition_exp,
+        "filter_include_exclude": q_filter_include_exclude,
+        "timestamp_filter": q_timestamp_filter,
+        "dict_map_fill_missing": q_dict_map_fill,
+        "dict_map_inplace": q_dict_map_inplace,
+        "rate_limit_windowed": q_rate_limit,
+        "desensitize_regex": q_desensitize_regex,
+        "md5_field": q_md5_field,
+        "pack_json": q_pack_json,
+        "pick_key_projection": q_pick_key,
+        "shardhash_distribution": q_shardhash,
+        "exact_dedup": q_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect)
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["transcripts"] = _T + " SELECT * FROM transcripts"
+
+    sql["parse_grammar_dispatch"] = (
+        tp.oracle_enriched_sql()
+        + """
+SELECT conv_id, turn_idx, grammar, parsed_user, etype, status, level,
+       k_val, error_class
+FROM enriched"""
+    )
+
+    sql["enrich_dict_map_broadcast"] = (
+        tp.oracle_enriched_sql()
+        + """
+SELECT conv_id, turn_idx, role, tool, tool_class, role_class, error_class
+FROM enriched"""
+    )
+
+    sql["route_sink_model"] = tp.oracle_sink_rows_sql("sink_model")
+    sql["route_sink_errors"] = tp.oracle_sink_rows_sql("sink_errors")
+    sql["route_sink_all_multicast"] = tp.oracle_sink_rows_sql("sink_all")
+    sql["pipeline_sink_metrics"] = tp.oracle_metrics_sql()
+
+    sql["parse_regex_native"] = _T + f"""
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '{PAT_REGEX}', 1) AS user_key,
+       regexp_extract(text, '{PAT_REGEX}', 2) AS etype,
+       regexp_extract(text, '{PAT_REGEX}', 3) AS k_val
+FROM transcripts WHERE regexp_matches(text, '{PAT_REGEX}')"""
+
+    sql["parse_regex_keepfail_matrix"] = _T + f"""
+SELECT conv_id, turn_idx,
+       CASE WHEN regexp_matches(text, '{PAT_REGEX}')
+            THEN regexp_extract(text, '{PAT_REGEX}', 1) END AS user_key,
+       CASE WHEN regexp_matches(text, '{PAT_REGEX}')
+            THEN regexp_extract(text, '{PAT_REGEX}', 2) END AS etype,
+       CASE WHEN regexp_matches(text, '{PAT_REGEX}')
+            THEN regexp_extract(text, '{PAT_REGEX}', 3) END AS k_val,
+       CASE WHEN NOT regexp_matches(text, '{PAT_REGEX}') THEN text END AS rawLog,
+       CASE WHEN NOT regexp_matches(text, '{PAT_REGEX}') THEN text END AS raw_log_legacy
+FROM transcripts"""
+
+    sql["parse_json_native"] = _T + """
+SELECT conv_id, turn_idx,
+       coalesce(json_extract_string(text, '$.user'), '') AS "user",
+       coalesce(json_extract_string(text, '$.etype'), '') AS etype,
+       coalesce(json_extract_string(text, '$.k'), '') AS k
+FROM transcripts
+WHERE json_valid(text) AND text LIKE '{%'"""
+
+    sql["parse_delimiter_native"] = _T + f"""
+SELECT conv_id, turn_idx,
+       string_split(text, '|')[1] AS ip,
+       string_split(text, '|')[2] AS method,
+       string_split(text, '|')[3] AS status_code
+FROM transcripts WHERE regexp_matches(text, '{PAT_DELIM}')"""
+
+    sql["parse_apsara_native"] = _T + f"""
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '{PAT_APSARA}', 2) AS "__LEVEL__",
+       regexp_extract(text, '{PAT_APSARA}', 3) AS "__THREAD__",
+       regexp_extract(text, '{PAT_APSARA}', 4) AS "__FILE__",
+       regexp_extract(text, '{PAT_APSARA}', 5) AS "__LINE__",
+       CAST(CAST(regexp_extract(text, '{PAT_APSARA}', 1) AS BIGINT) * 1000000 AS VARCHAR) AS microtime,
+       regexp_extract(text, 'user:(u\\d+)', 1) AS kv_user,
+       regexp_extract(text, 'etype:([a-z]+)', 1) AS kv_etype
+FROM transcripts WHERE regexp_matches(text, '{PAT_APSARA}')"""
+
+    sql["parse_kv"] = _T + f"""
+SELECT conv_id, turn_idx,
+       regexp_extract(text, 'user=([^&]*)', 1) AS "user",
+       regexp_extract(text, 'etype=([^&]*)', 1) AS etype,
+       regexp_extract(text, 'k=([^&]*)', 1) AS k
+FROM transcripts WHERE regexp_matches(text, '{PAT_KV}')"""
+
+    sql["filter_condition_exp"] = _T + """
+SELECT conv_id, turn_idx, role, tool
+FROM transcripts
+WHERE regexp_matches(role, '^(?:user|assistant)$')
+  AND NOT regexp_matches(tool, '^(?:none)$')"""
+
+    sql["filter_include_exclude"] = _T + """
+SELECT conv_id, turn_idx, role, tool
+FROM transcripts
+WHERE regexp_matches(role, '^(?:tool|assistant)$')
+  AND NOT regexp_matches(tool, '^(?:db)$')"""
+
+    sql["timestamp_filter"] = _T + """
+SELECT conv_id, turn_idx, ts
+FROM transcripts
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-10 00:00:00'"""
+
+    sql["dict_map_fill_missing"] = _T + """
+SELECT conv_id, turn_idx, tool,
+       CASE WHEN turn_idx % 2 = 0 THEN 'preset'
+            ELSE CASE tool WHEN 'search' THEN 'retrieval'
+                 WHEN 'code' THEN 'execution' WHEN 'browser' THEN 'web'
+                 WHEN 'db' THEN 'storage' END
+       END AS tool_class
+FROM transcripts"""
+
+    sql["dict_map_inplace"] = _T + """
+SELECT conv_id, turn_idx,
+       CASE role WHEN 'user' THEN 'human' WHEN 'assistant' THEN 'model'
+            WHEN 'system' THEN 'meta' WHEN 'tool' THEN 'machine'
+            ELSE role END AS role
+FROM transcripts"""
+
+    sql["rate_limit_windowed"] = _T + """
+SELECT conv_id, turn_idx, role, ts FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY role, date_trunc('hour', ts)
+      ORDER BY ts, conv_id, turn_idx) AS rn
+  FROM transcripts
+) WHERE rn <= 3"""
+
+    sql["desensitize_regex"] = _T + r"""
+SELECT conv_id, turn_idx,
+       regexp_replace(text, '(user=)(?:u\d+)', '\1***', 'g') AS masked_text
+FROM transcripts"""
+
+    sql["md5_field"] = _T + """
+SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM transcripts"""
+
+    sql["pack_json"] = _T + """
+SELECT conv_id, turn_idx,
+       concat('{"role":"', role, '","tool":"', tool, '"}') AS packed
+FROM transcripts"""
+
+    sql["pick_key_projection"] = _T + """
+SELECT conv_id, turn_idx, role FROM transcripts"""
+
+    sql["shardhash_distribution"] = _T + """
+SELECT conv_id, count(*) AS n_rows FROM transcripts GROUP BY conv_id"""
+
+    sql["exact_dedup"] = """
+SELECT md5(text) AS text_md5,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_dupes
+FROM documents GROUP BY 1"""
+
+    sql["doc_token_stats"] = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS INT) AS n_tokens,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       CAST(len(list_distinct(words)) AS INT) AS n_distinct_tokens,
+       len(list_distinct(words)) / CAST(len(words) AS DOUBLE) AS distinct_ratio
+FROM toks"""
+
+    return sql

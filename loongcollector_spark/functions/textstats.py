@@ -1,0 +1,92 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All built-in-function expressions (codegen, no UDF) so they run at scan
+speed over 100 TB of documents. Each returns a Column or a DataFrame
+transform; the contract queries expose them with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Stopword marker sets per language for the n-gram/stopword heuristic.
+# Deliberately tiny + deterministic: language ID here is a scoring
+# pipeline pattern, not a linguistics product.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (the reference SPL `split`)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish proxy: count word pieces + digit runs + punctuation marks —
+    a regexp over the text, no vocab needed. Useful as a stable token
+    budget estimate in data pipelines."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), F.lit(0)))
+
+
+def lang_score(col: Column, lang: str) -> Column:
+    """Count of marker-word hits for one language."""
+    toks = tokens(F.lower(col))
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(toks), markers))
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Pick the language with the max marker score (ties: lexicographic
+    language order, deterministic); 'und' when no marker hits at all."""
+    scores = [(lang, lang_score(col, lang)) for lang in sorted(LANG_MARKERS)]
+    best_score = F.greatest(*[s for _, s in scores])
+    expr = F.lit(default)
+    for lang, s in reversed(scores):
+        expr = F.when(s == best_score, F.lit(lang)).otherwise(expr)
+    return F.when(best_score > 0, expr).otherwise(F.lit(default))
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features
+    (the classic pre-training quality filters) as one projection."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_char = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(t))),
+            F.array(*[F.lit(m) for ms in LANG_MARKERS.values() for m in ms]),
+        )
+    )
+    mean_word_len = F.when(n_tok > 0, n_char / n_tok)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "n_chars_calc": n_char,
+            "alpha_ratio": F.when(n_char > 0, n_alpha / n_char),
+            "punct_ratio": F.when(n_char > 0, n_punct / n_char),
+            "stopword_hits": stop_hits,
+            "mean_token_len": mean_word_len,
+        }
+    )
+
+
+def fingerprint64(col: Column) -> Column:
+    """Document fingerprint: 64-bit xxhash of whitespace-normalized,
+    lowercased text — the rolling-hash-style cheap identity used for
+    exact-dup detection at scale."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.xxhash64(normalized)

@@ -101,6 +101,13 @@ class ParserOptions:
         """
         src = F.col(self.source_key)
 
+        # Materialize the success predicate FIRST: `ok` is a lazy column
+        # expression over the source column, which this method may later
+        # overwrite (keep-source rules) — evaluating it afterwards would
+        # read the mutated column.
+        df = df.withColumn("__lc_ok__", ok)
+        ok = F.col("__lc_ok__")
+
         # Null out parsed fields on failed rows (parser may have emitted
         # partial garbage); cheap — stays in codegen.
         for k in new_keys:
@@ -129,7 +136,7 @@ class ParserOptions:
         if not self.keep_fail and self.error_class_key is None:
             # ShouldEraseEvent: failed rows with discarded source vanish.
             df = df.filter(ok)
-        return df
+        return df.drop("__lc_ok__")
 
 
 class Pipeline(Processor):

@@ -217,9 +217,17 @@ class RateLimit(Processor):
         self.order_by = OrderBy or [TimeKey]
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        bucket = (
-            F.floor(F.unix_timestamp(F.col(self.time_key)) / self.bucket_seconds)
-        ).alias("__bucket__")
+        # date_trunc for whole-minute/hour buckets: timezone-safe on NTZ
+        # timestamps (unix_timestamp would shift buckets under a non-UTC
+        # session timezone).
+        if self.bucket_seconds == 3600:
+            bucket = F.date_trunc("hour", F.col(self.time_key)).alias("__bucket__")
+        elif self.bucket_seconds == 60:
+            bucket = F.date_trunc("minute", F.col(self.time_key)).alias("__bucket__")
+        else:
+            bucket = (
+                F.floor(F.unix_timestamp(F.col(self.time_key)) / self.bucket_seconds)
+            ).alias("__bucket__")
         w = Window.partitionBy(*self.fields, bucket).orderBy(
             *[F.col(c) for c in self.order_by]
         )

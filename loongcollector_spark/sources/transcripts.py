@@ -144,4 +144,12 @@ def generate_transcripts(
         .drop("id")
     )
     base.createOrReplaceTempView("__lc_events_gen")
-    return spark.sql(transcripts_spark_sql("__lc_events_gen"))
+    out = spark.sql(transcripts_spark_sql("__lc_events_gen"))
+    # The turn_idx window shuffles by user_id, which would cluster the hot
+    # conversation (hot_frac of ALL rows) into one output partition → one
+    # unsplittable parquet file → a guaranteed straggler task on every
+    # downstream scan. Round-robin repartition restores uniform file sizes;
+    # at real scale this is the Iceberg write-distribution choice.
+    if partitions:
+        out = out.repartition(partitions)
+    return out

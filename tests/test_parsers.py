@@ -1,0 +1,294 @@
+"""Parser fixture parity tests — ported from the reference unit tests
+(core/unittest/processor/*, FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.operators.parsers import (
+    ParseApsaraNative,
+    ParseDelimiterNative,
+    ParseJsonNative,
+    ParseRegexNative,
+    ParseTimestampNative,
+    SplitKeyValue,
+)
+from tests.conftest import rows_as_dicts
+
+
+class TestParseRegex:
+    """ProcessorParseRegexNativeUnittest.cpp:154-228 fixture shapes."""
+
+    def test_basic_extract(self, text_df_factory):
+        df = text_df_factory(["value1\tvalue2", "value3value4"])
+        proc = ParseRegexNative(
+            SourceKey="content", Regex=r"(\w+)\t(\w+).*", Keys=["key1", "key2"]
+        )
+        rows = rows_as_dicts(proc(df))
+        # unmatched row dropped (keep_fail default false)
+        assert len(rows) == 1
+        assert rows[0]["key1"] == "value1" and rows[0]["key2"] == "value2"
+
+    def test_keep_fail_rename_raw_log(self, text_df_factory):
+        df = text_df_factory(["value1\tvalue2", "value3value4"])
+        proc = ParseRegexNative(
+            SourceKey="content",
+            Regex=r"(\w+)\t(\w+).*",
+            Keys=["key1", "key2"],
+            KeepingSourceWhenParseFail=True,
+            RenamedSourceKey="rawLog",
+            CopingRawLog=True,
+        )
+        rows = rows_as_dicts(proc(df))
+        assert len(rows) == 2
+        ok_row, fail_row = rows
+        assert ok_row["key1"] == "value1"
+        assert ok_row["rawLog"] is None  # keep_succeed default false
+        assert fail_row["key1"] is None
+        assert fail_row["rawLog"] == "value3value4"
+        assert fail_row["__raw_log__"] == "value3value4"
+
+    def test_keep_succeed(self, text_df_factory):
+        df = text_df_factory(["a\tb"])
+        proc = ParseRegexNative(
+            SourceKey="content",
+            Regex=r"(\w+)\t(\w+)",
+            Keys=["k1", "k2"],
+            KeepingSourceWhenParseSucceed=True,
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["content"] == "a\tb"
+
+    def test_whole_line_fast_path(self, text_df_factory):
+        df = text_df_factory(["anything at all"])
+        proc = ParseRegexNative(SourceKey="content", Regex="(.*)", Keys=["message"])
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["message"] == "anything at all"
+
+    def test_comma_joined_keys(self, text_df_factory):
+        """ProcessorParseRegexNative.cpp:86-88 single comma-joined key."""
+        df = text_df_factory(["x y"])
+        proc = ParseRegexNative(
+            SourceKey="content", Regex=r"(\w+) (\w+)", Keys=["a,b"]
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["a"] == "x" and rows[0]["b"] == "y"
+
+    def test_full_match_semantics(self, text_df_factory):
+        """boost::regex_match = full match: pattern without trailing .*
+        must NOT match a longer line."""
+        df = text_df_factory(["ab extra"])
+        proc = ParseRegexNative(SourceKey="content", Regex=r"(\w+)", Keys=["k"])
+        assert proc(df).count() == 0
+
+    def test_python_engine_parity(self, text_df_factory):
+        df = text_df_factory(["value1\tvalue2", "nope"])
+        proc = ParseRegexNative(
+            SourceKey="content",
+            Regex=r"(\w+)\t(\w+)",
+            Keys=["k1", "k2"],
+            Engine="python",
+        )
+        rows = rows_as_dicts(proc(df))
+        assert len(rows) == 1 and rows[0]["k1"] == "value1"
+
+
+class TestParseJson:
+    FIXTURE = '{"k1":"v1","k2":2,"k3":2.5,"k4":true,"k5":null,"k6":{"a":1},"k7":[1,2]}'
+
+    def test_native_value_stringification(self, text_df_factory):
+        """ProcessorParseJsonNative.cpp:379-403 exact stringification."""
+        df = text_df_factory([self.FIXTURE])
+        proc = ParseJsonNative(SourceKey="content", Engine="native")
+        rows = rows_as_dicts(proc(df))
+        m = rows[0]["parsed"]
+        assert m["k1"] == "v1"
+        assert m["k2"] == "2"
+        assert m["k3"] == "2.500000"
+        assert m["k4"] == "true"
+        assert m["k5"] == ""
+        assert m["k6"] == '{"a":1}'
+        assert m["k7"] == "[1,2]"
+
+    def test_native_keys_mode(self, text_df_factory):
+        df = text_df_factory([self.FIXTURE, "not json"])
+        proc = ParseJsonNative(
+            SourceKey="content", Keys=["k1", "k4", "missing"], Engine="native"
+        )
+        rows = rows_as_dicts(proc(df))
+        assert len(rows) == 1
+        assert rows[0]["k1"] == "v1"
+        assert rows[0]["k4"] == "true"
+        assert rows[0]["missing"] == ""
+
+    def test_jvm_mode(self, text_df_factory):
+        df = text_df_factory(['{"a":"x","b":1}', "[1,2]", "junk"])
+        proc = ParseJsonNative(SourceKey="content", Keys=["a", "b"])
+        rows = rows_as_dicts(proc(df))
+        assert len(rows) == 1  # array + junk rejected (top level must be object)
+        assert rows[0]["a"] == "x" and rows[0]["b"] == "1"
+
+    def test_fail_matrix(self, text_df_factory):
+        df = text_df_factory(["{broken"])
+        proc = ParseJsonNative(
+            SourceKey="content",
+            Keys=["a"],
+            KeepingSourceWhenParseFail=True,
+            RenamedSourceKey="rawLog",
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["rawLog"] == "{broken" and rows[0]["a"] is None
+
+
+class TestParseDelimiter:
+    def test_basic(self, text_df_factory):
+        df = text_df_factory(["127.0.0.1|POST|200"])
+        proc = ParseDelimiterNative(
+            SourceKey="content", Separator="|", Keys=["ip", "method", "status"]
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["ip"] == "127.0.0.1"
+        assert rows[0]["method"] == "POST"
+        assert rows[0]["status"] == "200"
+
+    def test_underflow(self, text_df_factory):
+        df = text_df_factory(["a|b"])
+        strict = ParseDelimiterNative(
+            SourceKey="content", Separator="|", Keys=["x", "y", "z"]
+        )
+        assert strict(df).count() == 0
+        lax = ParseDelimiterNative(
+            SourceKey="content",
+            Separator="|",
+            Keys=["x", "y", "z"],
+            AllowingShortenedFields=True,
+        )
+        rows = rows_as_dicts(lax(df))
+        assert rows[0]["x"] == "a" and rows[0]["y"] == "b" and rows[0]["z"] is None
+
+    def test_overflow_extend(self, text_df_factory):
+        """extra field at absolute index i → __column{i}__
+        (ProcessorParseDelimiterNative.cpp AddLog overflow path)."""
+        df = text_df_factory(["a|b|c|d|e"])
+        proc = ParseDelimiterNative(
+            SourceKey="content",
+            Separator="|",
+            Keys=["x", "y", "z"],
+            OverflowedFieldsTreatment="extend",
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["__column3__"] == "d"
+        assert rows[0]["__column4__"] == "e"
+
+    def test_overflow_keep(self, text_df_factory):
+        """rest (separator-prefixed, unsplit) → __column{nk}__
+        (SplitString early-exit .cpp:398-402)."""
+        df = text_df_factory(["a|b|c|d|e"])
+        proc = ParseDelimiterNative(
+            SourceKey="content",
+            Separator="|",
+            Keys=["x", "y", "z"],
+            OverflowedFieldsTreatment="keep",
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["__column3__"] == "|d|e"
+        assert "__column4__" not in rows[0]
+
+    def test_overflow_discard_and_partial(self, text_df_factory):
+        df = text_df_factory(["a|b|c|d|e"])
+        proc = ParseDelimiterNative(
+            SourceKey="content",
+            Separator="|",
+            Keys=["x", "_", "z"],
+            OverflowedFieldsTreatment="discard",
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["x"] == "a" and rows[0]["z"] == "c"
+        assert "_" not in rows[0] and "__column3__" not in rows[0]
+
+    def test_quote_fsm(self, text_df_factory):
+        df = text_df_factory(['"a|b"|c'])
+        proc = ParseDelimiterNative(
+            SourceKey="content", Separator="|", Quote='"', Keys=["x", "y"]
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["x"] == "a|b" and rows[0]["y"] == "c"
+
+    def test_multichar_separator(self, text_df_factory):
+        df = text_df_factory(["a&&b&&c"])
+        proc = ParseDelimiterNative(
+            SourceKey="content", Separator="&&", Keys=["x", "y", "z"]
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["y"] == "b"
+
+
+class TestParseApsara:
+    LINE = (
+        "[2024-01-05 12:13:14.123456]\t[WARNING]\t[1234]\t[/path/file.cpp:120]"
+        "\tkey1:value1\tkey2:value2"
+    )
+
+    def test_datetime_form(self, text_df_factory):
+        df = text_df_factory([self.LINE])
+        proc = ParseApsaraNative(SourceKey="content")
+        rows = rows_as_dicts(proc(df))
+        r = rows[0]
+        assert r["__LEVEL__"] == "WARNING"
+        assert r["__THREAD__"] == "1234"
+        assert r["__FILE__"] == "/path/file.cpp"
+        assert r["__LINE__"] == "120"
+        assert r["apsara_kv"]["key1"] == "value1"
+        assert r["apsara_kv"]["key2"] == "value2"
+        assert r["microtime"] == "1704456794123456"
+
+    def test_epoch_form(self, text_df_factory):
+        df = text_df_factory(["[1378882630]\t[INFO]\t[99]\t[f.cpp:1]\ta:b"])
+        proc = ParseApsaraNative(SourceKey="content")
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["microtime"] == "1378882630000000"
+
+    def test_value_with_colon(self, text_df_factory):
+        """First ':' is the separator; the value may contain more colons
+        (.cpp:220-221)."""
+        df = text_df_factory(["[1378882630]\t[INFO]\t[99]\t[f.cpp:1]\turl:http://x:8080"])
+        proc = ParseApsaraNative(SourceKey="content")
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["apsara_kv"]["url"] == "http://x:8080"
+
+
+class TestParseTimestamp:
+    def test_strptime(self, text_df_factory):
+        df = text_df_factory(["2024-01-05 12:13:14"])
+        proc = ParseTimestampNative(
+            SourceKey="content", SourceFormat="%Y-%m-%d %H:%M:%S", DestKey="t"
+        )
+        rows = rows_as_dicts(proc(df))
+        assert str(rows[0]["t"]) == "2024-01-05 12:13:14"
+
+    def test_epoch(self, text_df_factory):
+        df = text_df_factory(["1704456794"])
+        proc = ParseTimestampNative(SourceKey="content", SourceFormat="%s", DestKey="t")
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["t"] is not None
+
+    def test_bad_input_null_not_error(self, text_df_factory):
+        """ANSI-safe: unparseable time yields NULL, never a job abort."""
+        df = text_df_factory(["nonsense"])
+        proc = ParseTimestampNative(
+            SourceKey="content",
+            SourceFormat="%Y-%m-%d",
+            DestKey="t",
+            ErrorClassKey="ec",
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["t"] is None and rows[0]["ec"] == "time_parse_fail"
+
+
+class TestSplitKeyValue:
+    def test_basic(self, text_df_factory):
+        df = text_df_factory(["a=1&b=2&c=3"])
+        proc = SplitKeyValue(SourceKey="content", Delimiter="&", Separator="=")
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["kv"] == {"a": "1", "b": "2", "c": "3"}
