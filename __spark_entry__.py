@@ -300,6 +300,179 @@ def q_doc_token_stats(spark, sf_dir):
     )
 
 
+# -- text analysis / dedup / similarity / SPL / merge ------------------------
+
+def q_lang_id(spark, sf_dir):
+    from loongcollector_spark.functions import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def q_quality_signals(spark, sf_dir):
+    from loongcollector_spark.functions import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.quality_signals(docs)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("alpha_ratio"), 6).alias("alpha_ratio"),
+        F.round(F.col("mean_token_len"), 6).alias("mean_token_len"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from loongcollector_spark.functions import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("ws_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """xxhash64 fingerprint — engine-specific hash, rows-only check."""
+    from loongcollector_spark.functions import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", textstats.fingerprint64(F.col("text")).alias("fp64")
+    )
+
+
+def q_word_jaccard_pairs(spark, sf_dir):
+    """Word-level (k=1 shingle) Jaccard near-dup pairs with length-bucket
+    blocking — the exhaustively-verifiable dedup primitive."""
+    from loongcollector_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.ngram_jaccard_pairs(docs, shingle_k=1, min_jaccard=0.5)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("jaccard_sim"), 6).alias("jaccard_sim")
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates — xxhash64-based, rows-only check
+    (the Jaccard verification step is oracle-checked via
+    word_jaccard_pairs)."""
+    from loongcollector_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=8, min_jaccard=0.5
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for the first 5 vectors, double precision,
+    rounded + deterministically re-ranked for cross-engine equality."""
+    from pyspark.sql import Window
+    from loongcollector_spark.functions.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+    )
+    scored = emb.crossJoin(q).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "nid", "cosine_sim", "rank")
+    )
+
+
+def q_spl_pipeline(spark, sf_dir):
+    """SPL program through the compiler (SURVEY.md §2.8)."""
+    from loongcollector_spark.functions.spl import run_spl
+
+    t = _transcripts(spark, sf_dir)
+    out = run_spl(
+        t,
+        "* | where role = 'assistant' "
+        "| extend tool_uc = upper(tool), eq_pos = strpos(text, '=') "
+        "| project conv_id, turn_idx, tool_uc, eq_pos",
+    )[0]
+    return out
+
+
+def q_merge_conversation(spark, sf_dir):
+    """Multiline-merge machinery: collapse each conversation into one
+    blob ordered by turn_idx (merge window + collect_list —
+    ProcessorMergeMultilineLogNative analogue)."""
+    from loongcollector_spark.operators.splits import MergeMultilineLog
+
+    t = _transcripts(spark, sf_dir)
+    proc = MergeMultilineLog(
+        SourceKey="text",
+        StartPattern=r"$never^",  # nothing matches → whole conv merges
+        GroupKey="conv_id",
+        OrderKey="turn_idx",
+    )
+    out = proc(t)
+    return out.select(
+        "conv_id", F.col("text").alias("conv_blob"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
+def q_grok_delim(spark, sf_dir):
+    """Grok over the delimiter grammar rows (compiled pattern dispatch)."""
+    from loongcollector_spark.operators.grok import Grok
+
+    t = _transcripts(spark, sf_dir)
+    proc = Grok(
+        SourceKey="text",
+        Match=[r"%{IPV4:client_ip}\|%{WORD:verb}\|%{INT:code}"],
+        ErrorClassKey="grok_ec",
+    )
+    out = proc(t).filter(F.col("grok_ec") == "")
+    return out.select("conv_id", "turn_idx", "client_ip", "verb", "code")
+
+
+def q_split_explode(spark, sf_dir):
+    """split_log_string: one apsara row → one row per tab part."""
+    from loongcollector_spark.operators.splits import SplitLogString
+
+    t = _transcripts(spark, sf_dir).filter(F.col("text").startswith("["))
+    proc = SplitLogString(SourceKey="text", SplitSep="\t")
+    return proc(t).select(
+        "conv_id", "turn_idx", "part_idx", F.col("text").alias("part")
+    )
+
+
+def q_log_to_metric(spark, sf_dir):
+    """processor_log_to_sls_metric reshaping over events."""
+    from loongcollector_spark.operators.convert import LogToMetric
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = events.withColumn("metric_name_col", F.lit("event_value"))
+    proc = LogToMetric(
+        MetricLabelKeys=["event_type"],
+        MetricValues={"metric_name_col": "value"},
+        TimeKey="ts",
+    )
+    out = proc(df)
+    return out.select(
+        "metric_name",
+        F.try_element_at(F.col("labels"), F.lit("event_type")).alias("event_type"),
+        "value", "ts",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -330,6 +503,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shardhash_distribution": q_shardhash,
         "exact_dedup": q_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
+        "text_lang_id": q_lang_id,
+        "text_quality_signals": q_quality_signals,
+        "text_token_counts": q_token_counts,
+        "doc_fingerprint64": q_doc_fingerprint,
+        "dedup_word_jaccard_pairs": q_word_jaccard_pairs,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "similarity_cosine_topk": q_cosine_topk,
+        "spl_where_extend_project": q_spl_pipeline,
+        "merge_multiline_conversation": q_merge_conversation,
+        "grok_compiled_dispatch": q_grok_delim,
+        "split_log_string_explode": q_split_explode,
+        "log_to_metric_reshape": q_log_to_metric,
     }
 
 
@@ -478,6 +663,124 @@ SELECT md5(text) AS text_md5,
        min(doc_id) AS keep_doc_id,
        count(*) AS n_dupes
 FROM documents GROUP BY 1"""
+
+    # -- text analysis -----------------------------------------------------
+    from loongcollector_spark.functions.textstats import LANG_MARKERS
+
+    def _marker_list(lang):
+        return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n       ".join(
+        f"len(list_intersect(w, {_marker_list(lg)})) AS s_{lg}" for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs)
+    sql["text_lang_id"] = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, {score_cols} FROM toks
+)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'und' {case} END AS lang_guess
+FROM scored"""
+
+    sql["text_quality_signals"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+       round(length(text)
+             / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+           AS mean_token_len
+FROM documents"""
+
+    sql["text_token_counts"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS INT)
+           AS bpe_ish_tokens
+FROM documents"""
+
+    # doc_fingerprint64, dedup_minhash_lsh: engine-specific xxhash64 →
+    # rows-only (no oracle entry by design)
+
+    sql["dedup_word_jaccard_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(
+             trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+')) AS sh,
+         floor(log2(greatest(length(text), 1))) AS lb
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)
+           AS jaccard_sim
+FROM toks a JOIN toks b ON a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5"""
+
+    sql["similarity_cosine_topk"] = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         round(CASE WHEN sqrt(list_dot_product(e.v, e.v))
+                         * sqrt(list_dot_product(q.qv, q.qv)) > 0
+               THEN list_dot_product(e.v, q.qv)
+                    / (sqrt(list_dot_product(e.v, e.v))
+                       * sqrt(list_dot_product(q.qv, q.qv)))
+               ELSE 0.0 END, 6) AS cosine_sim
+  FROM emb e, q
+)
+SELECT qid, nid, cosine_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cosine_sim DESC, nid) AS rank
+  FROM scored
+) WHERE rank <= 3"""
+
+    sql["spl_where_extend_project"] = _T + """
+SELECT conv_id, turn_idx, upper(tool) AS tool_uc,
+       CAST(strpos(text, '=') AS INT) AS eq_pos
+FROM transcripts WHERE role = 'assistant'"""
+
+    sql["merge_multiline_conversation"] = _T + """
+SELECT conv_id,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS conv_blob,
+       count(*) AS n_merged
+FROM transcripts GROUP BY conv_id"""
+
+    from loongcollector_spark.operators.grok import (
+        DEFAULT_PATTERNS,
+        denormalize_pattern,
+    )
+
+    grok_rx, _ = denormalize_pattern(
+        r"%{IPV4:client_ip}\|%{WORD:verb}\|%{INT:code}", DEFAULT_PATTERNS
+    )
+    grok_rx = f"^(?:{grok_rx})$"
+    sql["grok_compiled_dispatch"] = _T + f"""
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '{grok_rx}', 1) AS client_ip,
+       regexp_extract(text, '{grok_rx}', 2) AS verb,
+       regexp_extract(text, '{grok_rx}', 3) AS code
+FROM transcripts WHERE regexp_matches(text, '{grok_rx}')"""
+
+    sql["split_log_string_explode"] = _T + """
+, parts AS (
+  SELECT conv_id, turn_idx, regexp_split_to_array(text, chr(9)) AS arr
+  FROM transcripts WHERE text LIKE '[%'
+)
+SELECT conv_id, turn_idx, CAST(u.i - 1 AS INT) AS part_idx, arr[u.i] AS part
+FROM parts, UNNEST(generate_series(1, len(arr))) AS u(i)"""
+
+    sql["log_to_metric_reshape"] = """
+SELECT 'event_value' AS metric_name, event_type, value, ts
+FROM events WHERE value IS NOT NULL"""
 
     sql["doc_token_stats"] = r"""
 WITH toks AS (

@@ -150,17 +150,19 @@ def simhash64(col: Column, shingle_k: int = 2) -> Column:
     sh = shingles(col, shingle_k)
     hashes = F.transform(sh, lambda s: F.xxhash64(s))
     n = F.size(sh)
+
+    def mask(b: int) -> int:
+        m = 1 << b
+        return m - (1 << 64) if m >= (1 << 63) else m  # two's complement long
+
+    def bit_set(m: int):
+        # one-arg lambda: a 2-arg lambda would receive (element, index)
+        return lambda h: h.bitwiseAND(F.lit(m).cast("long")) != 0
+
     bits = [
         F.when(
-            F.size(
-                F.filter(
-                    hashes,
-                    lambda h, b=b: h.bitwiseAND(F.lit(1).cast("long") << b) != 0,
-                )
-            )
-            * 2
-            > n,
-            F.lit(1).cast("long") << b,
+            F.size(F.filter(hashes, bit_set(mask(b)))) * 2 > n,
+            F.lit(mask(b)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         for b in range(64)
     ]

@@ -1,0 +1,477 @@
+"""SPL (SLS Processing Language) → Spark compiler.
+
+The reference embeds SPL, a Presto-like ``|``-piped dataflow language
+(executed by processor_spl — core/plugin/processor/ProcessorSPL.cpp:69-154;
+query corpus core/unittest/spl/spl.txt, semantic cases SplUnittest.cpp).
+Statement grammar (SplUnittest.cpp:559-571)::
+
+    .let name = <pipeline>;     -- bind a pipeline result
+    $name;                      -- emit a bound result as an output
+    * | cmd | cmd               -- anonymous single-output program
+
+Pipeline commands (SURVEY.md §2.8) map ~1:1 onto DataFrame ops:
+
+    where <boolexpr>            → df.filter
+    extend a = <expr>[, b=...]  → withColumn
+    project a, b [as c]         → select
+    project-away a, b           → drop
+    project-rename new=old      → withColumnRenamed
+    parse-regexp col, 'pat' as k1, k2   (incl. (?P<name>) groups)
+    parse-json [-prefix=] [-path=$.x] col
+    parse-csv [-quote=][-delim=][-strict] col as a, b
+    parse-kv [-delims=][-kv-sep=][-prefix=] col
+
+Scalar expressions ride Spark SQL's parser after a Presto→Spark
+function/ syntax translation (TRANSLATIONS below). ~95% of the SPL scalar
+library is a same-name Spark built-in; the rest are renames or small
+rewrites (strpos→instr, cardinality→size, 2-arg regexp_extract group
+default 0, ARRAY[..]→array(..), VARCHAR→STRING, ...).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# expression translation (Presto/SPL dialect → Spark SQL dialect)
+
+_SIMPLE_RENAMES = {
+    "codepoint": "ascii",
+    "cardinality": "size",
+    "json_extract_scalar": "get_json_object",
+    "json_extract": "get_json_object",
+    "to_unixtime": "unix_timestamp",
+    "week_of_year": "weekofyear",
+    "day_of_week": "dayofweek",
+    "day_of_year": "dayofyear",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "all_match": "forall",
+    "any_match": "exists",
+    "contains": "array_contains",
+    "zip": "arrays_zip",
+    "is_nan": "isnan",
+    "strpos": "instr",
+    "json_array_length": "json_array_length",
+    "bitwise_left_shift": "shiftleft",
+    "bitwise_shift_left": "shiftleft",
+    "bitwise_logical_shift_right": "shiftrightunsigned",
+    "bitwise_right_shift": "shiftrightunsigned",
+    "bitwise_arithmetic_shift_right": "shiftright",
+    "bitwise_right_shift_arithmetic": "shiftright",
+}
+
+_TYPE_RENAMES = {
+    "varchar": "string",
+    "varbinary": "binary",
+}
+
+
+def translate_expr(expr: str) -> str:
+    """Presto/SPL scalar expression → Spark SQL expression text."""
+    out = expr
+
+    # ARRAY[...] literals (non-nested, applied repeatedly for simple nesting)
+    for _ in range(3):
+        new = re.sub(r"(?i)\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", out)
+        if new == out:
+            break
+        out = new
+
+    # cast type names
+    def type_fix(m):
+        return f"as {_TYPE_RENAMES.get(m.group(1).lower(), m.group(1))}"
+
+    out = re.sub(r"(?i)\bas\s+(varchar|varbinary)\b", type_fix, out)
+
+    # sha256(x) → sha2(x, 256) etc (simple-arg only)
+    out = re.sub(r"(?i)\bsha(256|512)\s*\(", lambda m: f"sha2__{m.group(1)}(", out)
+
+    # 2-arg regexp_extract/_all: Presto group default is 0 (whole match),
+    # Spark's is 1 → make it explicit. Only rewrite when the call clearly
+    # has two comma-separated args at depth 0.
+    out = _fix_regexp_group_default(out)
+
+    # function renames (word boundary, not preceded by '.')
+    for a, b in _SIMPLE_RENAMES.items():
+        out = re.sub(rf"(?<![\w.]){a}\s*\(", b + "(", out)
+
+    # deferred sha2 marker
+    out = re.sub(r"sha2__(\d+)\(([^()]*)\)", r"sha2(\2, \1)", out)
+
+    # replace(a, b) (2-arg Presto remove) → replace(a, b, '')
+    out = _fix_two_arg_replace(out)
+
+    # date_add('unit', n, ts) → timestampadd(unit, n, ts); date_diff →
+    # timestampdiff(unit, a, b)
+    out = re.sub(
+        r"(?i)\bdate_add\s*\(\s*'(\w+)'\s*,",
+        lambda m: f"timestampadd({m.group(1)},",
+        out,
+    )
+    out = re.sub(
+        r"(?i)\bdate_diff\s*\(\s*'(\w+)'\s*,",
+        lambda m: f"timestampdiff({m.group(1)},",
+        out,
+    )
+
+    # date_parse(x, '%Y-%m-%d %H:%i:%S') → to_timestamp(x, 'yyyy-MM-dd HH:mm:ss')
+    def dp_fix(m):
+        fmt = m.group(1)
+        for a, b in [
+            ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"),
+            ("%i", "mm"), ("%S", "ss"), ("%s", "ss"), ("%f", "SSSSSS"),
+            ("%T", "HH:mm:ss"),
+        ]:
+            fmt = fmt.replace(a, b)
+        return f", '{fmt}')"
+
+    if re.search(r"(?i)\bdate_parse\s*\(", out):
+        out = re.sub(r"(?i)\bdate_parse\s*\(", "to_timestamp(", out)
+        out = re.sub(r",\s*'([^']*)'\s*\)", dp_fix, out)
+
+    # structural rewrites needing arg-aware handling
+    out = _rewrite_calls(out, "map", lambda a: (
+        f"map_from_arrays({', '.join(a)})" if len(a) == 2 else f"map({', '.join(a)})"
+    ))
+    out = _rewrite_calls(out, "json_parse", lambda a: f"({a[0]})")
+    out = _rewrite_calls(out, "json_format", lambda a: f"({a[0]})")
+    out = _rewrite_calls(out, "to_utf8", lambda a: f"cast({a[0]} as binary)")
+    out = _rewrite_calls(out, "from_utf8", lambda a: f"cast({a[0]} as string)")
+    out = _rewrite_calls(out, "truncate", lambda a: f"cast(cast({a[0]} as bigint) as double)")
+    out = _rewrite_calls(out, "bitwise_and", lambda a: f"({a[0]} & {a[1]})")
+    out = _rewrite_calls(out, "bitwise_or", lambda a: f"({a[0]} | {a[1]})")
+    out = _rewrite_calls(out, "bitwise_xor", lambda a: f"({a[0]} ^ {a[1]})")
+    out = _rewrite_calls(out, "bitwise_not", lambda a: f"(~{a[0]})")
+    out = _rewrite_calls(out, "bit_count", lambda a: f"bit_count({a[0]})")
+    out = _rewrite_calls(out, "instr", lambda a: (
+        f"instr({a[0]}, {a[1]})" if len(a) == 3 and a[2] == "1"
+        else f"instr({', '.join(a)})"
+    ))
+    out = _rewrite_calls(out, "strrpos", lambda a: (
+        f"if(instr({a[0]}, {a[1]}) = 0, 0, length({a[0]}) - "
+        f"instr(reverse({a[0]}), reverse({a[1]})) - length({a[1]}) + 2)"
+        if len(a) == 2 else f"strrpos({', '.join(a)})"
+    ))
+    out = _rewrite_calls(out, "url_extract_host", lambda a: f"parse_url({a[0]}, 'HOST')")
+    out = _rewrite_calls(out, "url_extract_path", lambda a: f"parse_url({a[0]}, 'PATH')")
+    out = _rewrite_calls(out, "url_extract_query", lambda a: f"parse_url({a[0]}, 'QUERY')")
+    out = _rewrite_calls(out, "url_extract_fragment", lambda a: f"parse_url({a[0]}, 'REF')")
+    out = _rewrite_calls(out, "url_extract_protocol", lambda a: f"parse_url({a[0]}, 'PROTOCOL')")
+    out = _rewrite_calls(
+        out, "url_extract_parameter",
+        lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+    )
+    out = _rewrite_calls(
+        out, "url_extract_port",
+        lambda a: f"cast(regexp_extract({a[0]}, '://[^/]*?:(\\d+)', 1) as bigint)",
+    )
+
+    # Presto string literals are standard (backslash is literal); Spark's
+    # SQL parser processes backslash escapes ('value_\d' → 'value_d').
+    # Double backslashes inside single-quoted literals to preserve bytes.
+    out = _escape_literal_backslashes(out)
+
+    return out
+
+
+def _escape_literal_backslashes(s: str) -> str:
+    parts, in_str, cur = [], False, []
+    for c in s:
+        if c == "'":
+            in_str = not in_str
+            cur.append(c)
+        elif c == "\\" and in_str:
+            cur.append("\\\\")
+        else:
+            cur.append(c)
+    return "".join(cur) if not parts else "".join(parts)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], False
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "'" :
+            in_str = not in_str
+            cur.append(c)
+        elif not in_str and c in "([":
+            depth += 1
+            cur.append(c)
+        elif not in_str and c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif not in_str and depth == 0 and c == sep:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _rewrite_calls(expr: str, fname: str, rewriter) -> str:
+    """Find fname( ... ) calls, split top-level args, apply rewriter(args)."""
+    out, i = [], 0
+    pat = re.compile(rf"(?<![\w.]){fname}\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(expr, i)
+        if not m:
+            out.append(expr[i:])
+            return "".join(out)
+        out.append(expr[i : m.start()])
+        # find matching close paren
+        depth, j, in_str = 1, m.end(), False
+        while j < len(expr) and depth:
+            c = expr[j]
+            if c == "'":
+                in_str = not in_str
+            elif not in_str and c == "(":
+                depth += 1
+            elif not in_str and c == ")":
+                depth -= 1
+            j += 1
+        inner = expr[m.end() : j - 1]
+        args = [a.strip() for a in _split_top_level(inner)]
+        out.append(rewriter(args))
+        i = j
+
+
+def _fix_regexp_group_default(expr: str) -> str:
+    def rw(name):
+        def fix(args):
+            if len(args) == 2:
+                args = args + ["0"]
+            return f"{name}({', '.join(args)})"
+
+        return fix
+
+    expr = _rewrite_calls(expr, "regexp_extract_all", rw("regexp_extract_all"))
+    # careful not to re-match regexp_extract_all
+    return _rewrite_calls(expr, "regexp_extract(?!_all)", rw("regexp_extract"))
+
+
+def _fix_two_arg_replace(expr: str) -> str:
+    def fix(args):
+        if len(args) == 2:
+            args = args + ["''"]
+        return f"replace({', '.join(args)})"
+
+    return _rewrite_calls(expr, "replace", fix)
+
+
+# ---------------------------------------------------------------------------
+# pipeline commands
+
+_NAMED_GROUP = re.compile(r"\(\?P?<(\w+)>")
+
+
+class SplError(ValueError):
+    pass
+
+
+def _cmd_where(df: DataFrame, body: str) -> DataFrame:
+    return df.filter(F.expr(translate_expr(body)))
+
+
+def _cmd_extend(df: DataFrame, body: str) -> DataFrame:
+    for assign in _split_top_level(body):
+        name, expr = assign.split("=", 1)
+        df = df.withColumn(name.strip(), F.expr(translate_expr(expr.strip())))
+    return df
+
+
+def _cmd_project(df: DataFrame, body: str) -> DataFrame:
+    cols = []
+    for item in _split_top_level(body):
+        item = item.strip()
+        m = re.match(r"(?i)^(.*?)\s+as\s+(\w+)$", item)
+        if m:
+            cols.append(F.expr(translate_expr(m.group(1))).alias(m.group(2)))
+        else:
+            cols.append(F.col(item.strip('"')))
+    return df.select(*cols)
+
+
+def _cmd_project_away(df: DataFrame, body: str) -> DataFrame:
+    return df.drop(*[c.strip().strip('"') for c in body.split(",")])
+
+
+def _cmd_project_rename(df: DataFrame, body: str) -> DataFrame:
+    # new=old pairs; names may be quoted ("__tag__:x"=a1 — SplUnittest.cpp:490)
+    for pair in _split_top_level(body):
+        new, old = pair.split("=", 1)
+        df = df.withColumnRenamed(old.strip().strip('"'), new.strip().strip('"'))
+    return df
+
+
+def _parse_flags(body: str) -> tuple[dict[str, str], str]:
+    flags = {}
+    rest = body.strip()
+    while rest.startswith("-"):
+        m = re.match(r"^-([\w-]+)(?:=('[^']*'|\S+))?\s*", rest)
+        if not m:
+            break
+        val = m.group(2)
+        if val is None:
+            val = "true"
+        elif val.startswith("'") and val.endswith("'"):
+            val = val[1:-1]
+        flags[m.group(1)] = val
+        rest = rest[m.end() :]
+    return flags, rest
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace(r"\x09", "\t").replace(r"\t", "\t").replace(r"\11", "\t")
+        .replace(r"\n", "\n")
+    )
+
+
+def _cmd_parse_regexp(df: DataFrame, body: str) -> DataFrame:
+    m = re.match(r"^\s*(\w+)\s*,\s*'([^']*)'\s*(?:as\s+(.*))?$", body, re.DOTALL)
+    if not m:
+        raise SplError(f"bad parse-regexp: {body!r}")
+    col, pattern, aliases = m.group(1), m.group(2), m.group(3)
+    names = _NAMED_GROUP.findall(pattern)
+    if names:
+        keys = names
+        pattern = _NAMED_GROUP.sub("(", pattern)
+    elif aliases:
+        keys = [a.strip() for a in aliases.split(",")]
+    else:
+        raise SplError("parse-regexp needs 'as' aliases or named groups")
+    for i, k in enumerate(keys):
+        df = df.withColumn(k, F.regexp_extract(F.col(col), pattern, i + 1))
+    return df
+
+
+def _cmd_parse_json(df: DataFrame, body: str) -> DataFrame:
+    flags, col = _parse_flags(body)
+    col = col.strip()
+    prefix = flags.get("prefix", "")
+    path = flags.get("path")
+    src = F.col(col)
+    if path:
+        src = F.get_json_object(src, path)
+    parsed = F.from_json(src, T.MapType(T.StringType(), T.StringType()))
+    if prefix:
+        parsed = F.transform_keys(parsed, lambda k, _: F.concat(F.lit(prefix), k))
+    return df.withColumn(f"{prefix}parsed" if prefix else "parsed", parsed)
+
+
+def _cmd_parse_csv(df: DataFrame, body: str) -> DataFrame:
+    flags, rest = _parse_flags(body)
+    m = re.match(r"^\s*(\w+)\s+as\s+(.*)$", rest)
+    if not m:
+        raise SplError(f"bad parse-csv: {rest!r}")
+    col, aliases = m.group(1), [a.strip() for a in m.group(2).split(",")]
+    delim = _unescape(flags.get("delim", ","))
+    # SPL parse-csv default is UNQUOTED (the corpus passes -quote='"'
+    # explicitly when quoting applies); empty string disables quoting.
+    quote = _unescape(flags["quote"]) if "quote" in flags else ""
+    strict = "strict" in flags
+    schema = ", ".join(f"`{k}` string" for k in aliases)
+    opts = {"sep": delim, "quote": quote, "mode": "PERMISSIVE"}
+    parsed = F.from_csv(F.col(col), F.lit(schema), opts)
+    for k in aliases:
+        df = df.withColumn(k, parsed[k])
+    if strict:
+        # strict: field count must equal alias count, else all-null
+        arr = F.split(F.col(col), re.escape(delim), -1)
+        ok = F.size(arr) == len(aliases)
+        for k in aliases:
+            df = df.withColumn(k, F.when(ok, F.col(k)))
+    return df
+
+
+def _cmd_parse_kv(df: DataFrame, body: str) -> DataFrame:
+    flags, col = _parse_flags(body)
+    col = col.strip()
+    delims = flags.get("delims", "&")
+    sep = flags.get("kv-sep", "=")
+    prefix = flags.get("prefix", "")
+    delim_rx = "[" + re.escape(delims) + "]"
+    parsed = F.str_to_map(F.col(col), F.lit(delim_rx), F.lit(re.escape(sep)))
+    if prefix:
+        parsed = F.transform_keys(parsed, lambda k, _: F.concat(F.lit(prefix), k))
+    return df.withColumn(f"{prefix}kv" if prefix else "kv", parsed)
+
+
+_COMMANDS = {
+    "where": _cmd_where,
+    "extend": _cmd_extend,
+    "project-away": _cmd_project_away,
+    "project-rename": _cmd_project_rename,
+    "project": _cmd_project,
+    "parse-regexp": _cmd_parse_regexp,
+    "parse-json": _cmd_parse_json,
+    "parse-csv": _cmd_parse_csv,
+    "parse-kv": _cmd_parse_kv,
+}
+
+
+# ---------------------------------------------------------------------------
+# program
+
+class SplProgram:
+    """Compiled SPL program: ``run(df)`` → list of output DataFrames.
+
+    Single anonymous pipeline → one output. ``.let``/``$ref`` statements →
+    one output per bare ``$name;`` emission (the multi-output branching
+    shape of ProcessorSPL.cpp:113-134)."""
+
+    def __init__(self, script: str):
+        self.script = script.strip()
+
+    def run(self, df: DataFrame) -> list[DataFrame]:
+        bindings: dict[str, DataFrame] = {}
+        outputs: list[DataFrame] = []
+        statements = [s.strip() for s in self.script.split(";") if s.strip()]
+        if len(statements) == 1 and not statements[0].startswith((".let", "$")):
+            return [self._pipeline(df, statements[0], bindings)]
+        for st in statements:
+            if st.startswith(".let"):
+                m = re.match(r"^\.let\s+(\w+)\s*=\s*(.*)$", st, re.DOTALL)
+                if not m:
+                    raise SplError(f"bad .let: {st!r}")
+                bindings[m.group(1)] = self._pipeline(df, m.group(2), bindings)
+            elif re.fullmatch(r"\$\w+", st):
+                outputs.append(bindings[st[1:]])
+            else:
+                outputs.append(self._pipeline(df, st, bindings))
+        return outputs
+
+    def _pipeline(self, df: DataFrame, text: str, bindings: dict) -> DataFrame:
+        stages = [s.strip() for s in _split_top_level(text, "|")]
+        src = stages[0]
+        if src.startswith("$"):
+            cur = bindings[src[1:]]
+        elif src in ("*", ""):
+            cur = df
+        else:
+            raise SplError(f"bad pipeline source: {src!r}")
+        for stage in stages[1:]:
+            if not stage:
+                continue
+            name_match = re.match(r"^([\w-]+)\s*(.*)$", stage, re.DOTALL)
+            cmd = name_match.group(1)
+            body = name_match.group(2)
+            fn = _COMMANDS.get(cmd)
+            if fn is None:
+                raise SplError(f"unsupported SPL command: {cmd!r}")
+            cur = fn(cur, body)
+        return cur
+
+
+def run_spl(df: DataFrame, script: str) -> list[DataFrame]:
+    return SplProgram(script).run(df)

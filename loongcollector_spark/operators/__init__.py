@@ -8,7 +8,7 @@ from loongcollector_spark.operators.base import (  # noqa: F401
     compile_pipeline,
     register,
 )
-from loongcollector_spark.operators import enrich, filters, parsers  # noqa: F401
+from loongcollector_spark.operators import convert, enrich, filters, parsers  # noqa: F401
 
 # Optional modules registered on import; keep soft so a partial checkout
 # still exposes the core set.

@@ -1,0 +1,187 @@
+"""Training-data ops: dedup, similarity, textstats, multimodal plumbing,
+checkpoint resume."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from loongcollector_spark.functions import dedup, similarity, textstats
+from loongcollector_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_finds_planted_dupes(self, spark):
+        rows = [(1, "hello world"), (2, "HELLO   world"), (3, "different doc")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.keep_id: r.n_dupes for r in dedup.exact_dedup(df).collect()}
+        # normalization: case + whitespace → rows 1,2 merge
+        assert out[1] == 2 and out[3] == 1
+
+    def test_minhash_lsh_finds_near_dupes(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tomorrow")
+        far = "completely unrelated text about spark pipelines and parquet files"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], "doc_id long, text string"
+        )
+        pairs = dedup.minhash_lsh_candidates(
+            df, min_jaccard=0.5, num_hashes=16, bands=8
+        ).collect()
+        found = {(r.id_a, r.id_b) for r in pairs}
+        assert (1, 2) in found
+        assert all(3 not in p for p in found)
+
+    def test_jaccard_exact_value(self, spark):
+        df = spark.createDataFrame([(1,)], "x int").select(
+            dedup.jaccard(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                F.array(F.lit("b"), F.lit("c"), F.lit("d")),
+            ).alias("j")
+        )
+        assert abs(df.collect()[0].j - 0.5) < 1e-9
+
+    def test_simhash_near_equals(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        near = base + "extra"
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, "zzz completely different www")],
+            "doc_id long, text string",
+        )
+        rows = df.select(
+            "doc_id", dedup.simhash64(F.col("text")).alias("sh")
+        ).collect()
+        sh = {r.doc_id: r.sh for r in rows}
+        ham12 = bin((sh[1] ^ sh[2]) & (2**64 - 1)).count("1")
+        ham13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+        assert ham12 < ham13
+
+    def test_ngram_jaccard_pairs(self, spark):
+        a = "one two three four five six seven eight"
+        b = "one two three four five six seven nine"
+        df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        pairs = dedup.ngram_jaccard_pairs(df, min_jaccard=0.3).collect()
+        assert len(pairs) == 1 and pairs[0].id_a == 1 and pairs[0].id_b == 2
+
+
+class TestSimilarity:
+    def test_brute_force_topk_self_is_top1(self, spark, embeddings):
+        queries = embeddings.limit(3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        out = similarity.brute_force_topk(embeddings, queries, k=3)
+        top1 = {r.qid: r.nid for r in out.filter(F.col("rank") == 1).collect()}
+        assert all(qid == nid for qid, nid in top1.items())
+
+    def test_cosine_value(self, spark):
+        df = spark.createDataFrame([(1,)], "x int").select(
+            similarity.cosine(
+                F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(1.0), F.lit(1.0))
+            ).alias("c")
+        )
+        assert abs(df.collect()[0].c - 1 / math.sqrt(2)) < 1e-9
+
+    def test_lsh_ann_recall_vs_brute_force(self, spark, embeddings):
+        queries = embeddings.limit(5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        exact = similarity.brute_force_topk(embeddings, queries, k=1)
+        approx = similarity.lsh_ann_topk(
+            embeddings, queries, dim=64, k=1, n_planes=6
+        )
+        # self-match survives bucketing (identical vector → identical sig)
+        a_top = {r.qid: r.nid for r in approx.filter("rank=1").collect()}
+        e_top = {r.qid: r.nid for r in exact.filter("rank=1").collect()}
+        assert a_top == e_top
+
+
+class TestTextStats:
+    def test_lang_id_markers(self, spark):
+        rows = [
+            (1, "the cat and the dog of the house is big"),
+            (2, "der hund und die katze ist hier"),
+            (3, "xyzzy qwerty asdf"),
+        ]
+        df = spark.createDataFrame(rows, "id int, text string")
+        out = {r.id: r.lang for r in df.select(
+            "id", textstats.lang_id(F.col("text")).alias("lang")
+        ).collect()}
+        assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+    def test_quality_signals(self, spark):
+        df = spark.createDataFrame([(1, "The quick brown fox.")], "id int, text string")
+        r = textstats.quality_signals(df).collect()[0]
+        assert r.n_tokens == 4
+        assert 0 < r.alpha_ratio < 1
+        assert r.punct_ratio > 0
+
+    def test_fingerprint_stability(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world")], "id int, text string"
+        )
+        rows = df.select(textstats.fingerprint64(F.col("text")).alias("f")).collect()
+        assert rows[0].f == rows[1].f  # normalization collapses case+ws
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = synthetic_media(spark, 20)
+        out = extract_features(media, deterministic_fake=True)
+        rows = out.collect()
+        assert len(rows) == 20
+        assert all(len(r.feature) == 8 and r.decode_ok for r in rows)
+        # deterministic: same id → same feature across runs
+        again = extract_features(synthetic_media(spark, 20)).collect()
+        assert {r.media_id: r.feature[0] for r in rows} == {
+            r.media_id: r.feature[0] for r in again
+        }
+
+    def test_decode_stub_raises_without_fake(self, spark):
+        media = synthetic_media(spark, 2)
+        out = extract_features(media, deterministic_fake=False)
+        with pytest.raises(Exception, match="NotImplementedError|decode"):
+            out.collect()
+
+    def test_frame_sample_plan(self, spark):
+        media = synthetic_media(spark, 30)
+        plan = frame_sample_plan(media, every_ms=10000)
+        rows = plan.collect()
+        assert all(r.media_type.startswith("video/") for r in rows)
+        assert all(r.frame_ms % 10000 == 0 for r in rows)
+
+
+class TestCheckpointResume:
+    def test_skip_committed_units(self, spark, tmp_path):
+        from loongcollector_spark.checkpoint import CheckpointTable, ResumableRunner
+
+        df = spark.createDataFrame(
+            [(f"conv{i}", i, "u1" if i < 3 else "u2", "t") for i in range(6)],
+            "conv_id string, turn_idx int, unit string, text string",
+        )
+        cp = CheckpointTable(spark, str(tmp_path / "cp"))
+        runner = ResumableRunner(spark, cp, str(tmp_path / "out"))
+        first = runner.run(df, transform=lambda d: {"s1": d})
+        assert sorted(first["s1"]) == ["u1", "u2"]
+        # second run: everything committed → nothing processed
+        second = runner.run(df, transform=lambda d: {"s1": d})
+        assert second == {}
+        lineage = cp.lineage().collect()
+        assert {(r.unit, r.rows_out) for r in lineage} == {("u1", 3), ("u2", 3)}
