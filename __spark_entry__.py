@@ -473,6 +473,21 @@ def q_log_to_metric(spark, sf_dir):
     )
 
 
+def q_range_lookup(spark, sf_dir):
+    """processor_geoip-style range lookup (bucketed broadcast join path)."""
+    from loongcollector_spark.operators.enrich import RangeLookup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = events.withColumn("v", F.floor(F.col("value")).cast("long"))
+    proc = RangeLookup(
+        SourceKey="v",
+        Ranges=[(0, 49, "small"), (50, 149, "medium"), (150, 1_000_000, "large")],
+        DestKey="size_class",
+        Bucket=64,
+    )
+    return proc(df).select("event_id", "v", "size_class")
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -515,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_compiled_dispatch": q_grok_delim,
         "split_log_string_explode": q_split_explode,
         "log_to_metric_reshape": q_log_to_metric,
+        "range_lookup_geoip": q_range_lookup,
     }
 
 
@@ -781,6 +797,14 @@ FROM parts, UNNEST(generate_series(1, len(arr))) AS u(i)"""
     sql["log_to_metric_reshape"] = """
 SELECT 'event_value' AS metric_name, event_type, value, ts
 FROM events WHERE value IS NOT NULL"""
+
+    sql["range_lookup_geoip"] = """
+SELECT event_id, CAST(floor(value) AS BIGINT) AS v,
+       CASE WHEN floor(value) BETWEEN 0 AND 49 THEN 'small'
+            WHEN floor(value) BETWEEN 50 AND 149 THEN 'medium'
+            WHEN floor(value) BETWEEN 150 AND 1000000 THEN 'large'
+       END AS size_class
+FROM events"""
 
     sql["doc_token_stats"] = r"""
 WITH toks AS (

@@ -397,6 +397,70 @@ class TagNative(Processor):
         return df
 
 
+@register("processor_geoip")
+class RangeLookup(Processor):
+    """Range-lookup enrichment — the generalized form of processor_geoip
+    (plugins/processor/geoip: ip → location via range database).
+
+    The lookup table has (range_start, range_end, *attr) rows; each event
+    value maps to the row whose [start, end] contains it. Physical plan:
+    **broadcast range join** — the dim table is small (a geo DB is ~10^5
+    rows), so Catalyst turns the non-equi join into BroadcastNestedLoop
+    with the range predicate; for larger dims, pre-bucket both sides on
+    ``floor(value / bucket)`` to get an equi-join key first (the classic
+    range-join optimization), which this implements when ``Bucket`` is set.
+    """
+
+    def __init__(
+        self,
+        SourceKey: str,
+        Ranges: list[tuple],  # (start, end, value)
+        DestKey: str = "range_class",
+        Bucket: int | None = None,
+    ) -> None:
+        self.source_key = SourceKey
+        self.ranges = Ranges
+        self.dest_key = DestKey
+        self.bucket = Bucket
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        spark = df.sparkSession
+        src = F.col(self.source_key)
+        if self.bucket:
+            # 1:1 equi-join on bucket id: each bucket row carries the
+            # ARRAY of ranges touching it (built driver-side — the dim is
+            # small), resolved per-row with a higher-order filter. No
+            # row duplication even when a bucket holds several ranges.
+            b = self.bucket
+            buckets: dict[int, list[tuple]] = {}
+            for lo, hi, val in self.ranges:
+                for bkt in range(int(lo // b), int(hi // b) + 1):
+                    buckets.setdefault(bkt, []).append((lo, hi, val))
+            dim = spark.createDataFrame(
+                [(k, v) for k, v in buckets.items()],
+                "__bkt__ long, __ranges__ array<struct<lo:long,hi:long,val:string>>",
+            )
+            joined = df.withColumn("__bkt__", F.floor(src / b)).join(
+                F.broadcast(dim), "__bkt__", "left"
+            )
+            hit = F.filter(
+                F.col("__ranges__"),
+                lambda r: (src >= r["lo"]) & (src <= r["hi"]),
+            )
+            out = joined.withColumn(
+                self.dest_key, F.try_element_at(hit, F.lit(1))["val"]
+            )
+            return out.drop("__bkt__", "__ranges__")
+        dim = spark.createDataFrame(self.ranges, ["__lo__", "__hi__", "__val__"])
+        joined = df.join(
+            F.broadcast(dim),
+            (src >= F.col("__lo__")) & (src <= F.col("__hi__")),
+            "left",
+        )
+        out = joined.withColumn(self.dest_key, F.col("__val__"))
+        return out.drop("__lo__", "__hi__", "__val__")
+
+
 @register("processor_default")
 class Default(Processor):
     """No-op passthrough (plugins/processor/defaultone)."""

@@ -1,0 +1,137 @@
+"""Sinks (flusher analogues) + serializers (SURVEY.md §2.5).
+
+The reference's flushers are network producers (SLS/Kafka/HTTP/...); in a
+Spark batch engine every sink is a table write. What carries over:
+
+* **serializer**: JSON one-object-per-event — group tags inlined,
+  ``__time__`` epoch field, then contents
+  (core/collection_pipeline/serializer/JsonSerializer.cpp:29-85)
+* **dynamic topic** (``%{content.field}`` of flusher_kafka_v2 —
+  plugins/flusher/kafkav2/flusher_kafka_v2.go:317-332, pkg/fmtstr/
+  format_topic.go:18) → ``partitionBy(topic_col)`` — one job writes every
+  topic directory, Spark's dynamic partition insert
+* **batcher flush thresholds** (MinCnt/MinSizeBytes —
+  core/collection_pipeline/batch/FlushStrategy.h:31-64) →
+  ``maxRecordsPerFile`` + AQE-coalesced partitions: output file sizing
+* **blackhole** (benchmark sink) → ``noop`` format
+* **exactly-once** → atomic directory commit (_SUCCESS) or Iceberg
+  snapshot when the runtime has it; plus the checkpoint table
+  (loongcollector_spark/checkpoint.py)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def json_serialize(
+    df: DataFrame,
+    time_col: str = "ts",
+    tag_cols: list[str] | None = None,
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Serialize rows to the reference's JSON event shape:
+    ``{"__time__": <epoch>, <tags...>, <contents...>}``
+    (JsonSerializer.cpp:29-85 inlines group tags + __time__ + contents).
+    Returns a 1-column DataFrame ``value: string`` — the shape any
+    byte-oriented sink (kafka, http) consumes."""
+    tag_cols = tag_cols or []
+    content_cols = content_cols or [
+        c for c in df.columns if c != time_col and c not in tag_cols
+    ]
+    fields = [
+        F.unix_timestamp(F.col(time_col)).alias("__time__"),
+        *[F.col(c) for c in tag_cols],
+        *[F.col(c) for c in content_cols],
+    ]
+    return df.select(F.to_json(F.struct(*fields)).alias("value"))
+
+
+def write_dynamic_topic(
+    df: DataFrame,
+    path: str,
+    topic_col: str = "__topic__",
+    fmt: str = "parquet",
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """flusher_kafka dynamic-topic analogue: rows fan out to per-topic
+    directories in ONE write job via ``partitionBy`` (dynamic partition
+    insert). The topic column is typically computed by the router
+    (Router.route_exclusive_tagged) or a fmtstr-style expression."""
+    (
+        df.write.format(fmt)
+        .mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(topic_col)
+        .save(path)
+    )
+
+
+def topic_fmtstr(template: str) -> Column:
+    """``%{content.field}``/``%{tag.field}`` topic templates
+    (pkg/fmtstr/format_topic.go:18) → a concat expression."""
+    import re
+
+    parts: list[Column] = []
+    pos = 0
+    for m in re.finditer(r"%\{(?:content|tag)\.([\w.]+)\}", template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        parts.append(F.col(m.group(1)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts) if parts else F.lit(template)
+
+
+class FileSink:
+    """flusher_file: serialized JSON rows to rotating files → here,
+    size-bounded json/parquet files (FlusherFile.h:31-48)."""
+
+    def __init__(self, path: str, fmt: str = "json", max_records_per_file: int = 500_000):
+        self.path = path
+        self.fmt = fmt
+        self.max_records = max_records_per_file
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        (
+            df.write.format(self.fmt)
+            .mode(mode)
+            .option("maxRecordsPerFile", self.max_records)
+            .save(self.path)
+        )
+
+
+class BlackholeSink:
+    """flusher_blackhole: full execution, discarded output (bench sink)."""
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        df.write.format("noop").mode(mode).save()
+
+
+def write_routed_sinks(
+    sinks: dict[str, DataFrame],
+    root: str,
+    fmt: str = "parquet",
+    order_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    max_records_per_file: int = 1_000_000,
+) -> dict[str, str]:
+    """Write every routed sink under ``root/<sink>`` with the stable
+    intra-conversation ordering invariant (sortWithinPartitions before
+    write — aggregator_context semantics). Returns sink → path."""
+    paths = {}
+    for name, df in sinks.items():
+        out = df
+        if all(c in df.columns for c in order_cols):
+            out = df.sortWithinPartitions(*order_cols)
+        path = f"{root}/{name}"
+        (
+            out.write.format(fmt)
+            .mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .save(path)
+        )
+        paths[name] = path
+    return paths
