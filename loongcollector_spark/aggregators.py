@@ -138,6 +138,44 @@ def sink_metrics(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+    salt_col: str = "__salt__",
+) -> DataFrame:
+    """Two-phase aggregation with key salting for hot-key skew.
+
+    A plain ``groupBy(conv_id).agg(...)`` sends ALL rows of the hot
+    conversation (20%+ of the table in our skew model) to ONE reducer.
+    Salting splits each key into ``salt_buckets`` sub-keys for the first
+    (wide) aggregation, then combines the small per-key partials — the
+    explicit version of what the reference sidesteps via shard hashing
+    (aggregator_shardhash.go:158-162) and what AQE skew handling does for
+    joins but NOT for aggregations.
+
+    ``aggs``: output_col → "count" | "sum:<col>" | "max:<col>" | "min:<col>"
+    (the re-aggregatable functions; avg = sum+count at the call site).
+    Exact results — both phases are algebraic.
+    """
+    salted = df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    phase1_aggs, phase2_aggs = [], []
+    for out, spec in aggs.items():
+        if spec == "count":
+            phase1_aggs.append(F.count(F.lit(1)).alias(out))
+            phase2_aggs.append(F.sum(out).alias(out))
+        else:
+            fn, col = spec.split(":", 1)
+            phase1_aggs.append(getattr(F, fn)(F.col(col)).alias(out))
+            combine = F.sum if fn == "sum" else (F.max if fn == "max" else F.min)
+            phase2_aggs.append(combine(out).alias(out))
+    partial = salted.groupBy(*keys, salt_col).agg(*phase1_aggs)
+    return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
 def sink_metrics_flat(
     df: DataFrame,
     sink_name: str,

@@ -117,17 +117,22 @@ class ResumableRunner:
         ``transform(df_unit) -> dict[sink, DataFrame]`` is applied per
         remaining unit. Returns {sink: [units processed]}.
         """
+        from pyspark.sql import Observation
+
         run_id = run_id or uuid.uuid4().hex[:12]
         units = [
             r.u
             for r in df.select(F.col(self.unit_col).alias("u")).distinct().collect()
         ]
+        committed: dict[str, set[str]] = {}
         processed: dict[str, list[str]] = {}
         for unit in sorted(units):
             unit_df = df.filter(F.col(self.unit_col) == unit)
             outs = transform(unit_df) if transform else {"default": unit_df}
             for sink, out in outs.items():
-                if unit in self.checkpoint.committed_units(sink):
+                if sink not in committed:
+                    committed[sink] = self.checkpoint.committed_units(sink)
+                if str(unit) in committed[sink]:
                     continue
                 path = f"{self.output_root}/{sink}/unit={unit}"
                 out = out.withColumn(
@@ -139,18 +144,20 @@ class ResumableRunner:
                         F.spark_partition_id().cast("string"),
                     ),
                 )
+                # stats ride the write action itself (no second scan)
+                obs = Observation(f"{sink}:{unit}")
+                aggs = [F.count(F.lit(1)).alias("n")]
+                if "text" in out.columns:
+                    aggs.append(
+                        F.coalesce(
+                            F.sum(F.octet_length(F.col("text"))), F.lit(0)
+                        ).alias("b")
+                    )
+                out = out.observe(obs, *aggs)
                 out.write.mode("overwrite").parquet(path)
-                written = self.spark.read.parquet(path)
-                stats = written.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.coalesce(
-                        F.sum(F.octet_length(F.col("text"))), F.lit(0)
-                    ).alias("b")
-                    if "text" in written.columns
-                    else F.lit(0).alias("b"),
-                ).collect()[0]
+                stats = obs.get
                 self.checkpoint.commit(
-                    run_id, unit, sink, stats["n"], stats["b"]
+                    run_id, str(unit), sink, stats["n"], stats.get("b", 0)
                 )
-                processed.setdefault(sink, []).append(unit)
+                processed.setdefault(sink, []).append(str(unit))
         return processed

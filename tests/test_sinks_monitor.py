@@ -188,3 +188,23 @@ class TestStreaming:
             "SELECT role, count(*) AS n FROM lc_rl_stream GROUP BY role"
         ).collect()
         assert counts and all(r.n <= 5 for r in counts)
+
+
+class TestSaltedAgg:
+    def test_salted_equals_plain(self, spark, transcripts):
+        from loongcollector_spark.aggregators import salted_agg
+
+        salted = salted_agg(
+            transcripts,
+            ["conv_id"],
+            {"n_rows": "count", "total_bytes": "sum:turn_idx", "max_turn": "max:turn_idx"},
+            salt_buckets=8,
+        )
+        plain = transcripts.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("turn_idx").alias("total_bytes"),
+            F.max("turn_idx").alias("max_turn"),
+        )
+        a = {r.conv_id: (r.n_rows, r.total_bytes, r.max_turn) for r in salted.collect()}
+        b = {r.conv_id: (r.n_rows, r.total_bytes, r.max_turn) for r in plain.collect()}
+        assert a == b
