@@ -421,6 +421,7 @@ def q_merge_conversation(spark, sf_dir):
         StartPattern=r"$never^",  # nothing matches → whole conv merges
         GroupKey="conv_id",
         OrderKey="turn_idx",
+        UnmatchedContentTreatment="merge",
     )
     out = proc(t)
     return out.select(
@@ -488,6 +489,157 @@ def q_range_lookup(spark, sf_dir):
     return proc(df).select("event_id", "v", "size_class")
 
 
+def q_split_char(spark, sf_dir):
+    from loongcollector_spark.operators.splits import SplitChar
+
+    df = _transcripts(spark, sf_dir).filter(F.col("text").rlike(PAT_DELIM))
+    proc = SplitChar(
+        SourceKey="text", SplitSep="|", SplitKeys=["f_ip", "f_verb"],
+        PreserveOthers=True,
+    )
+    return proc(df).select(
+        "conv_id", "turn_idx", "f_ip", "f_verb", "_split_preserve_"
+    )
+
+
+def q_string_replace(spark, sf_dir):
+    from loongcollector_spark.operators.enrich import StringReplace
+
+    proc = StringReplace(
+        SourceKey="text", Method="const", Match="etype=",
+        ReplaceString="event:", DestKey="replaced",
+    )
+    return proc(_transcripts(spark, sf_dir)).select("conv_id", "turn_idx", "replaced")
+
+
+def q_appender(spark, sf_dir):
+    from loongcollector_spark.operators.enrich import Appender
+
+    df = _transcripts(spark, sf_dir)
+    proc = Appender(Key="role", Value="-suffixed", Delimiter="")
+    return proc(df).select("conv_id", "turn_idx", F.col("role").alias("role_appended"))
+
+
+def q_fields_with_condition(spark, sf_dir):
+    from loongcollector_spark.operators.enrich import FieldsWithCondition
+
+    proc = FieldsWithCondition(
+        Switch=[
+            {
+                "Case": {"RelationOperator": "equals",
+                         "FieldConditions": {"role": "tool"}},
+                "AddFields": {"priority": "high"},
+            },
+            {
+                "Case": {"RelationOperator": "startwith",
+                         "FieldConditions": {"tool": "s"}},
+                "AddFields": {"priority": "medium"},
+            },
+        ]
+    )
+    return proc(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "tool", "priority"
+    )
+
+
+def q_base64_roundtrip(spark, sf_dir):
+    from loongcollector_spark.operators.enrich import Base64Decode, Base64Encode
+
+    df = _transcripts(spark, sf_dir)
+    enc = Base64Encode(SourceKey="text", NewKey="b64")
+    dec = Base64Decode(SourceKey="b64", NewKey="back")
+    out = dec(enc(df))
+    # Spark's base64 MIME-chunks at 76 chars (\r\n); normalize for the
+    # cross-engine compare (unbase64 accepts both forms).
+    return out.select(
+        "conv_id", "turn_idx",
+        F.regexp_replace(F.col("b64"), "\r\n", "").alias("b64"),
+        "back",
+    )
+
+
+def q_timestamp_strptime(spark, sf_dir):
+    from loongcollector_spark.operators.parsers import ParseTimestampNative
+
+    df = _transcripts(spark, sf_dir).withColumn(
+        "ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    proc = ParseTimestampNative(
+        SourceKey="ts_str", SourceFormat="%Y-%m-%d %H:%M:%S", DestKey="ts_parsed"
+    )
+    return proc(df).select("conv_id", "turn_idx", "ts_parsed")
+
+
+def q_csv_expand(spark, sf_dir):
+    from loongcollector_spark.operators.convert import CsvParse
+
+    df = _transcripts(spark, sf_dir).filter(F.col("text").rlike(PAT_DELIM))
+    proc = CsvParse(
+        SourceKey="text", SplitKeys=["c_ip"], SplitSep="|",
+        ExpandOthers=True, ExpandKeyPrefix="ex_", ExpandMax=2,
+    )
+    return proc(df).select("conv_id", "turn_idx", "c_ip", "ex_1", "ex_2")
+
+
+def q_anchor(spark, sf_dir):
+    from loongcollector_spark.operators.convert import Anchor
+
+    df = _transcripts(spark, sf_dir).filter(F.col("text").startswith("user="))
+    proc = Anchor(
+        SourceKey="text",
+        Anchors=[{"Start": "etype=", "Stop": "&", "FieldName": "anchored_etype"}],
+    )
+    return proc(df).select("conv_id", "turn_idx", "anchored_etype")
+
+
+def q_json_expand_map(spark, sf_dir):
+    from loongcollector_spark.operators.convert import JsonExpand
+
+    df = _transcripts(spark, sf_dir).filter(F.col("text").startswith("{"))
+    proc = JsonExpand(SourceKey="text", ExpandConnector="_", DestKey="xp")
+    out = proc(df)
+    return out.select(
+        "conv_id", "turn_idx",
+        F.try_element_at(F.col("xp"), F.lit("user")).alias("xp_user"),
+        F.try_element_at(F.col("xp"), F.lit("k")).alias("xp_k"),
+    )
+
+
+def q_exclusive_tagged_route(spark, sf_dir):
+    """Single-pass router: first matching route tags the row (the
+    partitionBy-write strategy for disjoint sinks)."""
+    p = tp.TranscriptPipeline()
+    enriched = p.enrich(p.parse(_transcripts(spark, sf_dir)))
+    tagged = p.router.route_exclusive_tagged(enriched)
+    return tagged.select("conv_id", "turn_idx", F.col("__sink__").alias("sink"))
+
+
+def q_logstore_router(spark, sf_dir):
+    from loongcollector_spark.routing import LogstoreRouter
+
+    router = LogstoreRouter(
+        source_key="text",
+        router_regex=[r"^\{", r"\|ERROR\|"],
+        router_logstore=["json_store", "error_store"],
+        default_logstore="default_store",
+    )
+    out = router(_transcripts(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", F.col("__logstore__").alias("logstore"))
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation == plain group aggregation."""
+    from loongcollector_spark.aggregators import salted_agg
+
+    t = _transcripts(spark, sf_dir)
+    out = salted_agg(
+        t, ["conv_id"],
+        {"n_rows": "count", "max_turn": "max:turn_idx"},
+        salt_buckets=8,
+    )
+    return out.select("conv_id", "n_rows", F.col("max_turn").cast("int").alias("max_turn"))
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -531,6 +683,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_log_string_explode": q_split_explode,
         "log_to_metric_reshape": q_log_to_metric,
         "range_lookup_geoip": q_range_lookup,
+        "split_char_fields": q_split_char,
+        "string_replace_const": q_string_replace,
+        "appender_template": q_appender,
+        "fields_with_condition_case": q_fields_with_condition,
+        "base64_roundtrip": q_base64_roundtrip,
+        "timestamp_strptime": q_timestamp_strptime,
+        "csv_expand_others": q_csv_expand,
+        "anchor_extract": q_anchor,
+        "json_expand_flatten": q_json_expand_map,
+        "route_exclusive_tagged": q_exclusive_tagged_route,
+        "logstore_router_regex": q_logstore_router,
+        "salted_agg_skew": q_salted_agg,
     }
 
 
@@ -797,6 +961,76 @@ FROM parts, UNNEST(generate_series(1, len(arr))) AS u(i)"""
     sql["log_to_metric_reshape"] = """
 SELECT 'event_value' AS metric_name, event_type, value, ts
 FROM events WHERE value IS NOT NULL"""
+
+    sql["split_char_fields"] = _T + f"""
+SELECT conv_id, turn_idx,
+       string_split(text, '|')[1] AS f_ip,
+       string_split(text, '|')[2] AS f_verb,
+       string_split(text, '|')[3] AS _split_preserve_
+FROM transcripts WHERE regexp_matches(text, '{PAT_DELIM}')"""
+
+    sql["string_replace_const"] = _T + """
+SELECT conv_id, turn_idx, replace(text, 'etype=', 'event:') AS replaced
+FROM transcripts"""
+
+    sql["appender_template"] = _T + """
+SELECT conv_id, turn_idx, concat(role, '-suffixed') AS role_appended
+FROM transcripts"""
+
+    sql["fields_with_condition_case"] = _T + """
+SELECT conv_id, turn_idx, role, tool,
+       CASE WHEN role = 'tool' THEN 'high'
+            WHEN tool LIKE 's%' THEN 'medium' END AS priority
+FROM transcripts"""
+
+    sql["base64_roundtrip"] = _T + """
+SELECT conv_id, turn_idx,
+       base64(CAST(text AS BLOB)) AS b64,
+       text AS back
+FROM transcripts"""
+
+    sql["timestamp_strptime"] = _T + """
+SELECT conv_id, turn_idx, date_trunc('second', ts) AS ts_parsed
+FROM transcripts"""
+
+    sql["csv_expand_others"] = _T + f"""
+SELECT conv_id, turn_idx,
+       string_split(text, '|')[1] AS c_ip,
+       string_split(text, '|')[2] AS ex_1,
+       string_split(text, '|')[3] AS ex_2
+FROM transcripts WHERE regexp_matches(text, '{PAT_DELIM}')"""
+
+    sql["anchor_extract"] = _T + r"""
+SELECT conv_id, turn_idx,
+       regexp_extract(text, 'etype=([^&]*)', 1) AS anchored_etype
+FROM transcripts WHERE text LIKE 'user=%'"""
+
+    sql["json_expand_flatten"] = _T + """
+SELECT conv_id, turn_idx,
+       json_extract_string(text, '$.user') AS xp_user,
+       json_extract_string(text, '$.k') AS xp_k
+FROM transcripts WHERE text LIKE '{%'"""
+
+    sql["route_exclusive_tagged"] = (
+        tp.oracle_enriched_sql()
+        + """
+SELECT conv_id, turn_idx,
+       CASE WHEN role_class = 'model' THEN 'sink_model'
+            WHEN error_class <> '' THEN 'sink_errors'
+            ELSE 'sink_all' END AS sink
+FROM enriched"""
+    )
+
+    sql["logstore_router_regex"] = _T + r"""
+SELECT conv_id, turn_idx,
+       CASE WHEN regexp_matches(text, '^\{') THEN 'json_store'
+            WHEN regexp_matches(text, '\|ERROR\|') THEN 'error_store'
+            ELSE 'default_store' END AS logstore
+FROM transcripts"""
+
+    sql["salted_agg_skew"] = _T + """
+SELECT conv_id, count(*) AS n_rows, CAST(max(turn_idx) AS INT) AS max_turn
+FROM transcripts GROUP BY conv_id"""
 
     sql["range_lookup_geoip"] = """
 SELECT event_id, CAST(floor(value) AS BIGINT) AS v,

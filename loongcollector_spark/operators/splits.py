@@ -199,9 +199,23 @@ class MergeMultilineLog(Processor):
         df = df.withColumn("__lc_evt__", F.sum(is_start.cast("int")).over(w))
         if self.unmatched == "discard":
             df = df.filter(F.col("__lc_evt__") > 0)
-        # leading unmatched rows share __lc_evt__ == 0 → merged as one
-        # event when 'single_line'... the reference emits each separately;
-        # we mark them so callers can split if needed.
+        elif self.unmatched == "merge":
+            # engine extension: leading unmatched rows merge into one
+            # event (used e.g. to collapse a whole group when no start
+            # marker exists) — not a reference treatment
+            pass
+        else:
+            # 'single_line': leading unmatched rows (before any start
+            # marker, __lc_evt__ == 0) are emitted as their OWN events —
+            # give each a distinct negative event id keyed by order
+            # (ProcessorMergeMultilineLogNative unmatched handling).
+            df = df.withColumn(
+                "__lc_evt__",
+                F.when(
+                    F.col("__lc_evt__") == 0,
+                    -(F.col(self.order_key).cast("long") + F.lit(1)),
+                ).otherwise(F.col("__lc_evt__")),
+            )
         merged = (
             df.groupBy(self.group_key, "__lc_evt__")
             .agg(

@@ -161,3 +161,42 @@ class TestSplits:
         assert out[0]["n_merged"] == 2
         assert out[1]["content"] == "2024-01-02 second"
         assert out[2]["content"] == "2024-03-03 other"
+
+    def test_merge_multiline_leading_unmatched_single_line(self, spark):
+        """Leading unmatched rows are emitted individually, not merged
+        (reference 'single_line' unmatched treatment)."""
+        rows = [
+            ("f1", 0, "orphan line A"),
+            ("f1", 1, "orphan line B"),
+            ("f1", 2, "2024-01-01 start"),
+            ("f1", 3, "  cont"),
+        ]
+        df = spark.createDataFrame(rows, "src string, off int, content string")
+        proc = MergeMultilineLog(
+            SourceKey="content",
+            StartPattern=r"\d{4}-\d{2}-\d{2}",
+            GroupKey="src",
+            OrderKey="off",
+        )
+        out = rows_as_dicts(proc(df), order_by=("off",))
+        assert [r["content"] for r in out] == [
+            "orphan line A",
+            "orphan line B",
+            "2024-01-01 start\n  cont",
+        ]
+
+    def test_merge_multiline_discard_unmatched(self, spark):
+        rows = [
+            ("f1", 0, "orphan"),
+            ("f1", 1, "2024-01-01 start"),
+        ]
+        df = spark.createDataFrame(rows, "src string, off int, content string")
+        proc = MergeMultilineLog(
+            SourceKey="content",
+            StartPattern=r"\d{4}-\d{2}-\d{2}",
+            GroupKey="src",
+            OrderKey="off",
+            UnmatchedContentTreatment="discard",
+        )
+        out = rows_as_dicts(proc(df), order_by=("off",))
+        assert [r["content"] for r in out] == ["2024-01-01 start"]
