@@ -605,6 +605,24 @@ def q_json_expand_map(spark, sf_dir):
     )
 
 
+def q_multicast_exploded(spark, sf_dir):
+    """Single-pass exploded multicast: one row per (turn, matching sink) —
+    the preferred physical routing at scale (one scan, one write)."""
+    p = tp.TranscriptPipeline()
+    routed = p.run_single_pass(_transcripts(spark, sf_dir))
+    return routed.select("conv_id", "turn_idx", F.col("__sink__").alias("sink"))
+
+
+def q_metrics_single_pass(spark, sf_dir):
+    """Per-sink aggregates computed in ONE aggregation off the exploded
+    frame — must equal the per-sink cached-fan-out metrics."""
+    p = tp.TranscriptPipeline()
+    routed = p.run_single_pass(_transcripts(spark, sf_dir))
+    return p.metrics_single_pass(routed).select(
+        "conv_prefix", "ts_hour", "error_class", "n_rows", "n_bytes", "sink"
+    )
+
+
 def q_exclusive_tagged_route(spark, sf_dir):
     """Single-pass router: first matching route tags the row (the
     partitionBy-write strategy for disjoint sinks)."""
@@ -692,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_expand_others": q_csv_expand,
         "anchor_extract": q_anchor,
         "json_expand_flatten": q_json_expand_map,
+        "route_multicast_exploded": q_multicast_exploded,
+        "pipeline_metrics_single_pass": q_metrics_single_pass,
         "route_exclusive_tagged": q_exclusive_tagged_route,
         "logstore_router_regex": q_logstore_router,
         "salted_agg_skew": q_salted_agg,
@@ -1010,6 +1030,21 @@ SELECT conv_id, turn_idx,
        json_extract_string(text, '$.user') AS xp_user,
        json_extract_string(text, '$.k') AS xp_k
 FROM transcripts WHERE text LIKE '{%'"""
+
+    parts = []
+    for sink, where in [
+        ("sink_model", "role_class = 'model'"),
+        ("sink_errors", "error_class <> ''"),
+        ("sink_all", "TRUE"),
+    ]:
+        parts.append(
+            f"SELECT conv_id, turn_idx, '{sink}' AS sink FROM enriched WHERE {where}"
+        )
+    sql["route_multicast_exploded"] = tp.oracle_enriched_sql() + " UNION ALL ".join(
+        parts
+    )
+
+    sql["pipeline_metrics_single_pass"] = tp.oracle_metrics_sql()
 
     sql["route_exclusive_tagged"] = (
         tp.oracle_enriched_sql()

@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--unit-expr", default="date_format(ts, 'yyyy-MM-dd')",
                     help="SQL expr defining the resume unit (partition) of each row")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--single-pass", action="store_true",
+                    help="exploded-multicast single write partitioned by sink")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -62,7 +64,26 @@ def main(argv: list[str] | None = None) -> int:
     mon = StageMonitor()
     t0 = time.time()
 
-    if args.checkpoint:
+    if args.single_pass:
+        from loongcollector_spark.sinks.writers import write_dynamic_topic
+
+        routed = mon.observe(
+            pipe.run_single_pass(transcripts), "routed",
+            error_class_col="error_class",
+        ).sortWithinPartitions("conv_id", "turn_idx")
+        write_dynamic_topic(routed, f"{args.output}/routed", topic_col="__sink__")
+        pipe.metrics_single_pass(pipe.run_single_pass(transcripts)).write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/__metrics__")
+        summary = {
+            "mode": "single_pass",
+            "output": f"{args.output}/routed",
+            "stage_metrics": {
+                k: {m: int(v) for m, v in d.items()}
+                for k, d in mon.results().items()
+            },
+        }
+    elif args.checkpoint:
         from loongcollector_spark.checkpoint import CheckpointTable, ResumableRunner
 
         cp = CheckpointTable(spark, args.checkpoint)

@@ -433,7 +433,39 @@ class SplProgram:
     def __init__(self, script: str):
         self.script = script.strip()
 
+    @staticmethod
+    def _ensure_udfs(spark) -> None:
+        """Register the SPL scalar functions that have no Spark builtin
+        (hmac_*) as Arrow-batched pandas UDFs, once per session."""
+        if getattr(spark, "_lc_spl_udfs_registered", False):
+            return
+        import hashlib
+        import hmac as hmac_mod
+
+        def make(alg):
+            @F.pandas_udf("binary")
+            def f(data, key):
+                import pandas as pd
+
+                return pd.Series(
+                    [
+                        None
+                        if d is None or k is None
+                        else hmac_mod.new(
+                            bytes(k), bytes(d), getattr(hashlib, alg)
+                        ).digest()
+                        for d, k in zip(data, key)
+                    ]
+                )
+
+            return f
+
+        for alg in ("md5", "sha1", "sha256", "sha512"):
+            spark.udf.register(f"hmac_{alg}", make(alg))
+        spark._lc_spl_udfs_registered = True
+
     def run(self, df: DataFrame) -> list[DataFrame]:
+        self._ensure_udfs(df.sparkSession)
         bindings: dict[str, DataFrame] = {}
         outputs: list[DataFrame] = []
         statements = [s.strip() for s in self.script.split(";") if s.strip()]

@@ -226,6 +226,35 @@ class TranscriptPipeline:
     def run_on_events(self, spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         return self.run(transcripts_from_events(spark, sf_dir))
 
+    # -- single-pass physical strategy ------------------------------------
+    def run_single_pass(self, transcripts: DataFrame) -> DataFrame:
+        """One-scan multicast: returns the exploded routed frame
+        (one row per (turn, matching sink), ``__sink__`` column). Row sets
+        per sink are identical to ``run()``'s; physically this is a single
+        codegen stage feeding one (partitioned) write — no cache, no
+        repeated scans. Preferred at scale when sinks share a format."""
+        enriched = self.enrich(self.parse(transcripts))
+        return self.router.route_multicast_exploded(enriched)
+
+    def metrics_single_pass(self, routed: DataFrame) -> DataFrame:
+        """Per-sink aggregates off the exploded frame — one aggregation
+        for ALL sinks (bounded keys: sink × conv_prefix × hour)."""
+        return (
+            routed.groupBy(
+                F.col("__sink__").alias("sink"),
+                F.substring(F.col("conv_id"), 1, self.conv_prefix_len).alias(
+                    "conv_prefix"
+                ),
+                F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+                F.coalesce(F.col("error_class"), F.lit("")).alias("error_class"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.octet_length(F.col("text"))).alias("n_bytes"),
+            )
+            .select("conv_prefix", "ts_hour", "error_class", "n_rows", "n_bytes", "sink")
+        )
+
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL — independent recomputation of each stage for the

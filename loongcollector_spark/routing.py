@@ -86,6 +86,28 @@ class Router:
                 out[r.name] = sink_df
         return out
 
+    def route_multicast_exploded(self, df: DataFrame, dest_col: str = "__sink__") -> DataFrame:
+        """Single-pass MULTICAST: one row per (row, matching sink), via an
+        exploded array of matched sink names. Physically superior to the
+        cached-parent fan-out when sinks share a format: one scan, no
+        cache materialization, one (partitioned) write — the multicast
+        amplification (rows × avg match count) happens inside the same
+        codegen stage. Row sets per sink are identical to ``route``."""
+        matched = F.array(
+            *[
+                F.when(
+                    F.lit(True)
+                    if r.condition is None
+                    else r.condition.predicate(),
+                    F.lit(r.name),
+                )
+                for r in self.routes
+            ]
+        )
+        return df.withColumn(
+            dest_col, F.explode(F.filter(matched, lambda x: x.isNotNull()))
+        )
+
     def route_exclusive_tagged(self, df: DataFrame, dest_col: str = "__sink__") -> DataFrame:
         """Alternative single-pass physical strategy for *exclusive* routes:
         tag each row with its first matching sink (the Go

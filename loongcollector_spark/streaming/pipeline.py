@@ -71,10 +71,12 @@ class StreamingTranscriptPipeline:
         """Watermarked per-sink-ready aggregates: (conv_prefix, window) →
         counts/bytes. Late rows beyond the watermark are dropped —
         the semantics the reference lacks (SURVEY.md §2.9)."""
+        # watermarks require TIMESTAMP (with zone); transcripts carry NTZ
+        enriched = enriched.withColumn("__evt_ts__", F.col("ts").cast("timestamp"))
         return (
-            enriched.withWatermark("ts", self.late_threshold)
+            enriched.withWatermark("__evt_ts__", self.late_threshold)
             .groupBy(
-                F.window("ts", self.window).alias("ts_window"),
+                F.window("__evt_ts__", self.window).alias("ts_window"),
                 F.substring(F.col("conv_id"), 1, 6).alias("conv_prefix"),
                 F.coalesce(F.col("error_class"), F.lit("")).alias("error_class"),
             )

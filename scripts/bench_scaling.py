@@ -33,11 +33,9 @@ n = corpus.count()
 pipe = tp.TranscriptPipeline()
 
 def run():
-    sinks = pipe.run(corpus)
-    for name in pipe.SINKS:
-        sinks[name].write.format("noop").mode("overwrite").save()
-    sinks["__metrics__"].write.format("noop").mode("overwrite").save()
-    sinks["sink_all"].unpersist()
+    pipe.run_single_pass(corpus).write.format("noop").mode("overwrite").save()
+    pipe.metrics_single_pass(pipe.run_single_pass(corpus)).write.format(
+        "noop").mode("overwrite").save()
 
 run()  # warmup (codegen + JIT)
 best = min(

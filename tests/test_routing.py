@@ -1,0 +1,78 @@
+"""Router semantics: multicast copies, DiscardingTag, exploded variant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from loongcollector_spark.routing import (
+    ExprCondition,
+    LogstoreRouter,
+    Route,
+    Router,
+    TagCondition,
+)
+
+
+def _df(spark):
+    rows = [
+        ("r1", "log", "a"),
+        ("r2", "metric", "a"),
+        ("r3", "log", "b"),
+    ]
+    return spark.createDataFrame(rows, "id string, kind string, tag string")
+
+
+class TestRouter:
+    def test_multicast_copies(self, spark):
+        """Router.cpp:50-82 — a row matching k conditions lands in all k
+        sinks, unconditional sinks always receive."""
+        router = Router([
+            Route("logs", TagCondition("kind", "log")),
+            Route("tag_a", TagCondition("tag", "a")),
+            Route("everything", None),
+        ])
+        sinks = router.route(_df(spark))
+        got = {k: sorted(r.id for r in v.collect()) for k, v in sinks.items()}
+        assert got["logs"] == ["r1", "r3"]
+        assert got["tag_a"] == ["r1", "r2"]
+        assert got["everything"] == ["r1", "r2", "r3"]  # multicast
+
+    def test_discarding_tag(self, spark):
+        router = Router([
+            Route("logs", TagCondition("kind", "log", discarding_tag=True)),
+        ])
+        out = router.route(_df(spark))["logs"]
+        assert "kind" not in out.columns
+
+    def test_exploded_equals_filtered(self, spark):
+        router = Router([
+            Route("logs", ExprCondition("kind = 'log'")),
+            Route("everything", None),
+        ])
+        df = _df(spark)
+        exploded = router.route_multicast_exploded(df)
+        filtered = router.route(df)
+        for name in ("logs", "everything"):
+            a = sorted(r.id for r in exploded.filter(F.col("__sink__") == name).collect())
+            b = sorted(r.id for r in filtered[name].collect())
+            assert a == b, name
+
+    def test_exclusive_first_match_wins(self, spark):
+        router = Router([
+            Route("logs", TagCondition("kind", "log")),
+            Route("tag_a", TagCondition("tag", "a")),
+            Route("rest", None),
+        ])
+        tagged = router.route_exclusive_tagged(_df(spark))
+        got = {r["id"]: r["__sink__"] for r in tagged.collect()}
+        assert got == {"r1": "logs", "r2": "tag_a", "r3": "logs"}
+
+    def test_logstore_router_drop_dismatch(self, spark):
+        router = LogstoreRouter(
+            source_key="kind",
+            router_regex=["log"],
+            router_logstore=["logstore_a"],
+            drop_dis_match=True,
+        )
+        out = router(_df(spark))
+        assert sorted(r.id for r in out.collect()) == ["r1", "r3"]

@@ -208,3 +208,25 @@ class TestSaltedAgg:
         a = {r.conv_id: (r.n_rows, r.total_bytes, r.max_turn) for r in salted.collect()}
         b = {r.conv_id: (r.n_rows, r.total_bytes, r.max_turn) for r in plain.collect()}
         assert a == b
+
+    def test_watermarked_metrics_stream(self, spark, tmp_path):
+        from loongcollector_spark.sources.transcripts import transcripts_from_events
+        from loongcollector_spark.streaming.pipeline import StreamingTranscriptPipeline
+
+        src_path = str(tmp_path / "wm_src")
+        transcripts_from_events(spark, SF_DIR).write.parquet(src_path)
+        pipe = StreamingTranscriptPipeline(window="1 hour")
+        stream = pipe.read_stream(spark, src_path)
+        metrics = pipe.metrics_stream(pipe.parse_enrich(stream))
+        q = (
+            metrics.writeStream.format("memory")
+            .queryName("lc_wm_metrics")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT sum(n_rows) AS n FROM lc_wm_metrics"
+        ).collect()[0]
+        assert got.n == 1000  # every turn lands in exactly one window
