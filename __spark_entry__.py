@@ -474,6 +474,28 @@ def q_log_to_metric(spark, sf_dir):
     )
 
 
+def q_streaming_parse_enrich(spark, sf_dir):
+    """Structured Streaming twin of the batch parse+enrich: the stream is
+    drained with availableNow into a memory sink and must produce the
+    SAME rows as the batch oracle (arrival-time semantics, no late data
+    in a bounded drain)."""
+    import tempfile
+    import uuid
+
+    from loongcollector_spark.streaming.pipeline import StreamingTranscriptPipeline
+
+    src = tempfile.mkdtemp(prefix="lc_stream_src_")
+    _transcripts(spark, sf_dir).write.mode("overwrite").parquet(src)
+    name = "lc_q_stream_" + uuid.uuid4().hex[:8]
+    pipe = StreamingTranscriptPipeline()
+    q = pipe.start_to_memory(spark, src, name=name)
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "conv_id", "turn_idx", "role", "tool", "grammar", "etype",
+        "error_class", "tool_class", "role_class",
+    )
+
+
 def q_range_lookup(spark, sf_dir):
     """processor_geoip-style range lookup (bucketed broadcast join path)."""
     from loongcollector_spark.operators.enrich import RangeLookup
@@ -701,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_log_string_explode": q_split_explode,
         "log_to_metric_reshape": q_log_to_metric,
         "range_lookup_geoip": q_range_lookup,
+        "streaming_parse_enrich": q_streaming_parse_enrich,
         "split_char_fields": q_split_char,
         "string_replace_const": q_string_replace,
         "appender_template": q_appender,
@@ -1066,6 +1089,14 @@ FROM transcripts"""
     sql["salted_agg_skew"] = _T + """
 SELECT conv_id, count(*) AS n_rows, CAST(max(turn_idx) AS INT) AS max_turn
 FROM transcripts GROUP BY conv_id"""
+
+    sql["streaming_parse_enrich"] = (
+        tp.oracle_enriched_sql()
+        + """
+SELECT conv_id, turn_idx, role, tool, grammar, etype, error_class,
+       tool_class, role_class
+FROM enriched"""
+    )
 
     sql["range_lookup_geoip"] = """
 SELECT event_id, CAST(floor(value) AS BIGINT) AS v,

@@ -119,6 +119,66 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans-partitioned corpus, queries probe the
+    ``n_probe`` nearest centroids, exact cosine re-rank inside probed
+    cells. The coarse quantizer trains once (seeded, deterministic); at
+    100 TB the assignment is a broadcast of the tiny centroid table and
+    the search touches n_probe/n_clusters of the data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corp = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(corpus_vec).cast("array<double>").alias("nvec"),
+    ).withColumn("features", array_to_vector(F.col("nvec")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(corp)
+    assigned = model.transform(corp).withColumnRenamed("prediction", "cell")
+
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            centroids, "cell int, cvec array<double>"
+        )
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("qvec"),
+    )
+    # rank centroids per query, keep n_probe nearest (by cosine)
+    qc = q.crossJoin(cent_df).withColumn(
+        "c_sim", cosine(F.col("qvec"), F.col("cvec"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("c_sim"), F.asc("cell"))
+    probes = (
+        qc.withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= n_probe)
+        .select("qid", "qvec", "cell")
+    )
+    scored = probes.join(assigned.select("nid", "nvec", "cell"), "cell").withColumn(
+        "cosine_sim", cosine(F.col("nvec"), F.col("qvec"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cosine_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     dim: int,

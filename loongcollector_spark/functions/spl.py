@@ -150,6 +150,21 @@ def translate_expr(expr: str) -> str:
     out = _rewrite_calls(out, "bitwise_xor", lambda a: f"({a[0]} ^ {a[1]})")
     out = _rewrite_calls(out, "bitwise_not", lambda a: f"(~{a[0]})")
     out = _rewrite_calls(out, "bit_count", lambda a: f"bit_count({a[0]})")
+    # 3-arg Presto shifts: (value, shift, bits) — shift within an n-bit
+    # window = shift then mask
+    def _shift3(fn):
+        def fix(a):
+            if len(a) == 3:
+                return (
+                    f"({fn}({a[0]}, {a[1]}) & "
+                    f"cast(pow(2, {a[2]}) - 1 as bigint))"
+                )
+            return f"{fn}({', '.join(a)})"
+
+        return fix
+
+    out = _rewrite_calls(out, "shiftleft", _shift3("shiftleft"))
+    out = _rewrite_calls(out, "shiftrightunsigned", _shift3("shiftrightunsigned"))
     out = _rewrite_calls(out, "instr", lambda a: (
         f"instr({a[0]}, {a[1]})" if len(a) == 3 and a[2] == "1"
         else f"instr({', '.join(a)})"
@@ -468,7 +483,9 @@ class SplProgram:
         self._ensure_udfs(df.sparkSession)
         bindings: dict[str, DataFrame] = {}
         outputs: list[DataFrame] = []
-        statements = [s.strip() for s in self.script.split(";") if s.strip()]
+        statements = [
+            st.strip() for st in _split_top_level(self.script, ";") if st.strip()
+        ]
         if len(statements) == 1 and not statements[0].startswith((".let", "$")):
             return [self._pipeline(df, statements[0], bindings)]
         for st in statements:

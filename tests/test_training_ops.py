@@ -185,3 +185,15 @@ class TestCheckpointResume:
         assert second == {}
         lineage = cp.lineage().collect()
         assert {(r.unit, r.rows_out) for r in lineage} == {("u1", 3), ("u2", 3)}
+
+    def test_ivf_topk_self_recall(self, spark, embeddings):
+        from loongcollector_spark.functions.similarity import ivf_topk
+
+        queries = embeddings.limit(5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        out = ivf_topk(embeddings, queries, k=1, n_clusters=8, n_probe=2)
+        top1 = {r.qid: r.nid for r in out.filter("rank=1").collect()}
+        # the query vector itself lives in its own assigned cell → self top-1
+        assert top1 == {q: q for q in top1}
+        assert len(top1) == 5
