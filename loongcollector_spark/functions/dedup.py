@@ -143,6 +143,60 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, cluster_id)
+    with cluster_id = min id of the component (the canonical doc to keep).
+
+    Iterative min-label propagation — the classic non-SQL-expressible
+    iterative algorithm: each round, every node adopts the smallest label
+    among itself and its neighbors; converges in O(diameter) rounds
+    (near-dup clusters are shallow, so ~3-4 rounds in practice). Each
+    round is one shuffle; lineage is truncated via localCheckpoint to
+    keep plans bounded.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(col: Column, shingle_k: int = 2) -> Column:
     """64-bit SimHash: for each bit, sum +/-1 over shingle hashes, take
     the sign. Pure higher-order functions: per bit b, count shingles with

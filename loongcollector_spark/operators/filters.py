@@ -76,7 +76,25 @@ class FilterNative(Processor):
         return compile_condition_exp(self.condition)
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        return df.filter(self.predicate())
+        out = df.filter(self.predicate())
+        if self.discard_non_utf8:
+            # Spark strings are decoded; undecodable input bytes surface
+            # as U+FFFD replacement chars — the practical invalid-UTF8 tell
+            # (reference: mDiscardingNonUTF8, ProcessorFilterNative.h:111).
+            for node in self._condition_keys():
+                out = out.filter(~F.col(node).contains("�"))
+        return out
+
+    def _condition_keys(self) -> list[str]:
+        if self.include is not None:
+            return list(self.include)
+
+        def walk(n):
+            if "operator" in n:
+                return [k for c in n["operands"] for k in walk(c)]
+            return [n["key"]]
+
+        return sorted(set(walk(self.condition)))
 
 
 @register("processor_filter_regex")

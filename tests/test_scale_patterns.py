@@ -21,8 +21,15 @@ class TestBucketedJoin:
         return tmp_path_factory.mktemp("wh")
 
     def test_bucketed_join_has_no_shuffle(self, spark, transcripts):
+        import shutil
+
         spark.sql("DROP TABLE IF EXISTS lc_t_bucketed")
         spark.sql("DROP TABLE IF EXISTS lc_convmeta_bucketed")
+        # a fresh in-memory metastore forgets tables but the warehouse
+        # dirs survive across sessions — clear them
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        for t in ("lc_t_bucketed", "lc_convmeta_bucketed"):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
         (
             transcripts.write.mode("overwrite")
             .bucketBy(8, "conv_id")

@@ -197,3 +197,25 @@ class TestCheckpointResume:
         # the query vector itself lives in its own assigned cell → self top-1
         assert top1 == {q: q for q in top1}
         assert len(top1) == 5
+
+
+class TestDedupClusters:
+    def test_connected_components(self, spark):
+        from loongcollector_spark.functions.dedup import dedup_clusters
+
+        # components: {1,2,3,4} (chain), {7,8}, singleton pairs absent
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+        )
+        labels = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+        assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    def test_chain_converges(self, spark):
+        from loongcollector_spark.functions.dedup import dedup_clusters
+
+        # a long chain needs multiple propagation rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+        )
+        labels = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+        assert set(labels.values()) == {0}
