@@ -197,7 +197,7 @@ def translate_expr(expr: str) -> str:
 
 
 def _escape_literal_backslashes(s: str) -> str:
-    parts, in_str, cur = [], False, []
+    in_str, cur = False, []
     for c in s:
         if c == "'":
             in_str = not in_str
@@ -206,7 +206,7 @@ def _escape_literal_backslashes(s: str) -> str:
             cur.append("\\\\")
         else:
             cur.append(c)
-    return "".join(cur) if not parts else "".join(parts)
+    return "".join(cur)
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:

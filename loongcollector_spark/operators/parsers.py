@@ -84,8 +84,6 @@ class ParseRegexNative(Processor):
         return self.opts.finalize(out, ok, self.keys)
 
     def _call_python(self, df: DataFrame) -> DataFrame:
-        import pandas as pd  # noqa: F401
-
         keys = self.keys
         pattern = self.regex
         fields = [T.StructField("__ok__", T.BooleanType())] + [
