@@ -90,7 +90,7 @@ def main() -> None:
         noop_write(sinks["__metrics__"])
         sinks["sink_all"].unpersist()
 
-    timed("pipeline_multicast_cached", run_pipeline_cached, n=1)
+    timed("pipeline_multicast_cached", run_pipeline_cached)
 
     total_routed = pipe.run_single_pass(corpus).count()
     extras["corpus_rows"] = n_corpus
