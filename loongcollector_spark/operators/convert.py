@@ -348,6 +348,43 @@ class LogToMetric(Processor):
         )
 
 
+@register("processor_otel_log")
+class OtelLogReshape(Processor):
+    """Reshape rows into the OTel LogRecord shape
+    (plugins/processor/otel/ — severity/body/attributes/timeUnixNano).
+    Pure schema reshaping: struct + map construction, no UDF."""
+
+    def __init__(
+        self,
+        BodyKey: str = "text",
+        TimeKey: str = "ts",
+        SeverityKey: str | None = "level",
+        AttributeKeys: list[str] | None = None,
+    ) -> None:
+        self.body_key = BodyKey
+        self.time_key = TimeKey
+        self.severity_key = SeverityKey
+        self.attribute_keys = AttributeKeys or []
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        sev = (
+            F.coalesce(F.col(self.severity_key), F.lit("INFO"))
+            if self.severity_key and self.severity_key in df.columns
+            else F.lit("INFO")
+        )
+        attrs = F.map_from_arrays(
+            F.array(*[F.lit(k) for k in self.attribute_keys]),
+            F.array(*[F.col(k).cast("string") for k in self.attribute_keys]),
+        )
+        return df.select(
+            (F.unix_timestamp(F.col(self.time_key)).cast("long") * F.lit(1_000_000_000)
+             ).alias("timeUnixNano"),
+            sev.alias("severityText"),
+            F.col(self.body_key).alias("body"),
+            attrs.alias("attributes"),
+        )
+
+
 @register("processor_encrypt")
 class Encrypt(Processor):
     """AES-CBC field encryption (plugins/processor/encrypt) via Spark's

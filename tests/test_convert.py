@@ -146,3 +146,18 @@ class TestEncrypt:
     def test_key_length_validation(self):
         with pytest.raises(ValueError, match="16/24/32"):
             Encrypt(SourceKeys=["x"], EncryptionKey="short")
+
+
+class TestOtelReshape:
+    def test_logrecord_shape(self, spark):
+        from loongcollector_spark.operators.convert import OtelLogReshape
+
+        df = spark.createDataFrame(
+            [("hello", "ERROR", "c1", "2024-01-01 00:00:00")],
+            "text string, level string, conv_id string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+        out = OtelLogReshape(AttributeKeys=["conv_id"])(df).collect()[0]
+        assert out.timeUnixNano == 1704067200 * 1_000_000_000
+        assert out.severityText == "ERROR"
+        assert out.body == "hello"
+        assert out.attributes == {"conv_id": "c1"}
