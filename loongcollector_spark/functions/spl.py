@@ -59,6 +59,11 @@ _SIMPLE_RENAMES = {
     "is_nan": "isnan",
     "strpos": "instr",
     "json_array_length": "json_array_length",
+    "day_of_month": "dayofmonth",
+    "dow": "dayofweek",
+    "doy": "dayofyear",
+    "week": "weekofyear",
+    "format_datetime": "date_format",
     "bitwise_left_shift": "shiftleft",
     "bitwise_shift_left": "shiftleft",
     "bitwise_logical_shift_right": "shiftrightunsigned",
@@ -135,6 +140,12 @@ def translate_expr(expr: str) -> str:
     if re.search(r"(?i)\bdate_parse\s*\(", out):
         out = re.sub(r"(?i)\bdate_parse\s*\(", "to_timestamp(", out)
         out = re.sub(r",\s*'([^']*)'\s*\)", dp_fix, out)
+    # parse_datetime / date_format with MySQL %-patterns
+    if re.search(r"(?i)\bparse_datetime\s*\(", out):
+        out = re.sub(r"(?i)\bparse_datetime\s*\(", "to_timestamp(", out)
+        out = re.sub(r",\s*'([^']*%[^']*)'\s*\)", dp_fix, out)
+    if re.search(r"(?i)\b(date_format|format_datetime)\s*\(.*%", out):
+        out = re.sub(r",\s*'([^']*%[^']*)'\s*\)", dp_fix, out)
 
     # structural rewrites needing arg-aware handling
     out = _rewrite_calls(out, "map", lambda a: (
@@ -174,6 +185,83 @@ def translate_expr(expr: str) -> str:
         f"instr(reverse({a[0]}), reverse({a[1]})) - length({a[1]}) + 2)"
         if len(a) == 2 else f"strrpos({', '.join(a)})"
     ))
+    out = _rewrite_calls(
+        out, "millisecond",
+        lambda a: f"cast(date_format({a[0]}, 'SSS') as int)",
+    )
+    out = _rewrite_calls(
+        out, "year_of_week", lambda a: f"extract(YEAROFWEEK FROM {a[0]})"
+    )
+    out = _rewrite_calls(out, "yow", lambda a: f"extract(YEAROFWEEK FROM {a[0]})")
+    out = _rewrite_calls(
+        out, "array_sum",
+        lambda a: (
+            f"aggregate({a[0]}, cast(0 as double), (acc, v) -> acc + v)"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "array_average",
+        lambda a: (
+            f"(aggregate({a[0]}, cast(0 as double), (acc, v) -> acc + v)"
+            f" / size({a[0]}))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "array_normalize",
+        lambda a: (
+            f"transform({a[0]}, x -> x / power(aggregate(transform({a[0]},"
+            f" y -> pow(abs(y), {a[1]})), cast(0 as double),"
+            f" (acc, v) -> acc + v), 1.0/{a[1]}))"
+        ) if len(a) == 2 else f"array_normalize({', '.join(a)})",
+    )
+    out = _rewrite_calls(
+        out, "from_base", lambda a: f"cast(conv({a[0]}, {a[1]}, 10) as bigint)"
+    )
+    out = _rewrite_calls(
+        out, "to_base", lambda a: f"lower(conv(cast({a[0]} as string), 10, {a[1]}))"
+    )
+    out = _rewrite_calls(out, "infinity", lambda a: "cast('Infinity' as double)")
+    out = _rewrite_calls(out, "nan", lambda a: "cast('NaN' as double)")
+    out = _rewrite_calls(
+        out, "is_finite",
+        lambda a: (
+            f"(NOT isnan(cast({a[0]} as double)) AND"
+            f" abs(cast({a[0]} as double)) <> cast('Infinity' as double))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "is_infinite",
+        lambda a: f"(abs(cast({a[0]} as double)) = cast('Infinity' as double))",
+    )
+    out = _rewrite_calls(
+        out, "is_json_scalar",
+        lambda a: (
+            f"({a[0]} IS NOT NULL AND json_object_keys({a[0]}) IS NULL"
+            f" AND json_array_length({a[0]}) IS NULL)"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "json_array_contains",
+        lambda a: (
+            f"array_contains(from_json({a[0]}, 'array<string>'),"
+            f" cast({a[1]} as string))"
+        ),
+    )
+    out = _rewrite_calls(
+        out, "json_size",
+        lambda a: (
+            f"coalesce(json_array_length(get_json_object({a[0]}, {a[1]})),"
+            f" size(from_json(get_json_object({a[0]}, {a[1]}),"
+            f" 'map<string,string>')), 0)"
+        ) if len(a) == 2 else f"json_size({', '.join(a)})",
+    )
+    out = _rewrite_calls(
+        out, "regexp_replace",
+        lambda a: (
+            f"regexp_replace({a[0]}, {a[1]}, '')" if len(a) == 2
+            else f"regexp_replace({', '.join(a)})"
+        ),
+    )
     out = _rewrite_calls(out, "url_extract_host", lambda a: f"parse_url({a[0]}, 'HOST')")
     out = _rewrite_calls(out, "url_extract_path", lambda a: f"parse_url({a[0]}, 'PATH')")
     out = _rewrite_calls(out, "url_extract_query", lambda a: f"parse_url({a[0]}, 'QUERY')")
@@ -392,14 +480,21 @@ def _cmd_parse_csv(df: DataFrame, body: str) -> DataFrame:
     col, aliases = m.group(1), [a.strip() for a in m.group(2).split(",")]
     delim = _unescape(flags.get("delim", ","))
     # SPL parse-csv default is UNQUOTED (the corpus passes -quote='"'
-    # explicitly when quoting applies); empty string disables quoting.
-    quote = _unescape(flags["quote"]) if "quote" in flags else ""
+    # explicitly when quoting applies).
+    quote = _unescape(flags["quote"]) if "quote" in flags else None
     strict = "strict" in flags
-    schema = ", ".join(f"`{k}` string" for k in aliases)
-    opts = {"sep": delim, "quote": quote, "mode": "PERMISSIVE"}
-    parsed = F.from_csv(F.col(col), F.lit(schema), opts)
-    for k in aliases:
-        df = df.withColumn(k, parsed[k])
+    if quote:
+        schema = ", ".join(f"`{k}` string" for k in aliases)
+        opts = {"sep": delim, "quote": quote, "mode": "PERMISSIVE"}
+        parsed = F.from_csv(F.col(col), F.lit(schema), opts)
+        for k in aliases:
+            df = df.withColumn(k, parsed[k])
+    else:
+        # unquoted: plain split — also sidesteps Jackson's delimiter
+        # restrictions (e.g. a backslash separator)
+        arr = F.split(F.col(col), re.escape(delim), -1)
+        for i, k in enumerate(aliases):
+            df = df.withColumn(k, F.try_element_at(arr, F.lit(i + 1)))
     if strict:
         # strict: field count must equal alias count, else all-null
         arr = F.split(F.col(col), re.escape(delim), -1)

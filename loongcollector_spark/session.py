@@ -45,6 +45,8 @@ def get_spark(
         # Log pipelines are permissive: bad casts yield NULL, never abort the
         # job (the reference keeps/flags unparseable events, it never dies).
         .config("spark.sql.ansi.enabled", "false")
+        # Presto/SPL map semantics: duplicate map keys keep the last value
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )

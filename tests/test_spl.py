@@ -147,7 +147,7 @@ class TestCorpusSmoke:
         # Expression-library breadth: require most of the corpus to run.
         # (Known-unsupported: hmac_*, spooky_hash_*, a few Presto-only
         # signatures — documented in functions/spl.py.)
-        assert rate >= 0.75, (
+        assert rate >= 0.9, (
             f"only {passed}/{attempted} corpus lines ran; first failures: "
             f"{failures[:8]}"
         )
