@@ -84,10 +84,13 @@ def main(argv: list[str] | None = None) -> int:
             },
         }
     elif args.checkpoint:
-        from loongcollector_spark.checkpoint import CheckpointTable, ResumableRunner
+        from loongcollector_spark.checkpoint import (
+            BatchedResumableRunner,
+            CheckpointTable,
+        )
 
         cp = CheckpointTable(spark, args.checkpoint)
-        runner = ResumableRunner(spark, cp, args.output)
+        runner = BatchedResumableRunner(spark, cp, args.output)
         with_unit = transcripts.withColumn("unit", F.expr(args.unit_expr))
 
         def transform(unit_df):

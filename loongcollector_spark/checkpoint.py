@@ -64,9 +64,16 @@ class CheckpointTable:
         return {r.unit for r in rows}
 
     def commit(self, run_id: str, unit: str, sink: str, rows_out: int, bytes_out: int) -> None:
+        self.commit_many([(run_id, unit, sink, rows_out, bytes_out)])
+
+    def commit_many(self, rows: list[tuple]) -> None:
+        """Append many checkpoint rows in ONE write job (per-unit commit
+        loops otherwise dominate wall time for many small units)."""
+        if not rows:
+            return
+        now = time.time()
         df = self.spark.createDataFrame(
-            [(run_id, unit, sink, rows_out, bytes_out, time.time())],
-            CHECKPOINT_SCHEMA,
+            [(*r, now) for r in rows], CHECKPOINT_SCHEMA
         )
         df.coalesce(1).write.mode("append").parquet(self.path)
 
@@ -77,6 +84,77 @@ class CheckpointTable:
         return os.path.exists(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
+
+
+class BatchedResumableRunner:
+    """Scalable resume: ONE write job per sink covering all uncommitted
+    units, via dynamic partition overwrite (partitionBy(unit) replaces
+    only the partitions present in the frame — interrupted units re-write
+    cleanly). Per-unit stats come from one groupBy over the same frame;
+    checkpoint rows append after the write commits.
+
+    This is the shape that holds at 10^12 rows: the driver does O(sinks)
+    jobs, not O(units × sinks); the unit anti-join is a tiny isin filter
+    (units are table partitions — thousands at most).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint: CheckpointTable,
+        output_root: str,
+        unit_col: str = "unit",
+    ):
+        self.spark = spark
+        self.checkpoint = checkpoint
+        self.output_root = output_root
+        self.unit_col = unit_col
+
+    def run(self, df: DataFrame, transform, run_id: str | None = None) -> dict[str, list[str]]:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        processed: dict[str, list[str]] = {}
+        outs = transform(df)
+        for sink, out in outs.items():
+            committed = self.checkpoint.committed_units(sink)
+            remaining = out
+            if committed:
+                remaining = out.filter(
+                    ~F.col(self.unit_col).cast("string").isin(*committed)
+                )
+            remaining = remaining.withColumn(
+                "__lineage__",
+                F.concat_ws(
+                    ":", F.lit(run_id), F.col(self.unit_col).cast("string"),
+                    F.spark_partition_id().cast("string"),
+                ),
+            )
+            path = f"{self.output_root}/{sink}"
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(self.unit_col)
+                .parquet(path)
+            )
+            stats_aggs = [F.count(F.lit(1)).alias("n")]
+            if "text" in remaining.columns:
+                stats_aggs.append(
+                    F.coalesce(F.sum(F.octet_length(F.col("text"))), F.lit(0)).alias("b")
+                )
+            stats = (
+                remaining.groupBy(F.col(self.unit_col).cast("string").alias("u"))
+                .agg(*stats_aggs)
+                .collect()
+            )
+            self.checkpoint.commit_many(
+                [
+                    (run_id, r["u"], sink, r["n"],
+                     r["b"] if "b" in r.asDict() else 0)
+                    for r in stats
+                ]
+            )
+            for r in stats:
+                processed.setdefault(sink, []).append(r["u"])
+        return processed
 
 
 class ResumableRunner:

@@ -219,3 +219,49 @@ class TestDedupClusters:
         )
         labels = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
         assert set(labels.values()) == {0}
+
+
+class TestBatchedResume:
+    def test_batched_skip_committed(self, spark, tmp_path):
+        from loongcollector_spark.checkpoint import (
+            BatchedResumableRunner,
+            CheckpointTable,
+        )
+
+        df = spark.createDataFrame(
+            [(f"conv{i}", i, f"u{i % 3}", "txt") for i in range(9)],
+            "conv_id string, turn_idx int, unit string, text string",
+        )
+        cp = CheckpointTable(spark, str(tmp_path / "cp"))
+        runner = BatchedResumableRunner(spark, cp, str(tmp_path / "out"))
+        first = runner.run(df, transform=lambda d: {"s1": d})
+        assert sorted(first["s1"]) == ["u0", "u1", "u2"]
+        # everything committed → one empty write, nothing processed
+        second = runner.run(df, transform=lambda d: {"s1": d})
+        assert second == {}
+        back = spark.read.parquet(str(tmp_path / "out" / "s1"))
+        assert back.count() == 9
+        # per-unit lineage recorded with correct counts
+        lin = {(r.unit, r.rows_out) for r in cp.lineage().collect()}
+        assert lin == {("u0", 3), ("u1", 3), ("u2", 3)}
+
+    def test_partial_resume_overwrites_interrupted_unit(self, spark, tmp_path):
+        from loongcollector_spark.checkpoint import (
+            BatchedResumableRunner,
+            CheckpointTable,
+        )
+
+        df = spark.createDataFrame(
+            [("c", i, "u1" if i < 2 else "u2", "t") for i in range(4)],
+            "conv_id string, turn_idx int, unit string, text string",
+        )
+        cp = CheckpointTable(spark, str(tmp_path / "cp"))
+        runner = BatchedResumableRunner(spark, cp, str(tmp_path / "out"))
+        # simulate a crash: u1's output exists but no checkpoint row
+        df.filter("unit = 'u1'").limit(1).write.mode("overwrite").parquet(
+            str(tmp_path / "out" / "s1" / "unit=u1")
+        )
+        out = runner.run(df, transform=lambda d: {"s1": d})
+        assert sorted(out["s1"]) == ["u1", "u2"]  # u1 re-processed
+        back = spark.read.parquet(str(tmp_path / "out" / "s1"))
+        assert back.count() == 4  # partial u1 output fully overwritten
