@@ -496,6 +496,38 @@ def q_streaming_parse_enrich(spark, sf_dir):
     )
 
 
+def q_otel_reshape(spark, sf_dir):
+    """OTel LogRecord reshaping over parsed transcripts."""
+    from loongcollector_spark.operators.convert import OtelLogReshape
+
+    parsed = tp.TranscriptPipeline().parse(_transcripts(spark, sf_dir))
+    proc = OtelLogReshape(
+        BodyKey="text", TimeKey="ts", SeverityKey="level",
+        AttributeKeys=["conv_id", "role"],
+    )
+    out = proc(parsed)
+    return out.select(
+        "timeUnixNano", "severityText", "body",
+        F.try_element_at(F.col("attributes"), F.lit("conv_id")).alias("attr_conv"),
+        F.try_element_at(F.col("attributes"), F.lit("role")).alias("attr_role"),
+    )
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN top-1 self-recall (KMeans quantizer; engine-specific
+    clustering → rows-only check; exactness is covered by
+    similarity_cosine_topk)."""
+    from loongcollector_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.limit(5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries_df, k=1, n_clusters=8, n_probe=2).select(
+        "qid", "nid", "rank"
+    )
+
+
 def q_range_lookup(spark, sf_dir):
     """processor_geoip-style range lookup (bucketed broadcast join path)."""
     from loongcollector_spark.operators.enrich import RangeLookup
@@ -724,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_to_metric_reshape": q_log_to_metric,
         "range_lookup_geoip": q_range_lookup,
         "streaming_parse_enrich": q_streaming_parse_enrich,
+        "otel_log_reshape": q_otel_reshape,
+        "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
         "string_replace_const": q_string_replace,
         "appender_template": q_appender,
@@ -1095,6 +1129,17 @@ FROM transcripts GROUP BY conv_id"""
         + """
 SELECT conv_id, turn_idx, role, tool, grammar, etype, error_class,
        tool_class, role_class
+FROM enriched"""
+    )
+
+    sql["otel_log_reshape"] = (
+        tp.oracle_enriched_sql()
+        + """
+SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000000 AS timeUnixNano,
+       coalesce(level, 'INFO') AS severityText,
+       text AS body,
+       conv_id AS attr_conv,
+       role AS attr_role
 FROM enriched"""
     )
 
