@@ -972,6 +972,7 @@ WITH toks AS (
              trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+')) AS sh,
          floor(log2(greatest(length(text), 1))) AS lb
   FROM documents
+  QUALIFY row_number() OVER (PARTITION BY lb ORDER BY doc_id) <= 500
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.sh, b.sh))

@@ -110,21 +110,36 @@ class BatchedResumableRunner:
         self.output_root = output_root
         self.unit_col = unit_col
 
+    #: checkpoint-row sentinel for rows whose unit column is NULL — they
+    #: land in the parquet null partition and must neither be silently
+    #: dropped on resume nor re-counted once committed.
+    NULL_UNIT = "__NULL_UNIT__"
+
     def run(self, df: DataFrame, transform, run_id: str | None = None) -> dict[str, list[str]]:
         run_id = run_id or uuid.uuid4().hex[:12]
         processed: dict[str, list[str]] = {}
         outs = transform(df)
         for sink, out in outs.items():
             committed = self.checkpoint.committed_units(sink)
+            null_committed = self.NULL_UNIT in committed
+            real_committed = committed - {self.NULL_UNIT}
+            unit_str = F.col(self.unit_col).cast("string")
             remaining = out
             if committed:
+                keep_nonnull = (
+                    ~unit_str.isin(*real_committed)
+                    if real_committed
+                    else F.lit(True)
+                )
                 remaining = out.filter(
-                    ~F.col(self.unit_col).cast("string").isin(*committed)
+                    F.when(
+                        F.col(self.unit_col).isNull(), F.lit(not null_committed)
+                    ).otherwise(keep_nonnull)
                 )
             remaining = remaining.withColumn(
                 "__lineage__",
                 F.concat_ws(
-                    ":", F.lit(run_id), F.col(self.unit_col).cast("string"),
+                    ":", F.lit(run_id), F.coalesce(unit_str, F.lit(self.NULL_UNIT)),
                     F.spark_partition_id().cast("string"),
                 ),
             )
@@ -135,16 +150,25 @@ class BatchedResumableRunner:
                 .partitionBy(self.unit_col)
                 .parquet(path)
             )
+            # Per-unit stats from a READ-BACK of the written output, not a
+            # second execution of the transform: counts equal rows actually
+            # written even when an upstream expression is nondeterministic,
+            # and the scan is columnar + pruned (unit [+ text]) rather than
+            # the full pipeline re-run.
+            try:
+                written = self.spark.read.parquet(path)
+            except Exception:
+                continue  # zero rows written, nothing to commit
+            w_unit = F.coalesce(
+                F.col(self.unit_col).cast("string"), F.lit(self.NULL_UNIT)
+            )
+            fresh = written.filter(~w_unit.isin(*committed)) if committed else written
             stats_aggs = [F.count(F.lit(1)).alias("n")]
-            if "text" in remaining.columns:
+            if "text" in written.columns:
                 stats_aggs.append(
                     F.coalesce(F.sum(F.octet_length(F.col("text"))), F.lit(0)).alias("b")
                 )
-            stats = (
-                remaining.groupBy(F.col(self.unit_col).cast("string").alias("u"))
-                .agg(*stats_aggs)
-                .collect()
-            )
+            stats = fresh.groupBy(w_unit.alias("u")).agg(*stats_aggs).collect()
             self.checkpoint.commit_many(
                 [
                     (run_id, r["u"], sink, r["n"],

@@ -84,18 +84,20 @@ def minhash_lsh_candidates(
     """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
 
     Plan shape: project (shingles, signature) → explode to B band keys →
-    shuffle on (band, band_hash) → per-bucket self-join (bounded by
-    ``max_bucket``) → Jaccard verify. Returns (id_a, id_b, jaccard_sim)
-    with id_a < id_b.
+    shuffle on (band, band_hash) **carrying only (id, band, bucket)** →
+    per-bucket self-join (bounded by ``max_bucket``) → distinct candidate
+    id pairs → join the shingle arrays back BY ID for the exact-Jaccard
+    verify. The band fan-out never multiplies the shingle payload (at
+    100 TB the ×B banded shuffle moves 3 small columns, and shingles ride
+    exactly one shuffle per side of the verify join). Returns
+    (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            shingles(F.col(text_col), shingle_k).alias("sh"),
-        )
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    docs_sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
     )
+    base = docs_sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     band_arrays = F.array(
         *[
             F.struct(
@@ -113,9 +115,9 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = base.select(
-        "id", "sh", F.explode(band_arrays).alias("bk")
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    banded = base.select("id", F.explode(band_arrays).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
 
     # Bound hot buckets (boilerplate text): keep at most max_bucket docs
     # per bucket — the skew guard that keeps the self-join from exploding.
@@ -125,19 +127,25 @@ def minhash_lsh_candidates(
     )
 
     left = banded.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a")
     )
     right = banded.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_b")
     )
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify join: shingles attach by id AFTER candidate dedup, so the
+    # banded shuffle never carried the heavy arrays
+    sh_a = docs_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        pairs.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= min_jaccard)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -236,11 +244,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard near-dup via a cheap length-bucket blocking key
     (docs within ±20% length can only be similar) — the brute-force
-    baseline for small N, used as the verifier oracle for LSH."""
+    baseline for small N, used as the verifier oracle for LSH.
+
+    ``max_bucket`` bounds the per-bucket self-join: at most ``max_bucket``
+    docs (smallest ids, deterministic) participate per log2-length bucket,
+    so a skewed bucket of 10⁶ docs costs max_bucket² pairs, not 10¹².
+    """
     base = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
         F.floor(F.log2(F.greatest(F.length(text_col), F.lit(1)))).alias("lb"),
+    )
+    w = Window.partitionBy("lb").orderBy("id")
+    base = (
+        base.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= max_bucket)
+        .drop("__rn__")
     )
     left = base.select(F.col("lb"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     right = base.select(F.col("lb"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

@@ -158,7 +158,17 @@ class Grok(Processor):
         Engine: str = "jvm",
         FullMatch: bool = True,
         ErrorClassKey: str | None = None,
+        TimeoutMilliSeconds: int = 0,
+        MaxSourceLength: int | None = None,
     ) -> None:
+        """``TimeoutMilliSeconds`` mirrors processor_grok.go:47,149 (per-log
+        match deadline, timed-out rows are treated as unmatched); it applies
+        to the python engine only (the ``regex`` module's per-call timeout
+        replaces Go's regexp2 MatchTimeout). ``MaxSourceLength`` is the
+        engine-agnostic guard: rows longer than the bound are treated as
+        unmatched without ever entering the regex — the JVM engine has no
+        timeout facility, so a length bound is its backtracking protection.
+        """
         if not Match:
             raise GrokCompileError("Match must be non-empty")
         self.source_key = SourceKey
@@ -166,6 +176,8 @@ class Grok(Processor):
         self.ignore_parse_failure = IgnoreParseFailure
         self.engine = Engine
         self.error_class_key = ErrorClassKey
+        self.timeout_ms = int(TimeoutMilliSeconds)
+        self.max_source_length = MaxSourceLength
         library = dict(DEFAULT_PATTERNS)
         library.update(CustomPatterns or {})
         self.compiled: list[tuple[str, list[str]]] = []
@@ -187,19 +199,32 @@ class Grok(Processor):
         if self.engine == "python":
             return self._call_python(df)
         src = F.col(self.source_key)
-        matched = [src.rlike(rx) for rx, _ in self.compiled]
-        # first-match-wins: which pattern index applies per row
-        any_match = matched[0]
-        for m in matched[1:]:
-            any_match = any_match | m
+        length_ok = (
+            F.length(src) <= F.lit(self.max_source_length)
+            if self.max_source_length is not None
+            else F.lit(True)
+        )
+        matched = [length_ok & src.rlike(rx) for rx, _ in self.compiled]
+        # first-match-wins predicates (processor_grok.go:148-194 stops at the
+        # first matching Match expression): pattern i applies only if it
+        # matches AND no earlier pattern matched — an alias present only in a
+        # later pattern must stay NULL for rows the earlier pattern claims.
+        firsts: list = []
+        prior = F.lit(False)
+        for m in matched:
+            firsts.append(m & ~prior)
+            prior = prior | m
+        any_match = prior
         for key in self.all_keys:
             expr = F.lit(None).cast("string")
-            for (rx, aliases), is_m in zip(
-                reversed(self.compiled), reversed(matched)
+            for (rx, aliases), is_first in zip(
+                reversed(self.compiled), reversed(firsts)
             ):
                 if key in aliases:
                     gi = aliases.index(key) + 1
-                    expr = F.when(is_m, F.regexp_extract(src, rx, gi)).otherwise(expr)
+                    expr = F.when(is_first, F.regexp_extract(src, rx, gi)).otherwise(
+                        expr
+                    )
             df = df.withColumn(key, expr)
         if self.error_class_key:
             df = df.withColumn(
@@ -215,6 +240,8 @@ class Grok(Processor):
     def _call_python(self, df: DataFrame) -> DataFrame:
         compiled = self.compiled
         all_keys = self.all_keys
+        timeout_ms = self.timeout_ms
+        max_len = self.max_source_length
         fields = [T.StructField("__ok__", T.BooleanType())] + [
             T.StructField(k, T.StringType()) for k in all_keys
         ]
@@ -228,17 +255,52 @@ class Grok(Processor):
             res["__ok__"] = False
             for k in all_keys:
                 res[k] = pd.Series([None] * len(s), index=s.index, dtype=object)
-            remaining = s.notna() & ~res["__ok__"]
+            eligible = s.notna()
+            if max_len is not None:
+                eligible &= s.str.len().fillna(0) <= max_len
+            remaining = eligible.copy()
+            if timeout_ms > 0:
+                # per-log deadline (processor_grok.go:149): the `regex`
+                # module takes a timeout per match call; timed-out rows are
+                # treated as unmatched, like the reference's regexp2 path.
+                import regex as regex_mod
+
+                tmo = timeout_ms / 1000.0
+                pats = [(regex_mod.compile(rx), aliases) for rx, aliases in compiled]
+                for pat, aliases in pats:
+                    if not remaining.any():
+                        break
+                    for idx in s.index[remaining]:
+                        try:
+                            m = pat.search(s[idx], timeout=tmo)
+                        except TimeoutError:
+                            m = None
+                        if m is not None:
+                            for gi, alias in enumerate(aliases):
+                                res.at[idx, alias] = m.group(gi + 1)
+                            res.at[idx, "__ok__"] = True
+                    remaining = eligible & ~res["__ok__"]
+                return res
             for rx, aliases in compiled:
                 if not remaining.any():
                     break
-                ext = s[remaining].str.extract(rx, expand=True)
-                hit = ext[0].notna() if len(ext.columns) else s[remaining].str.match(rx)
-                hit_idx = ext.index[hit.fillna(False)]
-                for gi, alias in enumerate(aliases):
-                    res.loc[hit_idx, alias] = ext.loc[hit_idx, gi]
+                sub = s[remaining]
+                # hit mask via a dedicated search (str.contains ≡ re.search,
+                # matching str.extract's semantics) — NOT via "first group
+                # non-null", which breaks when the first aliased group is
+                # optional or when the pattern has zero capture groups.
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore", UserWarning)
+                    hit = sub.str.contains(rx, regex=True, na=False)
+                hit_idx = sub.index[hit]
+                if aliases and len(hit_idx):
+                    ext = sub.str.extract(rx, expand=True)
+                    for gi, alias in enumerate(aliases):
+                        res.loc[hit_idx, alias] = ext.loc[hit_idx, gi]
                 res.loc[hit_idx, "__ok__"] = True
-                remaining = s.notna() & ~res["__ok__"]
+                remaining = eligible & ~res["__ok__"]
             return res
 
         tmp = "__lc_grok__"

@@ -411,7 +411,10 @@ class ParseApsaraNative(Processor):
         src = F.col(self.opts.source_key)
         ok = src.rlike(_APSARA_RX)
         time_str = F.regexp_extract(src, _APSARA_RX, 1)
-        is_epoch = time_str.rlike(r"^1\d*$")
+        # the reference only tests `buffer[1] == '1'` (.cpp:259) — epoch
+        # seconds start with '1' until 2033; ≥9 all-digit chars keeps the
+        # same cases matching and survives the 2033 rollover.
+        is_epoch = time_str.rlike(r"^\d{9,}$")
         ts = F.when(
             is_epoch, F.timestamp_seconds(time_str.cast("long"))
         ).otherwise(
@@ -507,11 +510,13 @@ class ParseTimestampNative(Processor):
         src = F.col(self.source_key)
         fmt = self.spark_format()
         if fmt is None:
+            # epoch seconds are timezone-absolute — SourceTimezone must NOT
+            # shift them (it only disambiguates wall-clock formats).
             ts = F.timestamp_seconds(src.cast("long"))
         else:
             ts = F.try_to_timestamp(src, F.lit(fmt))
-        if self.tz not in ("UTC", "GMT+00:00"):
-            ts = F.to_utc_timestamp(ts, self.tz)
+            if self.tz not in ("UTC", "GMT+00:00"):
+                ts = F.to_utc_timestamp(ts, self.tz)
         out = df.withColumn(self.dest, ts)
         if self.error_class_key:
             out = out.withColumn(
@@ -524,24 +529,42 @@ class ParseTimestampNative(Processor):
 @register("processor_split_key_value")
 class SplitKeyValue(Processor):
     """k=v pair splitting into a map column (reference:
-    plugins/processor/split/keyvalue/key_value_splitter.go:27-44; SPL
+    plugins/processor/split/keyvalue/key_value_splitter.go:99-143; SPL
     ``parse-kv`` core/unittest/spl/spl.txt:16-19).
 
-    ``str_to_map`` built-in; ``EmptyKeyPrefix``/``NoSeparatorKeyPrefix``
-    policies applied with higher-order map functions — still no UDF.
-    Pairs with no separator become ``{prefix}{i}`` keys in the reference;
-    here they map to key=pair/value='' then get prefixed.
+    Pure higher-order functions, no UDF: the source splits into pairs,
+    each pair becomes a (key, value) struct via ``transform`` with index,
+    and the reference's prefix policies are applied exactly —
+
+    * separator missing → key ``{NoSeparatorKeyPrefix}{i}`` with the whole
+      pair as value (or the pair is dropped when
+      ``DiscardWhenSeparatorNotFound``), counter i counting only such
+      pairs, in order (key_value_splitter.go:112-123);
+    * empty key (pair starts with the separator) → key
+      ``{EmptyKeyPrefix}{i}``, its own counter (go:125-133);
+    * ``Quote`` set → values wrapped in the quote on both ends are
+      unwrapped (go:185-191). The reference's quote-aware *re-splitting*
+      (delimiters inside quoted values, go:145-158) is not reproduced —
+      use ParseDelimiterNative's quote FSM for that shape.
+
+    The per-type running counters are ``size(filter(slice(...)))`` over
+    the pairs seen so far — O(pairs²) per row on intra-row data, which is
+    bounded and JVM-side. Duplicate keys resolve LAST_WIN via the session
+    ``mapKeyDedupPolicy`` (matches the reference appending then readers
+    taking the last value).
     """
 
     def __init__(
         self,
         SourceKey: str,
-        Delimiter: str = "&",
-        Separator: str = "=",
+        Delimiter: str = "\t",
+        Separator: str = ":",
         DestKey: str = "kv",
         EmptyKeyPrefix: str = "empty_key_",
         NoSeparatorKeyPrefix: str = "no_separator_key_",
         KeepSource: bool = True,
+        Quote: str = "",
+        DiscardWhenSeparatorNotFound: bool = False,
     ) -> None:
         self.source_key = SourceKey
         self.delim = Delimiter
@@ -550,10 +573,72 @@ class SplitKeyValue(Processor):
         self.empty_prefix = EmptyKeyPrefix
         self.nosep_prefix = NoSeparatorKeyPrefix
         self.keep_source = KeepSource
+        self.quote = Quote
+        self.discard_no_sep = DiscardWhenSeparatorNotFound
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)
-        m = F.str_to_map(src, F.lit(re.escape(self.delim)), F.lit(re.escape(self.sep)))
+        sep = F.lit(self.sep)
+        sep_len = len(self.sep)
+        pairs = F.split(src, re.escape(self.delim), -1)
+        if self.discard_no_sep:
+            pairs = F.filter(pairs, lambda q: F.instr(q, sep) != 0)
+
+        def unquote(v):
+            if not self.quote:
+                return v
+            q = self.quote
+            ql = len(q)
+            wrapped = (
+                (F.length(v) >= 2 * ql)
+                & v.startswith(q)
+                & v.endswith(q)
+            )
+            return F.when(
+                wrapped, F.substring(v, ql + 1, F.length(v) - 2 * ql)
+            ).otherwise(v)
+
+        def nosep_count_before(i):
+            # how many earlier pairs also lacked the separator
+            return F.size(
+                F.filter(F.slice(pairs, F.lit(1), i), lambda q: F.instr(q, sep) == 0)
+            )
+
+        def empty_count_before(i):
+            return F.size(
+                F.filter(F.slice(pairs, F.lit(1), i), lambda q: F.instr(q, sep) == 1)
+            )
+
+        def pair_entry(p, i):
+            pos = F.instr(p, sep)
+            key = F.substring(p, F.lit(1), pos - 1)
+            val = unquote(F.substring(p, pos + sep_len, F.length(p)))
+            return (
+                F.when(
+                    pos == 0,
+                    F.struct(
+                        F.concat(
+                            F.lit(self.nosep_prefix),
+                            nosep_count_before(i).cast("string"),
+                        ).alias("key"),
+                        unquote(p).alias("value"),
+                    ),
+                )
+                .when(
+                    pos == 1,
+                    F.struct(
+                        F.concat(
+                            F.lit(self.empty_prefix),
+                            empty_count_before(i).cast("string"),
+                        ).alias("key"),
+                        val.alias("value"),
+                    ),
+                )
+                .otherwise(F.struct(key.alias("key"), val.alias("value")))
+            )
+
+        entries = F.transform(pairs, pair_entry)
+        m = F.map_from_entries(entries)
         out = df.withColumn(self.dest, m)
         if not self.keep_source:
             out = out.drop(self.source_key)

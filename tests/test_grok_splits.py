@@ -113,6 +113,89 @@ class TestGrokProcessor:
         rows = rows_as_dicts(proc(df))
         assert rows[0]["ec"] == "" and rows[1]["ec"] == "grok_parse_fail"
 
+    def test_overlapping_patterns_first_match_only(self, text_df_factory):
+        """A row matching BOTH patterns must extract only the first's
+        aliases — an alias existing only in the later pattern stays NULL
+        (processor_grok.go:148-194 stops at the first matching Match)."""
+        df = text_df_factory(["hello world"])
+        kw = dict(
+            SourceKey="content",
+            # both match "hello world"; only pattern 0's aliases may fill
+            Match=[r"%{WORD:a} %{WORD:b}", r"%{DATA:whole}"],
+            IgnoreParseFailure=True,
+        )
+        for eng in ("jvm", "python"):
+            r = rows_as_dicts(Grok(Engine=eng, **kw)(df))[0]
+            assert r["a"] == "hello" and r["b"] == "world", eng
+            assert r["whole"] is None, eng
+
+    def test_python_optional_first_group(self, text_df_factory):
+        """Pattern whose FIRST aliased group is optional: the row still
+        counts as matched even when group 1 is empty/absent."""
+        df = text_df_factory(["GET /x", "/y"])
+        kw = dict(
+            SourceKey="content",
+            CustomPatterns={"OPTM": r"(?:%{WORD:method} )?%{URIPATH:path}"},
+            Match=["%{OPTM}"],
+            ErrorClassKey="ec",
+        )
+        for eng in ("jvm", "python"):
+            rows = rows_as_dicts(Grok(Engine=eng, **kw)(df))
+            assert [r["ec"] for r in rows] == ["", ""], eng
+            assert rows[1]["path"] == "/y", eng
+
+    def test_python_zero_capture_groups(self, text_df_factory):
+        """A Match pattern with no aliases must not crash the python engine
+        and must mark hit rows matched."""
+        df = text_df_factory(["abc123", "!!!"])
+        rows = rows_as_dicts(
+            Grok(
+                Engine="python",
+                SourceKey="content",
+                Match=[r"%{WORD}"],
+                ErrorClassKey="ec",
+            )(df)
+        )
+        assert rows[0]["ec"] == "" and rows[1]["ec"] == "grok_parse_fail"
+
+    def test_timeout_catastrophic_pattern(self, text_df_factory):
+        """Catastrophic-backtracking pattern + long non-matching row must
+        complete under the per-log deadline and be tagged a parse failure
+        (processor_grok.go:47,149 TimeoutMilliSeconds semantics)."""
+        import time
+
+        evil = "a" * 40 + "b"
+        df = text_df_factory([evil, "aaa"])
+        proc = Grok(
+            Engine="python",
+            SourceKey="content",
+            CustomPatterns={"EVIL": r"(a+)+$"},
+            Match=["%{EVIL:x}"],
+            ErrorClassKey="ec",
+            TimeoutMilliSeconds=50,
+        )
+        t0 = time.time()
+        rows = rows_as_dicts(proc(df))
+        assert time.time() - t0 < 30
+        assert rows[0]["ec"] == "grok_parse_fail" and rows[0]["x"] is None
+        assert rows[1]["ec"] == "" and rows[1]["x"] == "aaa"
+
+    def test_max_source_length_guard(self, text_df_factory):
+        """Rows longer than MaxSourceLength are treated as unmatched in
+        BOTH engines without entering the regex."""
+        long_row = "k=" + "1" * 100
+        df = text_df_factory(["a=1", long_row])
+        kw = dict(
+            SourceKey="content",
+            Match=[r"%{WORD:k}=%{INT:v}"],
+            ErrorClassKey="ec",
+            MaxSourceLength=16,
+        )
+        for eng in ("jvm", "python"):
+            rows = rows_as_dicts(Grok(Engine=eng, **kw)(df))
+            assert rows[0]["ec"] == "" and rows[0]["v"] == "1", eng
+            assert rows[1]["ec"] == "grok_parse_fail" and rows[1]["v"] is None, eng
+
 
 class TestSplits:
     def test_split_char(self, text_df_factory):

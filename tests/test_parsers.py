@@ -273,6 +273,23 @@ class TestParseTimestamp:
         rows = rows_as_dicts(proc(df))
         assert rows[0]["t"] is not None
 
+    def test_epoch_ignores_source_timezone(self, text_df_factory):
+        """Epoch seconds are timezone-absolute: a non-UTC SourceTimezone
+        must NOT shift the %s path (only wall-clock formats need it)."""
+        df = text_df_factory(["1704456794"])
+        utc = ParseTimestampNative(
+            SourceKey="content", SourceFormat="%s", DestKey="t"
+        )
+        sh = ParseTimestampNative(
+            SourceKey="content",
+            SourceFormat="%s",
+            SourceTimezone="Asia/Shanghai",
+            DestKey="t",
+        )
+        a = rows_as_dicts(utc(df))[0]["t"]
+        b = rows_as_dicts(sh(df))[0]["t"]
+        assert a == b
+
     def test_bad_input_null_not_error(self, text_df_factory):
         """ANSI-safe: unparseable time yields NULL, never a job abort."""
         df = text_df_factory(["nonsense"])
@@ -292,3 +309,60 @@ class TestSplitKeyValue:
         proc = SplitKeyValue(SourceKey="content", Delimiter="&", Separator="=")
         rows = rows_as_dicts(proc(df))
         assert rows[0]["kv"] == {"a": "1", "b": "2", "c": "3"}
+
+    def test_no_separator_prefix(self, text_df_factory):
+        """key_value_splitter.go:112-123 — pairs lacking the separator
+        become {NoSeparatorKeyPrefix}{i}, counter over such pairs only."""
+        df = text_df_factory(["a=1&orphan&b=2&other"])
+        proc = SplitKeyValue(SourceKey="content", Delimiter="&", Separator="=")
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["kv"] == {
+            "a": "1",
+            "no_separator_key_0": "orphan",
+            "b": "2",
+            "no_separator_key_1": "other",
+        }
+
+    def test_empty_key_prefix(self, text_df_factory):
+        """go:125-133 — separator-first pairs get {EmptyKeyPrefix}{i}."""
+        df = text_df_factory(["=v0&a=1&=v1"])
+        proc = SplitKeyValue(SourceKey="content", Delimiter="&", Separator="=")
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["kv"] == {
+            "empty_key_0": "v0",
+            "a": "1",
+            "empty_key_1": "v1",
+        }
+
+    def test_discard_when_separator_not_found(self, text_df_factory):
+        df = text_df_factory(["a=1&orphan&b=2"])
+        proc = SplitKeyValue(
+            SourceKey="content",
+            Delimiter="&",
+            Separator="=",
+            DiscardWhenSeparatorNotFound=True,
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["kv"] == {"a": "1", "b": "2"}
+
+    def test_quote_unwrap(self, text_df_factory):
+        """go:185-191 — values wrapped in Quote are unwrapped."""
+        df = text_df_factory(['a="hello"&b=plain&c=""'])
+        proc = SplitKeyValue(
+            SourceKey="content", Delimiter="&", Separator="=", Quote='"'
+        )
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["kv"] == {"a": "hello", "b": "plain", "c": ""}
+
+    def test_reference_defaults(self, text_df_factory):
+        """default Delimiter tab / Separator colon (go:46-50)."""
+        df = text_df_factory(["k1:v1\tk2:v2:with:colons"])
+        proc = SplitKeyValue(SourceKey="content")
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["kv"] == {"k1": "v1", "k2": "v2:with:colons"}
+
+    def test_multichar_separator_value_offset(self, text_df_factory):
+        df = text_df_factory(["a::1&b::2"])
+        proc = SplitKeyValue(SourceKey="content", Delimiter="&", Separator="::")
+        rows = rows_as_dicts(proc(df))
+        assert rows[0]["kv"] == {"a": "1", "b": "2"}

@@ -81,6 +81,38 @@ class TestDedup:
         pairs = dedup.ngram_jaccard_pairs(df, min_jaccard=0.3).collect()
         assert len(pairs) == 1 and pairs[0].id_a == 1 and pairs[0].id_b == 2
 
+    def test_ngram_jaccard_skewed_bucket_bounded(self, spark):
+        """All docs land in ONE log2-length bucket; max_bucket must bound
+        the self-join to max_bucket²/2 pairs, not N²/2 (VERDICT r1: the
+        parameter was accepted but never applied)."""
+        rows = [(i, f"common shared tokens doc {i:05d}") for i in range(10_000)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.ngram_jaccard_pairs(
+            df, shingle_k=1, min_jaccard=0.0, max_bucket=50
+        )
+        n = out.count()
+        assert 0 < n <= 50 * 49 // 2
+        # the smallest ids are the deterministic survivors
+        assert out.agg(F.max("id_b")).collect()[0][0] < 50
+
+    def test_minhash_banded_shuffle_excludes_shingles(self, spark):
+        """The banded explode → bucket self-join must not carry the
+        shingle arrays; they attach by id only in the verify join."""
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "a b c d e f h")],
+            "doc_id long, text string",
+        )
+        plan = (
+            dedup.minhash_lsh_candidates(df)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+        assert gen_lines, "expected banded explode in plan"
+        for ln in gen_lines:
+            assert "sh_a" not in ln and "sh_b" not in ln, ln
+
 
 class TestSimilarity:
     def test_brute_force_topk_self_is_top1(self, spark, embeddings):
@@ -244,6 +276,58 @@ class TestBatchedResume:
         # per-unit lineage recorded with correct counts
         lin = {(r.unit, r.rows_out) for r in cp.lineage().collect()}
         assert lin == {("u0", 3), ("u1", 3), ("u2", 3)}
+
+    def test_null_unit_rows_checkpoint_and_resume(self, spark, tmp_path):
+        """Rows with a NULL unit are written, committed under the
+        NULL_UNIT sentinel, and NOT silently dropped or re-processed on
+        resume (ADVICE r1: the plain ~isin filter dropped them)."""
+        from loongcollector_spark.checkpoint import (
+            BatchedResumableRunner,
+            CheckpointTable,
+        )
+
+        df = spark.createDataFrame(
+            [("c", 0, "u1", "t"), ("c", 1, None, "t2"), ("c", 2, None, "t3")],
+            "conv_id string, turn_idx int, unit string, text string",
+        )
+        cp = CheckpointTable(spark, str(tmp_path / "cp"))
+        runner = BatchedResumableRunner(spark, cp, str(tmp_path / "out"))
+        first = runner.run(df, transform=lambda d: {"s1": d})
+        assert sorted(first["s1"]) == [BatchedResumableRunner.NULL_UNIT, "u1"]
+        back = spark.read.parquet(str(tmp_path / "out" / "s1"))
+        assert back.count() == 3  # null-unit rows written too
+        lin = {(r.unit, r.rows_out) for r in cp.lineage().collect()}
+        assert (BatchedResumableRunner.NULL_UNIT, 2) in lin
+        # resume: everything (incl. the null partition) already committed
+        second = runner.run(df, transform=lambda d: {"s1": d})
+        assert second == {}
+        assert spark.read.parquet(str(tmp_path / "out" / "s1")).count() == 3
+
+    def test_stats_match_written_rows_under_nondeterminism(self, spark, tmp_path):
+        """rows_out comes from a read-back of the written files, so a
+        nondeterministic upstream expression can't make the counts drift
+        from what was actually written."""
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.checkpoint import (
+            BatchedResumableRunner,
+            CheckpointTable,
+        )
+
+        df = spark.createDataFrame(
+            [("c", i, "u0", "t") for i in range(100)],
+            "conv_id string, turn_idx int, unit string, text string",
+        )
+        cp = CheckpointTable(spark, str(tmp_path / "cp"))
+        runner = BatchedResumableRunner(spark, cp, str(tmp_path / "out"))
+
+        def transform(d):
+            return {"s1": d.filter(F.rand(0) >= 0)}  # nondeterministic op
+
+        runner.run(df, transform=transform)
+        written = spark.read.parquet(str(tmp_path / "out" / "s1")).count()
+        rows_out = cp.lineage().agg(F.sum("rows_out")).collect()[0][0]
+        assert rows_out == written
 
     def test_partial_resume_overwrites_interrupted_unit(self, spark, tmp_path):
         from loongcollector_spark.checkpoint import (
