@@ -430,6 +430,31 @@ def q_merge_conversation(spark, sf_dir):
     )
 
 
+def q_merge_multiline_continue_end(spark, sf_dir):
+    """Continue+End multiline matrix (ProcessorMergeMultilineLogNative.cpp
+    :230-264): tab-grammar turns (^u\\d+\\t) are continuation lines, a
+    JSON turn (^\\{) ends the event; broken runs fall back to single
+    lines. Exercises the FSM path of MergeMultilineLog."""
+    from loongcollector_spark.operators.splits import MergeMultilineLog
+
+    t = _transcripts(spark, sf_dir)
+    proc = MergeMultilineLog(
+        SourceKey="text",
+        GroupKey="conv_id",
+        OrderKey="turn_idx",
+        ContinuePattern=r"^u\d+\t",
+        EndPattern=r"^\{",
+        UnmatchedContentTreatment="single_line",
+    )
+    out = proc(t)
+    return out.select(
+        "conv_id",
+        F.col("text").alias("merged_text"),
+        F.col("turn_idx").cast("int").alias("turn_start"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
 def q_grok_delim(spark, sf_dir):
     """Grok over the delimiter grammar rows (compiled pattern dispatch)."""
     from loongcollector_spark.operators.grok import Grok
@@ -751,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": q_cosine_topk,
         "spl_where_extend_project": q_spl_pipeline,
         "merge_multiline_conversation": q_merge_conversation,
+        "merge_multiline_continue_end": q_merge_multiline_continue_end,
         "grok_compiled_dispatch": q_grok_delim,
         "split_log_string_explode": q_split_explode,
         "log_to_metric_reshape": q_log_to_metric,
@@ -1005,6 +1031,38 @@ SELECT qid, nid, cosine_sim, CAST(rank AS INT) AS rank FROM (
 SELECT conv_id, turn_idx, upper(tool) AS tool_uc,
        CAST(strpos(text, '=') AS INT) AS eq_pos
 FROM transcripts WHERE role = 'assistant'"""
+
+    # Continue+End FSM reduces to segments: each maximal continue-run plus
+    # its terminating non-continue row shares an exclusive running count of
+    # non-continue rows; the segment merges iff its last row is a
+    # non-continue end-match, else every row is an unmatched single.
+    sql["merge_multiline_continue_end"] = _T + r""", flags AS (
+  SELECT conv_id, turn_idx, text,
+         COALESCE(regexp_matches(text, '^u[0-9]+\t'), FALSE) AS c,
+         COALESCE(regexp_matches(text, '^\{'), FALSE) AS e
+  FROM transcripts
+), seg AS (
+  SELECT *, COALESCE(SUM(CASE WHEN NOT c THEN 1 ELSE 0 END) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+  FROM flags
+), segstat AS (
+  SELECT conv_id, grp,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS joined,
+         min(turn_idx) AS turn_start,
+         CAST(count(*) AS BIGINT) AS n,
+         arg_max(c, turn_idx) AS last_c,
+         arg_max(e, turn_idx) AS last_e
+  FROM seg GROUP BY conv_id, grp
+)
+SELECT conv_id, joined AS merged_text,
+       CAST(turn_start AS INT) AS turn_start, n AS n_merged
+FROM segstat WHERE (NOT last_c) AND last_e
+UNION ALL
+SELECT s.conv_id, s.text AS merged_text,
+       CAST(s.turn_idx AS INT) AS turn_start, CAST(1 AS BIGINT) AS n_merged
+FROM seg s JOIN segstat g ON s.conv_id = g.conv_id AND s.grp = g.grp
+WHERE NOT ((NOT g.last_c) AND g.last_e)"""
 
     sql["merge_multiline_conversation"] = _T + """
 SELECT conv_id,

@@ -159,36 +159,192 @@ class SplitLogRegex(Processor):
 @register("processor_merge_multiline_log_native")
 class MergeMultilineLog(Processor):
     """Merge continuation rows into one logical event
-    (core/plugin/processor/inner/ProcessorMergeMultilineLogNative.cpp,
+    (core/plugin/processor/inner/ProcessorMergeMultilineLogNative.cpp:161-345,
     ProcessorSplitMultilineLogStringNative.h:68-79).
 
-    Rows ordered by (GroupKey, OrderKey); a row matching ``StartPattern``
-    begins a new logical event, subsequent non-matching rows are appended.
-    ``UnmatchedContentTreatment``: 'single_line' emits leading unmatched
-    rows as their own events; 'discard' drops them.
+    Rows ordered by (GroupKey, OrderKey). Supported pattern combinations
+    mirror MergeLogsByRegex (.cpp:162-169): Start, Start+Continue,
+    Start+End, Continue+End, End — Continue alone is invalid, exactly as
+    in the reference. ``UnmatchedContentTreatment``: 'single_line' emits
+    unmatched rows as their own events; 'discard' drops them.
 
-    Physical plan: window over (GroupKey → OrderKey) computing a running
-    sum of start flags (one shuffle on GroupKey), then groupBy the
-    assigned event id with ``array_join(collect_list(...))`` — order
-    restored via sort of (OrderKey, line) structs. Skew-safe for
-    transcripts: groups are conversations.
+    Physical plans:
+    * Start-only fast path — a window over (GroupKey → OrderKey) computing
+      a running sum of start flags (one shuffle on GroupKey), then groupBy
+      the assigned event id with ``array_join(collect_list(...))``; no
+      Python at all.
+    * Continue/End combinations — the reference's two-state FSM is
+      inherently sequential per group, so it runs in ``applyInPandas``
+      per GroupKey. The expensive part (regex matching) is still
+      JVM-vectorized: Start/Continue/End flags are computed with
+      ``rlike`` *before* the shuffle, and the pandas FSM consumes only
+      booleans + strings — O(lines) branch logic per group, one shuffle
+      on GroupKey. Groups are conversations/files: bounded, skew-safe.
     """
 
     def __init__(
         self,
         SourceKey: str,
-        StartPattern: str,
         GroupKey: str,
         OrderKey: str,
+        StartPattern: str | None = None,
+        ContinuePattern: str | None = None,
+        EndPattern: str | None = None,
         UnmatchedContentTreatment: str = "single_line",
     ) -> None:
+        if not (StartPattern or ContinuePattern or EndPattern):
+            raise ValueError("at least one of Start/Continue/EndPattern required")
+        if ContinuePattern and not (StartPattern or EndPattern):
+            raise ValueError(
+                "ContinuePattern alone is unsupported (reference "
+                "MergeLogsByRegex supports start, start+continue, "
+                "start+end, continue+end, end)"
+            )
+        for p in (StartPattern, ContinuePattern, EndPattern):
+            if p:
+                re.compile(p)  # fail fast at config time, like Init()
         self.source_key = SourceKey
         self.start_pattern = StartPattern
+        self.continue_pattern = ContinuePattern
+        self.end_pattern = EndPattern
         self.group_key = GroupKey
         self.order_key = OrderKey
         self.unmatched = UnmatchedContentTreatment
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        if self.continue_pattern or self.end_pattern:
+            return self._call_fsm(df)
+        return self._call_start_only(df)
+
+    def _call_fsm(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        src = F.col(self.source_key)
+        has_s = self.start_pattern is not None
+        has_c = self.continue_pattern is not None
+        has_e = self.end_pattern is not None
+        single_line = self.unmatched != "discard"
+        group_key, order_key, source_key = (
+            self.group_key,
+            self.order_key,
+            self.source_key,
+        )
+
+        def flag(pattern):
+            # BoostRegexSearch is a *search*, not a full match
+            return F.coalesce(src.rlike(pattern), F.lit(False)) if pattern else F.lit(False)
+
+        flagged = df.select(
+            group_key,
+            order_key,
+            src.alias("__v__"),
+            flag(self.start_pattern).alias("__s__"),
+            flag(self.continue_pattern).alias("__c__"),
+            flag(self.end_pattern).alias("__e__"),
+        )
+        in_schema = dict(zip(df.schema.names, df.schema.fields))
+        out_schema = T.StructType(
+            [
+                in_schema[group_key],
+                T.StructField(source_key, T.StringType()),
+                in_schema[order_key],
+                T.StructField("n_merged", T.LongType()),
+            ]
+        )
+
+        def fsm(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(order_key)
+            gval = pdf[group_key].iloc[0]
+            rows = list(
+                zip(pdf[order_key], pdf["__v__"], pdf["__s__"], pdf["__c__"], pdf["__e__"])
+            )
+            out: list[tuple] = []
+            events: list[tuple] = []  # (order, text)
+
+            def emit_merge():
+                if events:
+                    out.append(
+                        (
+                            gval,
+                            "\n".join("" if t is None else t for _, t in events),
+                            events[0][0],
+                            len(events),
+                        )
+                    )
+                    events.clear()
+
+            def unmatch(batch):
+                if single_line:
+                    for o, t in batch:
+                        out.append((gval, t, o, 1))
+
+            # only-End sticks to the partial state (.cpp:176-180)
+            partial = not has_s and not has_c and has_e
+            for o, t, s, c, e in rows:
+                if not partial:
+                    primary = s if has_s else c
+                    if primary:
+                        events.append((o, t))
+                        partial = True
+                    elif has_e and not has_s and has_c and e:
+                        # continue+end: an end line outside a partial is a
+                        # complete single event (.cpp:230-238)
+                        out.append((gval, t, o, 1))
+                    else:
+                        unmatch([(o, t)])
+                else:
+                    if has_c and c:
+                        events.append((o, t))
+                        continue
+                    if has_e:
+                        events.append((o, t))
+                        if has_c:
+                            # end pattern decides (.cpp:253-264)
+                            if e:
+                                emit_merge()
+                            else:
+                                unmatch(events)
+                                events.clear()
+                            partial = False
+                        else:
+                            if e:
+                                emit_merge()
+                                if has_s:
+                                    partial = False
+                                # only-end: stay partial, next log starts
+                            # not end → wait for the next line
+                    else:
+                        if not has_c:
+                            # start only (fast path handles this normally)
+                            if not s:
+                                events.append((o, t))
+                            else:
+                                emit_merge()
+                                events.append((o, t))
+                        else:
+                            # start+continue: current line broke the run
+                            emit_merge()
+                            if not s:
+                                unmatch([(o, t)])
+                                partial = False
+                            else:
+                                events.append((o, t))
+            if partial and events:
+                if not has_e:
+                    emit_merge()
+                else:
+                    unmatch(events)  # dangling partial with End → unmatched
+            import pandas as pd  # noqa: F811
+
+            return pd.DataFrame(
+                out, columns=[group_key, source_key, order_key, "n_merged"]
+            )
+
+        return flagged.groupBy(group_key).applyInPandas(fsm, schema=out_schema)
+
+    def _call_start_only(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)
         is_start = src.rlike(f"^(?:{self.start_pattern})")
         w = (

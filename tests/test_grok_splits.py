@@ -283,3 +283,138 @@ class TestSplits:
         )
         out = rows_as_dicts(proc(df), order_by=("off",))
         assert [r["content"] for r in out] == ["2024-01-01 start"]
+
+
+# Reference fixture constants
+# (core/unittest/processor/ProcessorMergeMultilineLogNativeUnittest.cpp:26-32)
+_B = "Exception in thread 'main' java.lang.NullPointerException"
+_C = "    at com.example.myproject.Book.getTitle(Book.java:16)"
+_E = "    ...23 more"
+_U = "unmatch log"
+_B_RX = r"Exception.*"
+_C_RX = r"\s+at\s.*"
+_E_RX = r"\s*\.\.\.\d+ more"
+
+
+class TestMergeMultilineMatrix:
+    """Start×Continue×End combinations, ported from
+    ProcessorMergeMultilineLog{DisacardUnmatch,KeepUnmatch}Unittest
+    (TestLogSplitWithBeginContinue/BeginEnd/ContinueEnd/End)."""
+
+    def _run(self, spark, lines, expect, *, start=None, cont=None, end=None,
+             unmatched="single_line"):
+        df = spark.createDataFrame(
+            [("f1", i, ln) for i, ln in enumerate(lines)],
+            "src string, off int, content string",
+        )
+        proc = MergeMultilineLog(
+            SourceKey="content",
+            GroupKey="src",
+            OrderKey="off",
+            StartPattern=start,
+            ContinuePattern=cont,
+            EndPattern=end,
+            UnmatchedContentTreatment=unmatched,
+        )
+        out = rows_as_dicts(proc(df), order_by=("off",))
+        assert [r["content"] for r in out] == expect, (lines, unmatched)
+
+    # --- Begin + Continue -------------------------------------------------
+    def test_begin_continue_discard(self, spark):
+        cases = [
+            ([_U, _U], []),
+            ([_B, _U], [_B]),
+            ([_U, _B, _C, _C, _U], [f"{_B}\n{_C}\n{_C}"]),
+            ([_B, _C, _C], [f"{_B}\n{_C}\n{_C}"]),  # EOF partial, no End
+            ([_B, _C, _B], [f"{_B}\n{_C}", _B]),  # start restarts the run
+        ]
+        for lines, expect in cases:
+            self._run(spark, lines, expect, start=_B_RX, cont=_C_RX,
+                      unmatched="discard")
+
+    def test_begin_continue_keep(self, spark):
+        cases = [
+            ([_U, _U], [_U, _U]),
+            ([_B, _U], [_B, _U]),
+            ([_U, _B, _C, _C, _U], [_U, f"{_B}\n{_C}\n{_C}", _U]),
+        ]
+        for lines, expect in cases:
+            self._run(spark, lines, expect, start=_B_RX, cont=_C_RX)
+
+    # --- Begin + End ------------------------------------------------------
+    def test_begin_end_discard(self, spark):
+        cases = [
+            ([_U, _U], []),
+            ([_U, _B, _U], []),  # dangling partial with End → unmatched
+            ([_U, _B, _E, _U], [f"{_B}\n{_E}"]),
+            ([_B, _B], []),  # second Begin is just a waiting line; EOF unmatched
+            ([_U, _B, _U, _E, _U], [f"{_B}\n{_U}\n{_E}"]),
+        ]
+        for lines, expect in cases:
+            self._run(spark, lines, expect, start=_B_RX, end=_E_RX,
+                      unmatched="discard")
+
+    def test_begin_end_keep(self, spark):
+        cases = [
+            ([_U, _B, _U], [_U, _B, _U]),
+            ([_U, _B, _U, _E, _U], [_U, f"{_B}\n{_U}\n{_E}", _U]),
+        ]
+        for lines, expect in cases:
+            self._run(spark, lines, expect, start=_B_RX, end=_E_RX)
+
+    # --- Continue + End ---------------------------------------------------
+    def test_continue_end_discard(self, spark):
+        cases = [
+            ([_C, _C, _E], [f"{_C}\n{_C}\n{_E}"]),
+            ([_E], [_E]),  # lone End outside a partial = complete event
+            ([_C, _C, _U], []),  # broken run → whole span unmatched
+            ([_U, _C, _E, _E], [f"{_C}\n{_E}", _E]),
+        ]
+        for lines, expect in cases:
+            self._run(spark, lines, expect, cont=_C_RX, end=_E_RX,
+                      unmatched="discard")
+
+    def test_continue_end_keep(self, spark):
+        cases = [
+            ([_C, _C, _U], [_C, _C, _U]),
+            ([_U, _C, _E], [_U, f"{_C}\n{_E}"]),
+        ]
+        for lines, expect in cases:
+            self._run(spark, lines, expect, cont=_C_RX, end=_E_RX)
+
+    # --- End only ---------------------------------------------------------
+    def test_end_only(self, spark):
+        self._run(spark, [_U, _U, _E, _U], [f"{_U}\n{_U}\n{_E}", _U],
+                  end=_E_RX)
+        self._run(spark, [_U, _U, _E, _U], [f"{_U}\n{_U}\n{_E}"],
+                  end=_E_RX, unmatched="discard")
+        self._run(spark, [_E, _E], [_E, _E], end=_E_RX)
+
+    # --- config validation ------------------------------------------------
+    def test_continue_only_invalid(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            MergeMultilineLog(
+                SourceKey="content", GroupKey="g", OrderKey="o",
+                ContinuePattern=_C_RX,
+            )
+
+    def test_groups_isolated(self, spark):
+        """FSM state never leaks across GroupKey values."""
+        rows = [
+            ("f1", 0, _B), ("f1", 1, _C),
+            ("f2", 0, _C), ("f2", 1, _E),
+        ]
+        df = spark.createDataFrame(rows, "src string, off int, content string")
+        proc = MergeMultilineLog(
+            SourceKey="content", GroupKey="src", OrderKey="off",
+            StartPattern=_B_RX, ContinuePattern=_C_RX, EndPattern=_E_RX,
+        )
+        out = rows_as_dicts(proc(df), order_by=("src", "off"))
+        assert [(r["src"], r["content"]) for r in out] == [
+            ("f1", _B), ("f1", _C),  # dangling f1 partial w/ End → unmatched
+            # with StartPattern set, the non-partial state consults Start
+            # only — f2's Continue/End lines are unmatched singles
+            ("f2", _C), ("f2", _E),
+        ]
