@@ -538,6 +538,212 @@ def q_otel_reshape(spark, sf_dir):
     )
 
 
+def q_otel_metric_reshape(spark, sf_dir):
+    """OTLP-JSON metrics → SLS metric rows (gauge + monotonic sum per
+    event; ConvertOtlpMetricV1 shape). The payload is built in-query from
+    the events table, so the oracle can compute the expected datapoints
+    directly."""
+    from loongcollector_spark.operators.convert import OtelMetricReshape
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
+    _attr_t = "array<struct<key:string,value:struct<stringValue:string,intValue:string>>>"
+    _dp_t = (
+        f"array<struct<attributes:{_attr_t},timeUnixNano:string,"
+        "asDouble:double,asInt:string>>"
+    )
+    _gauge_t = f"struct<dataPoints:{_dp_t}>"
+    _sum_t = (
+        f"struct<dataPoints:{_dp_t},isMonotonic:boolean,"
+        "aggregationTemporality:string>"
+    )
+    dp_gauge = F.struct(
+        F.array(
+            F.struct(
+                F.lit("uid").alias("key"),
+                F.struct(
+                    F.lit(None).cast("string").alias("stringValue"),
+                    F.col("user_id").cast("string").alias("intValue"),
+                ).alias("value"),
+            )
+        ).alias("attributes"),
+        ns.alias("timeUnixNano"),
+        F.col("value").alias("asDouble"),
+        F.lit(None).cast("string").alias("asInt"),
+    )
+    dp_sum = F.struct(
+        F.array().cast(_attr_t).alias("attributes"),
+        ns.alias("timeUnixNano"),
+        F.lit(None).cast("double").alias("asDouble"),
+        F.lit("1").alias("asInt"),
+    )
+    metric_gauge = F.struct(
+        F.concat(F.lit("evt "), F.col("event_type")).alias("name"),
+        F.struct(F.array(dp_gauge).alias("dataPoints")).alias("gauge"),
+        F.lit(None).cast(_sum_t).alias("sum"),
+    )
+    metric_sum = F.struct(
+        F.lit("evt.count").alias("name"),
+        F.lit(None).cast(_gauge_t).alias("gauge"),
+        F.struct(
+            F.array(dp_sum).alias("dataPoints"),
+            F.lit(True).alias("isMonotonic"),
+            F.lit("2").alias("aggregationTemporality"),
+        ).alias("sum"),
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                F.lit("host.name").alias("key"),
+                                F.struct(
+                                    F.concat(
+                                        F.lit("h"), F.col("user_id").cast("string")
+                                    ).alias("stringValue"),
+                                    F.lit(None).cast("string").alias("intValue"),
+                                ).alias("value"),
+                            )
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.array(metric_gauge, metric_sum).alias("metrics")
+                        )
+                    ).alias("scopeMetrics"),
+                )
+            ).alias("resourceMetrics")
+        )
+    )
+    df = ev.select(payload.alias("content"))
+    out = OtelMetricReshape(SourceKey="content")(df)
+    return out.select(
+        F.col("__name__").alias("mname"),
+        F.col("__time_nano__").alias("tnano"),
+        F.col("__labels__").alias("labels"),
+        F.round(F.col("__value__"), 6).alias("mvalue"),
+    )
+
+
+def q_otel_trace_reshape(spark, sf_dir):
+    """OTLP-JSON traces → flat span rows (otlp_trace_parser.go fields).
+    Spans are derived from transcript turns (traceID = md5(conv_id),
+    parent = previous turn) so the oracle can rebuild every flat field
+    directly."""
+    from loongcollector_spark.operators.convert import OtelTraceReshape
+
+    t = _transcripts(spark, sf_dir)
+    start_ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+    span_id = F.substring(
+        F.md5(F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string"))),
+        1, 16,
+    )
+    parent_id = F.when(F.col("turn_idx") == 0, F.lit("")).otherwise(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("conv_id"), F.lit("#"), (F.col("turn_idx") - 1).cast("string")
+                )
+            ),
+            1, 16,
+        )
+    )
+    kv_str = lambda k, v: F.struct(  # noqa: E731
+        F.lit(k).alias("key"), F.struct(v.alias("stringValue")).alias("value")
+    )
+    link_arr = F.when(
+        F.col("turn_idx") == 0,
+        F.array(
+            F.struct(
+                F.md5(F.col("conv_id")).alias("traceId"),
+                F.substring(F.md5(F.col("conv_id")), 1, 16).alias("spanId"),
+                F.array().cast(
+                    "array<struct<key:string,value:struct<stringValue:string>>>"
+                ).alias("attributes"),
+            )
+        ),
+    ).otherwise(
+        F.array().cast(
+            "array<struct<traceId:string,spanId:string,"
+            "attributes:array<struct<key:string,value:struct<stringValue:string>>>>>"
+        )
+    )
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            kv_str("host.name", F.lit("host1")),
+                            kv_str("service.name", F.lit("chat")),
+                            kv_str("env", F.lit("prod")),
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.struct(
+                                F.lit("loongspark").alias("name"),
+                                F.lit("1.0").alias("version"),
+                            ).alias("scope"),
+                            F.array(
+                                F.struct(
+                                    F.md5(F.col("conv_id")).alias("traceId"),
+                                    span_id.alias("spanId"),
+                                    parent_id.alias("parentSpanId"),
+                                    F.concat(
+                                        F.lit("turn-"), F.col("turn_idx").cast("string")
+                                    ).alias("name"),
+                                    (F.pmod(F.col("turn_idx"), F.lit(5)) + 1)
+                                    .cast("string")
+                                    .alias("kind"),
+                                    start_ns.cast("string").alias("startTimeUnixNano"),
+                                    (start_ns + F.lit(1_000_000_000))
+                                    .cast("string")
+                                    .alias("endTimeUnixNano"),
+                                    F.lit("st=1").alias("traceState"),
+                                    F.array(
+                                        kv_str("role", F.col("role")),
+                                        kv_str("tool", F.coalesce(F.col("tool"), F.lit(""))),
+                                    ).alias("attributes"),
+                                    F.array(
+                                        F.struct(
+                                            F.lit("e0").alias("name"),
+                                            (start_ns + 1000).cast("string").alias("timeUnixNano"),
+                                            F.array(
+                                                F.struct(
+                                                    F.lit("x").alias("key"),
+                                                    F.struct(
+                                                        F.col("turn_idx")
+                                                        .cast("string")
+                                                        .alias("intValue")
+                                                    ).alias("value"),
+                                                )
+                                            ).alias("attributes"),
+                                        )
+                                    ).alias("events"),
+                                    link_arr.alias("links"),
+                                    F.struct(
+                                        F.when(F.col("etype") == "error", F.lit("2"))
+                                        .otherwise(F.lit("1"))
+                                        .alias("code"),
+                                        F.coalesce(F.col("etype"), F.lit("")).alias("message"),
+                                    ).alias("status"),
+                                )
+                            ).alias("spans"),
+                        )
+                    ).alias("scopeSpans"),
+                )
+            ).alias("resourceSpans")
+        )
+    )
+    parsed = tp.TranscriptPipeline().parse(t)
+    df = parsed.select(payload.alias("content"))
+    out = OtelTraceReshape(SourceKey="content")(df)
+    return out
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN top-1 self-recall (KMeans quantizer; engine-specific
     clustering → rows-only check; exactness is covered by
@@ -783,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_lookup_geoip": q_range_lookup,
         "streaming_parse_enrich": q_streaming_parse_enrich,
         "otel_log_reshape": q_otel_reshape,
+        "otel_metric_reshape": q_otel_metric_reshape,
+        "otel_trace_reshape": q_otel_trace_reshape,
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
         "string_replace_const": q_string_replace,
@@ -1199,6 +1407,55 @@ SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000000 AS timeUnixN
        text AS body,
        conv_id AS attr_conv,
        role AS attr_role
+FROM enriched"""
+    )
+
+    sql["otel_metric_reshape"] = """
+SELECT 'evt_' || event_type AS mname,
+       epoch_us(ts) * 1000 AS tnano,
+       'host.name#$#h' || CAST(user_id AS VARCHAR)
+           || '|uid#$#' || CAST(user_id AS VARCHAR) AS labels,
+       round(value, 6) AS mvalue
+FROM events
+UNION ALL
+SELECT 'evt_count' AS mname,
+       epoch_us(ts) * 1000 AS tnano,
+       'host.name#$#h' || CAST(user_id AS VARCHAR)
+           || '|otlp.metric.aggregation.temporality#$#Cumulative'
+           || '|otlp.metric.ismonotonic#$#true' AS labels,
+       CAST(1.0 AS DOUBLE) AS mvalue
+FROM events"""
+
+    sql["otel_trace_reshape"] = (
+        tp.oracle_enriched_sql()
+        + """
+SELECT 'host1' AS host, 'chat' AS service, '{"env":"prod"}' AS resource,
+       'loongspark' AS otlp_name, '1.0' AS otlp_version,
+       md5(conv_id) AS traceID,
+       substring(md5(conv_id || '#' || CAST(turn_idx AS VARCHAR)), 1, 16)
+           AS spanID,
+       CASE WHEN turn_idx = 0 THEN '' ELSE
+            substring(md5(conv_id || '#' || CAST(turn_idx - 1 AS VARCHAR)), 1, 16)
+       END AS parentSpanID,
+       CASE (turn_idx % 5) + 1
+            WHEN 1 THEN 'internal' WHEN 2 THEN 'server' WHEN 3 THEN 'client'
+            WHEN 4 THEN 'producer' WHEN 5 THEN 'consumer' END AS kind,
+       'turn-' || CAST(turn_idx AS VARCHAR) AS name,
+       CASE WHEN turn_idx = 0 THEN
+            '[{"attribute":{},"spanID":"' || substring(md5(conv_id), 1, 16)
+            || '","traceID":"' || md5(conv_id) || '"}]'
+       ELSE '[]' END AS links,
+       '[{"attribute":{"x":"' || CAST(turn_idx AS VARCHAR)
+           || '"},"name":"e0","time":'
+           || CAST(epoch_us(ts) * 1000 + 1000 AS VARCHAR) || '}]' AS logs,
+       'st=1' AS traceState,
+       CAST(epoch_us(ts) AS VARCHAR) AS start,
+       CAST(epoch_us(ts) + 1000000 AS VARCHAR) AS "end",
+       '1000000' AS duration,
+       '{"role":"' || role || '","tool":"' || coalesce(tool, '')
+           || '"}' AS attribute,
+       CASE WHEN etype = 'error' THEN 'ERROR' ELSE 'OK' END AS statusCode,
+       coalesce(etype, '') AS statusMessage
 FROM enriched"""
     )
 

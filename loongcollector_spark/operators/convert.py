@@ -405,3 +405,666 @@ class Encrypt(Processor):
                 args.append(F.lit(self.iv).cast("binary"))
             df = df.withColumn(k, F.base64(F.aes_encrypt(*args)))
         return df
+
+
+# ---------------------------------------------------------------------------
+# OTel metric / trace reshapes (plugins/processor/otel/processor_otel_metric.go,
+# processor_otel_trace.go; converters pkg/protocol/decoder/opentelemetry/
+# otlpDataToSLSProto.go:49-229, otlp_trace_parser.go:19-170,218-283).
+# ---------------------------------------------------------------------------
+
+_OTLP_ANYVALUE = T.StructType(
+    [
+        T.StructField("stringValue", T.StringType()),
+        T.StructField("boolValue", T.BooleanType()),
+        T.StructField("intValue", T.StringType()),
+        T.StructField("doubleValue", T.DoubleType()),
+    ]
+)
+_OTLP_KVS = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", _OTLP_ANYVALUE),
+        ]
+    )
+)
+
+
+def _otlp_attr_string(v):
+    """pcommon.Value.AsString over the scalar AnyValue subset."""
+    return F.coalesce(
+        v["stringValue"],
+        v["intValue"],
+        F.when(
+            v["doubleValue"].isNotNull(),
+            _g_format(v["doubleValue"]),
+        ),
+        v["boolValue"].cast("string"),
+        F.lit(""),
+    )
+
+
+def _g_format(d):
+    """Approximate Go strconv.FormatFloat(x, 'g', -1, 64) for the common
+    range: integral values print without a trailing '.0'."""
+    as_long = d.cast("long")
+    return F.when(
+        (d == as_long.cast("double")) & (F.abs(d) < F.lit(1e15)),
+        as_long.cast("string"),
+    ).otherwise(d.cast("string"))
+
+
+def _norm_attrs(attrs):
+    """array<struct<key,AnyValue>> → array<struct<k,v>> of strings."""
+    return F.transform(
+        F.coalesce(attrs, F.array()),
+        lambda a: F.struct(a["key"].alias("k"), _otlp_attr_string(a["value"]).alias("v")),
+    )
+
+
+def _kv(key: str, val) -> "F.Column":
+    v = F.lit(val) if isinstance(val, str) else val
+    return F.struct(F.lit(key).alias("k"), v.alias("v"))
+
+
+def _labels_string(*kv_arrays):
+    """MetricLabels.String(): sort by key, join 'k#$#v' with '|'
+    (pkg/helper/log_helper.go:209-228)."""
+    allkv = F.concat(*kv_arrays) if len(kv_arrays) > 1 else kv_arrays[0]
+    return F.array_join(
+        F.array_sort(F.transform(allkv, lambda e: F.concat(e["k"], F.lit("#$#"), e["v"]))),
+        "|",
+    )
+
+
+_AGG_TEMPORALITY = {
+    "1": "Delta",
+    "2": "Cumulative",
+    "AGGREGATION_TEMPORALITY_DELTA": "Delta",
+    "AGGREGATION_TEMPORALITY_CUMULATIVE": "Cumulative",
+}
+
+
+def _temporality_str(col):
+    m = F.create_map(
+        *[F.lit(x) for kvp in _AGG_TEMPORALITY.items() for x in kvp]
+    )
+    return F.coalesce(F.try_element_at(m, col), F.lit("Unspecified"))
+
+
+
+def _json_str(s):
+    """JSON string literal (with quotes) of a string column — to_json only
+    serializes containers, so escape via a 1-element array and strip the
+    brackets."""
+    j = F.to_json(F.array(F.coalesce(s, F.lit(""))))
+    return F.substring(j, 2, F.length(j) - 2)
+
+
+@register("processor_otel_metric")
+class OtelMetricReshape(Processor):
+    """OTLP-JSON metrics payload → one row per datapoint in the SLS metric
+    shape (``__name__``, ``__time_nano__``, ``__labels__``, ``__value__``),
+    mirroring ConvertOtlpMetricV1 (otlpDataToSLSProto.go:344-430):
+
+    * gauge / sum — one row per NumberDataPoint; sum adds
+      ``otlp.metric.ismonotonic`` + ``otlp.metric.aggregation.temporality``
+      labels (:140-160)
+    * histogram — ``_sum``/``_min``/``_max`` (when present), ``_count``,
+      and one ``_bucket`` row per bound with CUMULATIVE count and an
+      ``le`` label, last bound ``+Inf`` (:185-229)
+    * summary — ``_sum``/``_count`` + one row per quantile with a
+      ``quantile`` label (:162-183)
+
+    Not covered (documented): exponential histograms, exemplar rows, and
+    the protobuf/protojson binary input formats (this container has no
+    OTLP proto libs — JSON only). ``__value__`` stays a typed double and
+    ``__time_nano__`` a typed long rather than the reference's
+    stringly-typed log contents.
+
+    Pure from_json + nested higher-order functions — the payload is
+    parsed once, every datapoint expansion is JVM-side.
+    """
+
+    _DP_NUM = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("attributes", _OTLP_KVS),
+                T.StructField("timeUnixNano", T.StringType()),
+                T.StructField("asDouble", T.DoubleType()),
+                T.StructField("asInt", T.StringType()),
+            ]
+        )
+    )
+    _SCHEMA = T.StructType(
+        [
+            T.StructField(
+                "resourceMetrics",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "resource",
+                                T.StructType([T.StructField("attributes", _OTLP_KVS)]),
+                            ),
+                            T.StructField(
+                                "scopeMetrics",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "metrics",
+                                                T.ArrayType(
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField("name", T.StringType()),
+                                                            T.StructField(
+                                                                "gauge",
+                                                                T.StructType(
+                                                                    [T.StructField("dataPoints", _DP_NUM)]
+                                                                ),
+                                                            ),
+                                                            T.StructField(
+                                                                "sum",
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField("dataPoints", _DP_NUM),
+                                                                        T.StructField(
+                                                                            "isMonotonic", T.BooleanType()
+                                                                        ),
+                                                                        T.StructField(
+                                                                            "aggregationTemporality",
+                                                                            T.StringType(),
+                                                                        ),
+                                                                    ]
+                                                                ),
+                                                            ),
+                                                            T.StructField(
+                                                                "histogram",
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField(
+                                                                            "dataPoints",
+                                                                            T.ArrayType(
+                                                                                T.StructType(
+                                                                                    [
+                                                                                        T.StructField(
+                                                                                            "attributes", _OTLP_KVS
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "timeUnixNano",
+                                                                                            T.StringType(),
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "count", T.StringType()
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "sum", T.DoubleType()
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "min", T.DoubleType()
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "max", T.DoubleType()
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "bucketCounts",
+                                                                                            T.ArrayType(T.StringType()),
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "explicitBounds",
+                                                                                            T.ArrayType(T.DoubleType()),
+                                                                                        ),
+                                                                                    ]
+                                                                                )
+                                                                            ),
+                                                                        ),
+                                                                        T.StructField(
+                                                                            "aggregationTemporality",
+                                                                            T.StringType(),
+                                                                        ),
+                                                                    ]
+                                                                ),
+                                                            ),
+                                                            T.StructField(
+                                                                "summary",
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField(
+                                                                            "dataPoints",
+                                                                            T.ArrayType(
+                                                                                T.StructType(
+                                                                                    [
+                                                                                        T.StructField(
+                                                                                            "attributes", _OTLP_KVS
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "timeUnixNano",
+                                                                                            T.StringType(),
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "count", T.StringType()
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "sum", T.DoubleType()
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "quantileValues",
+                                                                                            T.ArrayType(
+                                                                                                T.StructType(
+                                                                                                    [
+                                                                                                        T.StructField(
+                                                                                                            "quantile",
+                                                                                                            T.DoubleType(),
+                                                                                                        ),
+                                                                                                        T.StructField(
+                                                                                                            "value",
+                                                                                                            T.DoubleType(),
+                                                                                                        ),
+                                                                                                    ]
+                                                                                                )
+                                                                                            ),
+                                                                                        ),
+                                                                                    ]
+                                                                                )
+                                                                            ),
+                                                                        )
+                                                                    ]
+                                                                ),
+                                                            ),
+                                                        ]
+                                                    )
+                                                ),
+                                            )
+                                        ]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+    def __init__(self, SourceKey: str = "content", Format: str = "json") -> None:
+        if Format.lower() != "json":
+            raise ValueError("only Format='json' is supported (no proto libs)")
+        self.source_key = SourceKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        parsed = F.from_json(F.col(self.source_key), self._SCHEMA)
+        rm = F.explode(parsed["resourceMetrics"]).alias("__rm__")
+        df = df.select("*", rm)
+        res_kv = _norm_attrs(F.col("__rm__.resource.attributes"))
+        df = df.withColumn("__res_kv__", res_kv)
+        m = F.explode(F.flatten(F.col("__rm__.scopeMetrics.metrics"))).alias("__m__")
+        df = df.select("*", m).drop("__rm__")
+
+        entry = lambda suffix, t, attrs, extras, value: F.struct(  # noqa: E731
+            F.lit(suffix).alias("suffix"),
+            t.alias("t"),
+            attrs.alias("attrs"),
+            extras.alias("extras"),
+            value.cast("double").alias("value"),
+        )
+        no_extras = F.array().cast(
+            "array<struct<k:string,v:string>>"
+        )
+        entry_arr_t = (
+            "array<struct<suffix:string,t:string,"
+            "attrs:array<struct<k:string,v:string>>,"
+            "extras:array<struct<k:string,v:string>>,value:double>>"
+        )
+        empty_entries = F.array().cast(entry_arr_t)
+
+        mm = F.col("__m__")
+        num_value = lambda dp: F.coalesce(  # noqa: E731
+            dp["asDouble"], dp["asInt"].cast("double")
+        )
+        gauge = F.coalesce(
+            F.transform(
+                mm["gauge"]["dataPoints"],
+                lambda dp: entry(
+                    "", dp["timeUnixNano"], _norm_attrs(dp["attributes"]),
+                    no_extras, num_value(dp),
+                ),
+            ),
+            empty_entries,
+        )
+        sum_extras = F.array(
+            _kv("otlp.metric.ismonotonic",
+                F.coalesce(mm["sum"]["isMonotonic"], F.lit(False)).cast("string")),
+            _kv("otlp.metric.aggregation.temporality",
+                _temporality_str(mm["sum"]["aggregationTemporality"])),
+        )
+        sums = F.coalesce(
+            F.transform(
+                mm["sum"]["dataPoints"],
+                lambda dp: entry(
+                    "", dp["timeUnixNano"], _norm_attrs(dp["attributes"]),
+                    sum_extras, num_value(dp),
+                ),
+            ),
+            empty_entries,
+        )
+        hist_extras = F.array(
+            _kv("otlp.metric.aggregation.temporality",
+                _temporality_str(mm["histogram"]["aggregationTemporality"])),
+            _kv("otlp.metric.histogram.type", "Histogram"),
+        )
+
+        def hist_entries(dp):
+            t = dp["timeUnixNano"]
+            attrs = _norm_attrs(dp["attributes"])
+            bounds = F.coalesce(dp["explicitBounds"], F.array().cast("array<double>"))
+            counts = F.coalesce(dp["bucketCounts"], F.array().cast("array<string>"))
+            n = F.least(F.size(bounds) + 1, F.size(counts))
+            idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            )
+            buckets = F.transform(
+                idx,
+                lambda j: entry(
+                    "_bucket",
+                    t,
+                    attrs,
+                    F.concat(
+                        hist_extras,
+                        F.array(
+                            _kv(
+                                "le",
+                                F.when(
+                                    j <= F.size(bounds),
+                                    _g_format(F.try_element_at(bounds, j)),
+                                ).otherwise(F.lit("+Inf")),
+                            )
+                        ),
+                    ),
+                    F.aggregate(
+                        F.slice(counts, F.lit(1), j),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double"),
+                    ),
+                ),
+            )
+            fixed = F.array(
+                entry("_sum", t, attrs, hist_extras, dp["sum"]),
+                entry("_min", t, attrs, hist_extras, dp["min"]),
+                entry("_max", t, attrs, hist_extras, dp["max"]),
+                entry("_count", t, attrs, hist_extras, dp["count"].cast("double")),
+            )
+            return F.concat(fixed, buckets)
+
+        hists = F.coalesce(
+            F.flatten(F.transform(mm["histogram"]["dataPoints"], hist_entries)),
+            empty_entries,
+        )
+
+        def summary_entries(dp):
+            t = dp["timeUnixNano"]
+            attrs = _norm_attrs(dp["attributes"])
+            quantiles = F.transform(
+                F.coalesce(
+                    dp["quantileValues"],
+                    F.array().cast("array<struct<quantile:double,value:double>>"),
+                ),
+                lambda q: entry(
+                    "",
+                    t,
+                    attrs,
+                    F.array(_kv("quantile", _g_format(q["quantile"]))),
+                    q["value"],
+                ),
+            )
+            return F.concat(
+                F.array(
+                    entry("_sum", t, attrs, no_extras, dp["sum"]),
+                    entry("_count", t, attrs, no_extras, dp["count"].cast("double")),
+                ),
+                quantiles,
+            )
+
+        summaries = F.coalesce(
+            F.flatten(F.transform(mm["summary"]["dataPoints"], summary_entries)),
+            empty_entries,
+        )
+
+        entries = F.filter(
+            F.concat(gauge, sums, hists, summaries),
+            lambda e: e["value"].isNotNull(),
+        )
+        df = df.select("*", F.explode(entries).alias("__e__"))
+        name = F.regexp_replace(
+            F.concat(mm["name"], F.col("__e__.suffix")), r"[^a-zA-Z0-9_:]", "_"
+        )
+        out = df.select(
+            name.alias("__name__"),
+            F.col("__e__.t").cast("long").alias("__time_nano__"),
+            _labels_string(
+                F.col("__res_kv__"), F.col("__e__.attrs"), F.col("__e__.extras")
+            ).alias("__labels__"),
+            F.col("__e__.value").alias("__value__"),
+        )
+        return out
+
+
+@register("processor_otel_trace")
+class OtelTraceReshape(Processor):
+    """OTLP-JSON traces payload → one row per span with the reference's
+    flat fields (otlp_trace_parser.go:19-48,132-216): host, service,
+    resource (JSON of remaining resource attrs), otlp.name, otlp.version,
+    traceID, spanID, parentSpanID, kind (short string, :218-233), name,
+    links (JSON, :271-283), logs (JSON of span events, :256-269),
+    traceState, start/end/duration (epoch MICROseconds, :180-192),
+    attribute (JSON), statusCode (OK/ERROR/UNSET, :235-243),
+    statusMessage.
+
+    Attribute values serialize via AsString (scalar subset) into
+    key-sorted JSON objects — the reference marshals Go maps, which are
+    also key-sorted. Format='json' only, like OtelMetricReshape.
+    """
+
+    _SPAN = T.StructType(
+        [
+            T.StructField("traceId", T.StringType()),
+            T.StructField("spanId", T.StringType()),
+            T.StructField("parentSpanId", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("startTimeUnixNano", T.StringType()),
+            T.StructField("endTimeUnixNano", T.StringType()),
+            T.StructField("traceState", T.StringType()),
+            T.StructField("attributes", _OTLP_KVS),
+            T.StructField(
+                "events",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("name", T.StringType()),
+                            T.StructField("timeUnixNano", T.StringType()),
+                            T.StructField("attributes", _OTLP_KVS),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "links",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("traceId", T.StringType()),
+                            T.StructField("spanId", T.StringType()),
+                            T.StructField("attributes", _OTLP_KVS),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "status",
+                T.StructType(
+                    [
+                        T.StructField("code", T.StringType()),
+                        T.StructField("message", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    _SCHEMA = T.StructType(
+        [
+            T.StructField(
+                "resourceSpans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "resource",
+                                T.StructType([T.StructField("attributes", _OTLP_KVS)]),
+                            ),
+                            T.StructField(
+                                "scopeSpans",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "scope",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("name", T.StringType()),
+                                                        T.StructField("version", T.StringType()),
+                                                    ]
+                                                ),
+                                            ),
+                                            T.StructField("spans", T.ArrayType(_SPAN)),
+                                        ]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+    _KIND = {
+        "1": "internal", "SPAN_KIND_INTERNAL": "internal",
+        "2": "server", "SPAN_KIND_SERVER": "server",
+        "3": "client", "SPAN_KIND_CLIENT": "client",
+        "4": "producer", "SPAN_KIND_PRODUCER": "producer",
+        "5": "consumer", "SPAN_KIND_CONSUMER": "consumer",
+    }
+    _STATUS = {
+        "1": "OK", "STATUS_CODE_OK": "OK",
+        "2": "ERROR", "STATUS_CODE_ERROR": "ERROR",
+    }
+
+    def __init__(self, SourceKey: str = "content", Format: str = "json") -> None:
+        if Format.lower() != "json":
+            raise ValueError("only Format='json' is supported (no proto libs)")
+        self.source_key = SourceKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        parsed = F.from_json(F.col(self.source_key), self._SCHEMA)
+        df = df.select("*", F.explode(parsed["resourceSpans"]).alias("__rs__"))
+        res = F.col("__rs__.resource.attributes")
+        res_kv = _norm_attrs(res)
+        host = F.coalesce(
+            F.element_at(F.map_from_entries(res_kv), F.lit("host.name")), F.lit("")
+        )
+        service = F.coalesce(
+            F.element_at(F.map_from_entries(res_kv), F.lit("service.name")), F.lit("")
+        )
+        rest_kv = F.filter(
+            res_kv, lambda e: ~e["k"].isin("host.name", "service.name")
+        )
+        df = (
+            df.withColumn("__host__", host)
+            .withColumn("__service__", service)
+            .withColumn("__resource__", self._kv_json(rest_kv))
+            .select("*", F.explode(F.col("__rs__.scopeSpans")).alias("__ss__"))
+            .drop("__rs__")
+        )
+        span = F.explode(F.col("__ss__.spans")).alias("__sp__")
+        df = df.select("*", span)
+        sp = F.col("__sp__")
+        kind_map = F.create_map(*[F.lit(x) for kvp in self._KIND.items() for x in kvp])
+        status_map = F.create_map(*[F.lit(x) for kvp in self._STATUS.items() for x in kvp])
+        start_ns = sp["startTimeUnixNano"].cast("decimal(26,0)")
+        end_ns = sp["endTimeUnixNano"].cast("decimal(26,0)")
+        micros = lambda c: (c / 1000).cast("long").cast("string")  # noqa: E731
+        events_json = F.concat(
+            F.lit("["),
+            F.array_join(
+                F.coalesce(F.transform(
+                    sp["events"],
+                    lambda e: F.concat(
+                        F.lit('{"attribute":'), self._kv_json(_norm_attrs(e["attributes"])),
+                        F.lit(',"name":'), _json_str(e["name"]),
+                        F.lit(',"time":'), F.coalesce(e["timeUnixNano"], F.lit("0")),
+                        F.lit("}"),
+                    ),
+                ), F.array().cast("array<string>")),
+                ",",
+            ),
+            F.lit("]"),
+        )
+        links_json = F.concat(
+            F.lit("["),
+            F.array_join(
+                F.coalesce(F.transform(
+                    sp["links"],
+                    lambda l: F.concat(
+                        F.lit('{"attribute":'), self._kv_json(_norm_attrs(l["attributes"])),
+                        F.lit(',"spanID":'), _json_str(F.lower(l["spanId"])),
+                        F.lit(',"traceID":'), _json_str(F.lower(l["traceId"])),
+                        F.lit("}"),
+                    ),
+                ), F.array().cast("array<string>")),
+                ",",
+            ),
+            F.lit("]"),
+        )
+        out = df.select(
+            F.col("__host__").alias("host"),
+            F.col("__service__").alias("service"),
+            F.col("__resource__").alias("resource"),
+            F.coalesce(F.col("__ss__.scope.name"), F.lit("")).alias("otlp_name"),
+            F.coalesce(F.col("__ss__.scope.version"), F.lit("")).alias("otlp_version"),
+            F.lower(F.coalesce(sp["traceId"], F.lit(""))).alias("traceID"),
+            F.lower(F.coalesce(sp["spanId"], F.lit(""))).alias("spanID"),
+            F.lower(F.coalesce(sp["parentSpanId"], F.lit(""))).alias("parentSpanID"),
+            F.coalesce(
+                F.try_element_at(kind_map, sp["kind"]), F.lit("")
+            ).alias("kind"),
+            F.coalesce(sp["name"], F.lit("")).alias("name"),
+            links_json.alias("links"),
+            events_json.alias("logs"),
+            F.coalesce(sp["traceState"], F.lit("")).alias("traceState"),
+            micros(start_ns).alias("start"),
+            micros(end_ns).alias("end"),
+            micros(end_ns - start_ns).alias("duration"),
+            self._kv_json(_norm_attrs(sp["attributes"])).alias("attribute"),
+            F.coalesce(
+                F.try_element_at(status_map, sp["status"]["code"]), F.lit("UNSET")
+            ).alias("statusCode"),
+            F.coalesce(sp["status"]["message"], F.lit("")).alias("statusMessage"),
+        )
+        return out
+
+    @staticmethod
+    def _kv_json(kvs):
+        """array<struct<k,v>> → key-sorted JSON object string (Go
+        json.Marshal of a map also emits sorted keys). to_json handles
+        the escaping; map entry order follows the sorted array."""
+        sorted_kvs = F.array_sort(
+            kvs,
+            lambda a, b: F.when(a["k"] < b["k"], -1)
+            .when(a["k"] > b["k"], 1)
+            .otherwise(0),
+        )
+        return F.coalesce(
+            F.to_json(F.map_from_entries(sorted_kvs)), F.lit("{}")
+        )

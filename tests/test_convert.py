@@ -161,3 +161,139 @@ class TestOtelReshape:
         assert out.severityText == "ERROR"
         assert out.body == "hello"
         assert out.attributes == {"conv_id": "c1"}
+
+
+class TestOtelMetricTrace:
+    """OTLP-JSON reshapes (plugins/processor/otel/processor_otel_metric.go,
+    processor_otel_trace.go; otlpDataToSLSProto.go converters)."""
+
+    def _metric_rows(self, spark, payload):
+        import json as _json
+
+        from loongcollector_spark.operators.convert import OtelMetricReshape
+
+        df = spark.createDataFrame([(_json.dumps(payload),)], "content string")
+        return {
+            (r["__name__"], r["__labels__"]): (r["__time_nano__"], r["__value__"])
+            for r in OtelMetricReshape(SourceKey="content")(df).collect()
+        }
+
+    def test_gauge_and_sum(self, spark):
+        rows = self._metric_rows(spark, {
+            "resourceMetrics": [{
+                "resource": {"attributes": [
+                    {"key": "host.name", "value": {"stringValue": "h1"}}]},
+                "scopeMetrics": [{"metrics": [
+                    {"name": "cpu load", "gauge": {"dataPoints": [
+                        {"attributes": [{"key": "core", "value": {"intValue": "0"}}],
+                         "timeUnixNano": "17000", "asDouble": 0.5},
+                        {"attributes": [], "timeUnixNano": "17001", "asInt": "7"}]}},
+                    {"name": "req", "sum": {"isMonotonic": True,
+                        "aggregationTemporality": 2,
+                        "dataPoints": [{"attributes": [],
+                                        "timeUnixNano": "17002", "asInt": "42"}]}},
+                ]}]}]})
+        # name formatting: space → _, labels sorted k#$#v joined with |
+        assert rows[("cpu_load", "core#$#0|host.name#$#h1")] == (17000, 0.5)
+        assert rows[("cpu_load", "host.name#$#h1")] == (17001, 7.0)
+        assert rows[(
+            "req",
+            "host.name#$#h1|otlp.metric.aggregation.temporality#$#Cumulative"
+            "|otlp.metric.ismonotonic#$#true",
+        )] == (17002, 42.0)
+
+    def test_histogram_cumulative_buckets(self, spark):
+        rows = self._metric_rows(spark, {
+            "resourceMetrics": [{
+                "resource": {"attributes": []},
+                "scopeMetrics": [{"metrics": [
+                    {"name": "lat", "histogram": {
+                        "aggregationTemporality": "AGGREGATION_TEMPORALITY_DELTA",
+                        "dataPoints": [{"attributes": [], "timeUnixNano": "1",
+                            "count": "6", "sum": 12.5, "min": 0.1, "max": 9.0,
+                            "bucketCounts": ["1", "2", "3"],
+                            "explicitBounds": [1.0, 5.0]}]}}]}]}]})
+        base = "otlp.metric.aggregation.temporality#$#Delta|otlp.metric.histogram.type#$#Histogram"
+        assert rows[("lat_sum", base)] == (1, 12.5)
+        assert rows[("lat_min", base)] == (1, 0.1)
+        assert rows[("lat_max", base)] == (1, 9.0)
+        assert rows[("lat_count", base)] == (1, 6.0)
+        # cumulative counts per bound, last is +Inf (HistogramToLogs:209-226)
+        assert rows[("lat_bucket", f"le#$#1|{base}")] == (1, 1.0)
+        assert rows[("lat_bucket", f"le#$#5|{base}")] == (1, 3.0)
+        assert rows[("lat_bucket", f"le#$#+Inf|{base}")] == (1, 6.0)
+
+    def test_summary_quantiles(self, spark):
+        rows = self._metric_rows(spark, {
+            "resourceMetrics": [{
+                "resource": {"attributes": []},
+                "scopeMetrics": [{"metrics": [
+                    {"name": "q", "summary": {"dataPoints": [
+                        {"attributes": [], "timeUnixNano": "9", "count": "10",
+                         "sum": 5.0,
+                         "quantileValues": [{"quantile": 0.5, "value": 1.5},
+                                            {"quantile": 0.99, "value": 2.5}]}]}}]}]}]})
+        assert rows[("q_sum", "")] == (9, 5.0)
+        assert rows[("q_count", "")] == (9, 10.0)
+        assert rows[("q", "quantile#$#0.5")] == (9, 1.5)
+        assert rows[("q", "quantile#$#0.99")] == (9, 2.5)
+
+    def test_trace_span_flat_fields(self, spark):
+        import json as _json
+
+        from loongcollector_spark.operators.convert import OtelTraceReshape
+
+        payload = _json.dumps({
+            "resourceSpans": [{
+                "resource": {"attributes": [
+                    {"key": "host.name", "value": {"stringValue": "h1"}},
+                    {"key": "service.name", "value": {"stringValue": "svc"}},
+                    {"key": "env", "value": {"stringValue": "prod"}}]},
+                "scopeSpans": [{"scope": {"name": "lib", "version": "1.2"},
+                    "spans": [{
+                        "traceId": "0AF7651916CD43DD8448EB211C80319C",
+                        "spanId": "B7AD6B7169203331", "parentSpanId": "",
+                        "name": "op", "kind": 2,
+                        "startTimeUnixNano": "1700000000000000000",
+                        "endTimeUnixNano": "1700000001500000000",
+                        "traceState": "a=b",
+                        "attributes": [
+                            {"key": "http.method", "value": {"stringValue": "GET"}}],
+                        "events": [{"name": "ev1",
+                                    "timeUnixNano": "1700000000600000000",
+                                    "attributes": [
+                                        {"key": "x", "value": {"intValue": "1"}}]}],
+                        "links": [{"traceId": "FF000000000000000000000000000001",
+                                   "spanId": "FF00000000000002", "attributes": []}],
+                        "status": {"code": 2, "message": "boom"}}]}]}]})
+        df = spark.createDataFrame([(payload,)], "content string")
+        r = OtelTraceReshape(SourceKey="content")(df).collect()[0]
+        assert r.host == "h1" and r.service == "svc"
+        assert r.resource == '{"env":"prod"}'  # host/service removed
+        assert r.otlp_name == "lib" and r.otlp_version == "1.2"
+        assert r.traceID == "0af7651916cd43dd8448eb211c80319c"
+        assert r.spanID == "b7ad6b7169203331" and r.parentSpanID == ""
+        assert r.kind == "server" and r.name == "op"
+        assert r.traceState == "a=b"
+        # nanos → MICROseconds (otlp_trace_parser.go:180-192)
+        assert r.start == "1700000000000000"
+        assert r.end == "1700000001500000"
+        assert r.duration == "1500000"
+        assert r.attribute == '{"http.method":"GET"}'
+        assert r.statusCode == "ERROR" and r.statusMessage == "boom"
+        assert r.logs == ('[{"attribute":{"x":"1"},"name":"ev1",'
+                          '"time":1700000000600000000}]')
+        assert r.links == ('[{"attribute":{},"spanID":"ff00000000000002",'
+                           '"traceID":"ff000000000000000000000000000001"}]')
+
+    def test_bad_payload_yields_no_rows(self, spark):
+        from loongcollector_spark.operators.convert import (
+            OtelMetricReshape,
+            OtelTraceReshape,
+        )
+
+        df = spark.createDataFrame(
+            [("not json",), ("{}",), (None,)], "content string"
+        )
+        assert OtelMetricReshape(SourceKey="content")(df).count() == 0
+        assert OtelTraceReshape(SourceKey="content")(df).count() == 0
