@@ -65,23 +65,49 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sig(vec: Column, dim: int, n_planes: int, seed: int = 7) -> Column:
-    """Deterministic random-hyperplane signature: plane p component j =
-    (xxhash64(p, j, seed) scaled to [-1,1]); sign of <v, plane> = bit p.
-    Built-ins only; planes are constant-folded by Catalyst."""
-    bits = []
-    for p in range(n_planes):
-        comps = F.array(
-            *[
-                (
-                    F.xxhash64(F.lit(p), F.lit(j), F.lit(seed)).cast("double")
-                    / F.lit(float(2**63))
-                )
-                for j in range(dim)
-            ]
-        )
-        bits.append(F.when(dot(vec, comps) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def _sig_from_planes(vec: Column, planes_col: Column) -> Column:
+    """Signature bits from an attached plane matrix column: bit p = sign
+    of <v, plane_p>. One transform + zip_with dot — O(n_planes) Catalyst
+    nodes regardless of embedding dim."""
+    return F.array_join(
+        F.transform(
+            planes_col,
+            lambda pl: F.when(dot(vec, pl) >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def with_hyperplane_sig(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int = 7,
+) -> DataFrame:
+    """Attach a deterministic random-hyperplane signature column.
+
+    The plane matrix is generated driver-side with a seeded PRNG and
+    attached as a ONE-ROW broadcast table (BroadcastNestedLoopJoin with a
+    single row — no shuffle, no per-row rebuild), so the Catalyst tree
+    stays constant-size regardless of dim. The previous formulation
+    emitted dim x n_planes literal nodes (10^4-10^5 at dim 768-4096) and
+    dominated compile time (VERDICT r1)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    planes_df = df.sparkSession.createDataFrame(
+        [(planes,)], "__planes__ array<array<double>>"
+    )
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .withColumn(out_col, _sig_from_planes(F.col(vec_col), F.col("__planes__")))
+        .drop("__planes__")
+    )
 
 
 def lsh_ann_topk(
@@ -98,15 +124,17 @@ def lsh_ann_topk(
     """Approximate top-k: join on hyperplane-signature bucket, exact
     cosine re-rank inside buckets. Scale path for when the query set is
     too large to broadcast-cross-join."""
-    c = corpus.select(
-        F.col(corpus_id).alias("nid"),
-        F.col(corpus_vec).alias("nvec"),
-        _hyperplane_sig(F.col(corpus_vec), dim, n_planes).alias("sig"),
+    c = with_hyperplane_sig(
+        corpus.select(
+            F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nvec")
+        ),
+        "nvec", "sig", dim, n_planes,
     )
-    q = queries.select(
-        F.col(query_id).alias("qid"),
-        F.col(query_vec).alias("qvec"),
-        _hyperplane_sig(F.col(query_vec), dim, n_planes).alias("sig"),
+    q = with_hyperplane_sig(
+        queries.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+        ),
+        "qvec", "sig", dim, n_planes,
     )
     scored = c.join(q, "sig").withColumn(
         "cosine_sim", cosine(F.col("nvec"), F.col("qvec"))
@@ -189,10 +217,9 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket self-join +
     exact cosine verify (id_a < id_b)."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        _hyperplane_sig(F.col(vec_col), dim, n_planes).alias("sig"),
+    base = with_hyperplane_sig(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v", "sig", dim, n_planes,
     )
     left = base.select("sig", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     right = base.select("sig", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
