@@ -180,10 +180,70 @@ def translate_expr(expr: str) -> str:
         f"instr({a[0]}, {a[1]})" if len(a) == 3 and a[2] == "1"
         else f"instr({', '.join(a)})"
     ))
-    out = _rewrite_calls(out, "strrpos", lambda a: (
-        f"if(instr({a[0]}, {a[1]}) = 0, 0, length({a[0]}) - "
-        f"instr(reverse({a[0]}), reverse({a[1]})) - length({a[1]}) + 2)"
-        if len(a) == 2 else f"strrpos({', '.join(a)})"
+    def _strrpos(a):
+        if len(a) == 2:
+            return (
+                f"if(instr({a[0]}, {a[1]}) = 0, 0, length({a[0]}) - "
+                f"instr(reverse({a[0]}), reverse({a[1]})) - length({a[1]}) + 2)"
+            )
+        # 3-arg Presto: position of the instance-th occurrence counting
+        # from the END (all occurrence positions, indexed from the back)
+        return (
+            f"coalesce(try_element_at(filter(sequence(1, "
+            f"greatest(length({a[0]}) - length({a[1]}) + 1, 1)), "
+            f"i -> substring({a[0]}, i, length({a[1]})) = {a[1]}), "
+            f"-({a[2]})), 0)"
+        )
+
+    out = _rewrite_calls(out, "strrpos", _strrpos)
+    # 3-arg Presto array_position: instance-th occurrence of the element
+    # (negative instance counts from the end — try_element_at's native
+    # negative indexing)
+    out = _rewrite_calls(out, "array_position", lambda a: (
+        f"coalesce(try_element_at(filter(sequence(1, size({a[0]})), "
+        f"i -> try_element_at({a[0]}, i) = {a[1]}), {a[2]}), 0)"
+        if len(a) == 3 else f"array_position({', '.join(a)})"
+    ))
+
+    # combinations(arr, n): n-element subsequences in index order
+    # (Presto caps n <= 5; the expression form covers the n used in
+    # practice, 1..3)
+    def _combinations(a):
+        arr, n = a[0], a[1].strip()
+        seq = f"sequence(1, greatest(size({arr}), 1))"
+        el = lambda i: f"try_element_at({arr}, {i})"  # noqa: E731
+        if n == "1":
+            return f"transform({arr}, x -> array(x))"
+        if n == "2":
+            return (
+                f"flatten(transform({seq}, i -> "
+                f"transform(filter({seq}, j -> j > i), "
+                f"j -> array({el('i')}, {el('j')}))))"
+            )
+        if n == "3":
+            return (
+                f"flatten(transform({seq}, i -> "
+                f"flatten(transform(filter({seq}, j -> j > i), j -> "
+                f"transform(filter({seq}, k -> k > j), k -> "
+                f"array({el('i')}, {el('j')}, {el('k')}))))))"
+            )
+        raise SplError(f"combinations(arr, {n}): only n in 1..3 supported")
+
+    out = _rewrite_calls(out, "combinations", _combinations)
+    # Velox slice: start = 0 returns an EMPTY array (documented Velox
+    # deviation from Presto's index error); Spark's slice throws on 0
+    out = _rewrite_calls(out, "slice", lambda a: (
+        f"slice({a[0]}, 1, 0)" if len(a) == 3 and a[1].strip() == "0"
+        else (
+            f"slice({a[0]}, if(({a[1]}) = 0, 1, {a[1]}), "
+            f"if(({a[1]}) = 0, 0, {a[2]}))"
+            if len(a) == 3 else f"slice({', '.join(a)})"
+        )
+    ))
+    # 2-arg Presto width_bucket(x, bins): index = count of bins <= x
+    out = _rewrite_calls(out, "width_bucket", lambda a: (
+        f"size(filter({a[1]}, b -> b <= {a[0]}))"
+        if len(a) == 2 else f"width_bucket({', '.join(a)})"
     ))
     out = _rewrite_calls(
         out, "millisecond",
@@ -572,6 +632,41 @@ class SplProgram:
 
         for alg in ("md5", "sha1", "sha256", "sha512"):
             spark.udf.register(f"hmac_{alg}", make(alg))
+
+        # SpookyHash V2 (corpus spl.txt:77-78) — pure-Python transcription
+        # of the published public-domain algorithm (functions/spooky.py);
+        # deterministic, Presto VARBINARY shape. Offline container: values
+        # not cross-checked against a Presto instance.
+        from loongcollector_spark.functions import spooky as spooky_mod
+
+        def make_spooky(width):
+            fn = (
+                spooky_mod.spooky_hash_v2_32
+                if width == 32
+                else spooky_mod.spooky_hash_v2_64
+            )
+
+            @F.pandas_udf("binary")
+            def f(data):
+                import pandas as pd
+
+                return pd.Series(
+                    [None if d is None else fn(bytes(d)) for d in data]
+                )
+
+            return f
+
+        spark.udf.register("spooky_hash_v2_32", make_spooky(32))
+        spark.udf.register("spooky_hash_v2_64", make_spooky(64))
+
+        # HLL sketch family: Spark's native approx family covers the
+        # semantics (hll_sketch_agg / hll_union / approx_count_distinct);
+        # empty_approx_set() maps to the NULL sketch, the identity under
+        # union (corpus spl.txt:163).
+        spark.udf.register(
+            "empty_approx_set",
+            F.udf(lambda: None, "binary"),
+        )
         spark._lc_spl_udfs_registered = True
 
     def run(self, df: DataFrame) -> list[DataFrame]:
