@@ -744,6 +744,38 @@ def q_otel_trace_reshape(spark, sf_dir):
     return out
 
 
+def q_parse_container_log(spark, sf_dir):
+    """containerd text parse + partial-log merge
+    (ProcessorParseContainerLogNative.cpp:176-259 + MergeType=flags merge):
+    each turn becomes `<time> <stream> <P|F> <text>`; P-runs (turn_idx%4
+    in 1,2) merge with the next F line joined WITHOUT separator."""
+    from loongcollector_spark.operators.parsers import ParseContainerLogNative
+    from loongcollector_spark.operators.splits import MergePartialLogs
+
+    t = _transcripts(spark, sf_dir)
+    stream = F.when(F.col("role") == "tool", F.lit("stderr")).otherwise(
+        F.lit("stdout")
+    )
+    tag = F.when(
+        F.pmod(F.col("turn_idx"), F.lit(4)).isin(1, 2), F.lit("P")
+    ).otherwise(F.lit("F"))
+    line = F.concat(
+        F.lit("2024-01-01T00:00:00.000000000Z "), stream, F.lit(" "),
+        tag, F.lit(" "), F.col("text"),
+    )
+    df = t.select("conv_id", "turn_idx", line.alias("content"))
+    parsed = ParseContainerLogNative(SourceKey="content")(df)
+    merged = MergePartialLogs(
+        SourceKey="content", GroupKey="conv_id", OrderKey="turn_idx"
+    )(parsed)
+    return merged.select(
+        "conv_id",
+        "content",
+        F.col("turn_idx").cast("int").alias("turn_start"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
 def q_ivf_ann(spark, sf_dir):
     """IVF ANN top-1 self-recall (KMeans quantizer; engine-specific
     clustering → rows-only check; exactness is covered by
@@ -991,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_log_reshape": q_otel_reshape,
         "otel_metric_reshape": q_otel_metric_reshape,
         "otel_trace_reshape": q_otel_trace_reshape,
+        "parse_container_log": q_parse_container_log,
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
         "string_replace_const": q_string_replace,
@@ -1409,6 +1442,20 @@ SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000000 AS timeUnixN
        role AS attr_role
 FROM enriched"""
     )
+
+    sql["parse_container_log"] = _T + """, flags AS (
+  SELECT conv_id, turn_idx, text, (turn_idx % 4) IN (1, 2) AS p
+  FROM transcripts
+), seg AS (
+  SELECT *, COALESCE(SUM(CASE WHEN NOT p THEN 1 ELSE 0 END) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+  FROM flags
+)
+SELECT conv_id, string_agg(text, '' ORDER BY turn_idx) AS content,
+       CAST(min(turn_idx) AS INT) AS turn_start,
+       CAST(count(*) AS BIGINT) AS n_merged
+FROM seg GROUP BY conv_id, grp"""
 
     sql["otel_metric_reshape"] = """
 SELECT 'evt_' || event_type AS mname,

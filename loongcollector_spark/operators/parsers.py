@@ -652,3 +652,103 @@ def parse_kv_columns(df: DataFrame, source: str, keys: list[str],
     for k in keys:
         df = df.withColumn(k, F.try_element_at(m, F.lit(k)))
     return df
+
+
+@register("processor_parse_container_log_native")
+class ParseContainerLogNative(Processor):
+    """Container stdout/stderr line parse
+    (core/plugin/processor/inner/ProcessorParseContainerLogNative.cpp).
+
+    * ``Format='containerd_text'`` (.cpp:176-259): ``<time> <stream> [P|F ]
+      <content>`` — two space-delimited header fields, then an optional
+      single-char partial(P)/full(F) tag followed by one space. A ``P``
+      tag marks a partial log (``_part_`` = true) for MergePartialLogs;
+      anything that is not exactly ``P``/``F`` + space rides into the
+      content verbatim (the reference's pch3 == pch2+2 check).
+    * ``Format='docker_json-file'`` (.cpp:464-526): one JSON object per
+      line with ``log``/``time``/``stream``; exactly one trailing newline
+      of ``log`` is stripped.
+
+    Output keys mirror the reference: ``_time_``, ``_source_`` and the
+    content replaces ``SourceKey``; rows whose stream is filtered by
+    ``IgnoringStdout/Stderr`` are dropped; malformed rows are kept
+    verbatim (``KeepingSourceWhenParseFail``, default) or dropped.
+    Pure built-ins: instr/substring header split, from_json for docker.
+    """
+
+    def __init__(
+        self,
+        SourceKey: str = "content",
+        Format: str = "containerd_text",
+        IgnoringStdout: bool = False,
+        IgnoringStderr: bool = False,
+        KeepingSourceWhenParseFail: bool = True,
+    ) -> None:
+        if Format not in ("containerd_text", "docker_json-file"):
+            raise ValueError(f"unsupported container log format: {Format}")
+        self.source_key = SourceKey
+        self.format = Format
+        self.ignore_stdout = IgnoringStdout
+        self.ignore_stderr = IgnoringStderr
+        self.keep_on_fail = KeepingSourceWhenParseFail
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        if self.format == "containerd_text":
+            p1 = F.instr(src, " ")
+            rest1 = F.substring(src, p1 + 1, F.length(src))
+            p2 = F.instr(rest1, " ")
+            time_v = F.substring(src, F.lit(1), p1 - 1)
+            source_v = F.substring(rest1, F.lit(1), p2 - 1)
+            tail = F.substring(rest1, p2 + 1, F.length(rest1))
+            ok = (
+                (p1 > 0)
+                & (p2 > 0)
+                & source_v.isin("stdout", "stderr")
+            )
+            is_part = tail.startswith("P ")
+            is_full = tail.startswith("F ")
+            content = F.when(
+                is_part | is_full, F.substring(tail, 3, F.length(tail))
+            ).otherwise(tail)
+        else:
+            parsed = F.from_json(
+                src, "struct<log:string,time:string,stream:string>"
+            )
+            time_v = parsed["time"]
+            source_v = parsed["stream"]
+            raw = parsed["log"]
+            content = F.when(
+                raw.endswith("\n"), F.substring(raw, F.lit(1), F.length(raw) - 1)
+            ).otherwise(raw)
+            ok = (
+                parsed.isNotNull()
+                & source_v.isNotNull()
+                & source_v.isin("stdout", "stderr")
+            )
+            is_part = F.lit(False)
+
+        out = df.withColumn("__cl_ok__", F.coalesce(ok, F.lit(False)))
+        drops = []
+        if self.ignore_stdout:
+            drops.append(source_v == "stdout")
+        if self.ignore_stderr:
+            drops.append(source_v == "stderr")
+        if drops:
+            drop_cond = drops[0]
+            for d in drops[1:]:
+                drop_cond = drop_cond | d
+            out = out.filter(~(F.col("__cl_ok__") & drop_cond))
+        if not self.keep_on_fail:
+            out = out.filter(F.col("__cl_ok__"))
+        okc = F.col("__cl_ok__")
+        out = (
+            out.withColumn("_time_", F.when(okc, time_v))
+            .withColumn("_source_", F.when(okc, source_v))
+            .withColumn("_part_", F.when(okc, is_part).otherwise(F.lit(False)))
+            .withColumn(
+                self.source_key, F.when(okc, content).otherwise(src)
+            )
+            .drop("__cl_ok__")
+        )
+        return out

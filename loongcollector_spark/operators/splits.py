@@ -392,3 +392,65 @@ class MergeMultilineLog(Processor):
             .drop("__lc_evt__")
         )
         return merged
+
+
+@register("processor_merge_partial_logs")
+class MergePartialLogs(Processor):
+    """Flag-based partial-log merge — the MergeType='flags' branch of
+    ProcessorMergeMultilineLogNative (.cpp:106-159): runs of rows carrying
+    the partial flag (containerd ``P`` tag) merge with the first
+    following unflagged row; pieces concatenate with NO separator
+    (MergeEvents insertLineBreak=false). A trailing flagged run with no
+    final piece still merges (.cpp:154-157).
+
+    Pure window SQL, no FSM needed: a run [P,P,...,final] shares the
+    exclusive running count of unflagged rows, so one shuffle on GroupKey
+    + one groupBy — the same segment trick as the Continue+End oracle.
+    """
+
+    def __init__(
+        self,
+        SourceKey: str,
+        GroupKey: str,
+        OrderKey: str,
+        PartFlagKey: str = "_part_",
+    ) -> None:
+        self.source_key = SourceKey
+        self.group_key = GroupKey
+        self.order_key = OrderKey
+        self.part_key = PartFlagKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        part = F.coalesce(F.col(self.part_key), F.lit(False))
+        w = (
+            Window.partitionBy(self.group_key)
+            .orderBy(self.order_key)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seg = F.coalesce(
+            F.sum(F.when(~part, 1).otherwise(0)).over(w), F.lit(0)
+        )
+        df = df.withColumn("__lc_seg__", seg)
+        merged = (
+            df.groupBy(self.group_key, "__lc_seg__")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(self.order_key).alias("o"),
+                                    F.col(self.source_key).alias("v"),
+                                )
+                            )
+                        ),
+                        lambda s: s["v"],
+                    ),
+                    "",
+                ).alias(self.source_key),
+                F.min(self.order_key).alias(self.order_key),
+                F.count(F.lit(1)).alias("n_merged"),
+            )
+            .drop("__lc_seg__")
+        )
+        return merged

@@ -366,3 +366,109 @@ class TestSplitKeyValue:
         proc = SplitKeyValue(SourceKey="content", Delimiter="&", Separator="::")
         rows = rows_as_dicts(proc(df))
         assert rows[0]["kv"] == {"a": "1", "b": "2"}
+
+
+class TestParseContainerLog:
+    """ProcessorParseContainerLogNative fixtures
+    (core/unittest/processor/ParseContainerLogBenchmark shapes +
+    .cpp:176-259 containerd text, :464-526 docker json)."""
+
+    def _run(self, spark, lines, **kw):
+        from loongcollector_spark.operators.parsers import ParseContainerLogNative
+
+        df = spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate(lines)], "idx int, content string"
+        )
+        proc = ParseContainerLogNative(SourceKey="content", **kw)
+        return {r["idx"]: r.asDict() for r in proc(df).collect()}
+
+    def test_containerd_full_and_plain(self, spark):
+        rows = self._run(spark, [
+            "2021-08-25T07:00:00.000000000Z stdout F full line",
+            "2021-08-25T07:00:01.000000000Z stderr plain content",
+        ])
+        assert rows[0]["_time_"] == "2021-08-25T07:00:00.000000000Z"
+        assert rows[0]["_source_"] == "stdout"
+        assert rows[0]["content"] == "full line"
+        assert rows[0]["_part_"] is False
+        # no P/F tag: everything after the stream is content
+        assert rows[1]["content"] == "plain content"
+        assert rows[1]["_source_"] == "stderr"
+
+    def test_containerd_partial_tag(self, spark):
+        rows = self._run(spark, [
+            "2021-08-25T07:00:00Z stdout P piece one ",
+            "2021-08-25T07:00:00Z stdout P PP 1",  # P then non-space → content
+        ])
+        assert rows[0]["_part_"] is True and rows[0]["content"] == "piece one "
+        assert rows[1]["_part_"] is True and rows[1]["content"] == "PP 1"
+
+    def test_containerd_pseudo_tag_rides_into_content(self, spark):
+        """'PP 1' after the stream is NOT a tag (pch3 != pch2+2)."""
+        rows = self._run(spark, ["2021-08-25T07:00:00Z stdout PP 1"])
+        assert rows[0]["_part_"] is False and rows[0]["content"] == "PP 1"
+
+    def test_containerd_bad_rows_kept_or_dropped(self, spark):
+        bad = ["no-delimiters-here", "2021 notastream content"]
+        kept = self._run(spark, bad)
+        assert kept[0]["content"] == "no-delimiters-here"
+        assert kept[0]["_time_"] is None and kept[0]["_source_"] is None
+        assert kept[1]["content"] == "2021 notastream content"
+        dropped = self._run(spark, bad, KeepingSourceWhenParseFail=False)
+        assert dropped == {}
+
+    def test_containerd_ignoring_streams(self, spark):
+        lines = [
+            "2021-08-25T07:00:00Z stdout F out",
+            "2021-08-25T07:00:01Z stderr F err",
+        ]
+        only_err = self._run(spark, lines, IgnoringStdout=True)
+        assert list(only_err) == [1] and only_err[1]["content"] == "err"
+        only_out = self._run(spark, lines, IgnoringStderr=True)
+        assert list(only_out) == [0] and only_out[0]["content"] == "out"
+
+    def test_docker_json(self, spark):
+        rows = self._run(spark, [
+            '{"log":"hello world\\n","stream":"stdout","time":"2024-01-01T00:00:00Z"}',
+            '{"log":"no newline","stream":"stderr","time":"t2"}',
+            '{"log":"x","stream":"weird","time":"t3"}',
+            "not json at all",
+        ], Format="docker_json-file")
+        assert rows[0]["content"] == "hello world"  # ONE trailing \n stripped
+        assert rows[0]["_source_"] == "stdout" and rows[0]["_time_"] == "2024-01-01T00:00:00Z"
+        assert rows[1]["content"] == "no newline"
+        # invalid stream / invalid json kept verbatim
+        assert rows[2]["content"] == '{"log":"x","stream":"weird","time":"t3"}'
+        assert rows[3]["content"] == "not json at all"
+
+    def test_partial_merge_window(self, spark):
+        """containerd P-pieces merge with the next F/plain line, joined
+        WITHOUT separator (MergeEvents insertLineBreak=false); a trailing
+        P-run still merges (.cpp:154-157)."""
+        from loongcollector_spark.operators.parsers import ParseContainerLogNative
+        from loongcollector_spark.operators.splits import MergePartialLogs
+
+        lines = [
+            ("c1", 0, "t stdout P abc"),
+            ("c1", 1, "t stdout P def"),
+            ("c1", 2, "t stdout F ghi"),
+            ("c1", 3, "t stdout F solo"),
+            ("c1", 4, "t stdout P dangling"),
+            ("c2", 0, "t stdout P x"),
+            ("c2", 1, "t stdout F y"),
+        ]
+        df = spark.createDataFrame(lines, "src string, off int, content string")
+        parsed = ParseContainerLogNative(SourceKey="content")(df)
+        merged = MergePartialLogs(
+            SourceKey="content", GroupKey="src", OrderKey="off"
+        )(parsed)
+        got = {
+            (r["src"], r["off"]): (r["content"], r["n_merged"])
+            for r in merged.collect()
+        }
+        assert got == {
+            ("c1", 0): ("abcdefghi", 3),
+            ("c1", 3): ("solo", 1),
+            ("c1", 4): ("dangling", 1),
+            ("c2", 0): ("xy", 2),
+        }
