@@ -744,6 +744,51 @@ def q_otel_trace_reshape(spark, sf_dir):
     return out
 
 
+def q_prom_parse_relabel(spark, sf_dir):
+    """Prometheus exposition parse + relabel chain
+    (ProcessorPromParseMetricNative + ProcessorPromRelabelMetricNative):
+    events become `<etype>{uid="..",env="prod"} <value> <ts_ms>` lines,
+    parsed then relabeled (replace/keep/lowercase/labelmap/hashmod/
+    labeldrop), flattened so DuckDB can recompute every field."""
+    from loongcollector_spark.operators.prom import PromParse, PromRelabel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_ms = (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit('{uid="'), F.col("user_id").cast("string"),
+        F.lit('",env="prod"} '),
+        F.col("value").cast("string"), F.lit(" "), ts_ms.cast("string"),
+    )
+    df = ev.select(F.col("event_id"), line.alias("content"))
+    parsed = PromParse(SourceKey="content")(df)
+    rel = PromRelabel(RelabelConfigs=[
+        {"action": "replace", "source_labels": ["__name__"],
+         "regex": "(.*)", "target_label": "metric", "replacement": "$1"},
+        {"action": "keep", "source_labels": ["uid"], "regex": r"\d*[02468]"},
+        {"action": "lowercase", "source_labels": ["env"],
+         "target_label": "env_lc"},
+        {"action": "labelmap", "regex": "u(id)", "replacement": "x_$1"},
+        {"action": "hashmod", "source_labels": ["uid"], "modulus": 7,
+         "target_label": "shard"},
+        {"action": "labeldrop", "regex": "env"},
+    ])
+    out = rel(parsed)
+    lab = F.col("labels")
+    return out.select(
+        "event_id",
+        "name",
+        F.try_element_at(lab, F.lit("metric")).alias("metric"),
+        F.try_element_at(lab, F.lit("uid")).alias("uid"),
+        F.try_element_at(lab, F.lit("x_id")).alias("x_id"),
+        F.try_element_at(lab, F.lit("env_lc")).alias("env_lc"),
+        F.try_element_at(lab, F.lit("shard")).alias("shard"),
+        F.size(lab).alias("n_labels"),
+        F.round(F.col("value"), 6).alias("mvalue"),
+        "ts_ms",
+    )
+
+
 def q_parse_container_log(spark, sf_dir):
     """containerd text parse + partial-log merge
     (ProcessorParseContainerLogNative.cpp:176-259 + MergeType=flags merge):
@@ -1024,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_metric_reshape": q_otel_metric_reshape,
         "otel_trace_reshape": q_otel_trace_reshape,
         "parse_container_log": q_parse_container_log,
+        "prom_parse_relabel": q_prom_parse_relabel,
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
         "string_replace_const": q_string_replace,
@@ -1442,6 +1488,26 @@ SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) * 1000000000 AS timeUnixN
        role AS attr_role
 FROM enriched"""
     )
+
+    # hashmod = uint64(md5 bytes 8..15) % m, folded digit-by-digit so the
+    # value never leaves BIGINT range ((acc*16+d) % m preserves the mod)
+    sql["prom_parse_relabel"] = """
+SELECT event_id,
+       event_type AS name,
+       event_type AS metric,
+       CAST(user_id AS VARCHAR) AS uid,
+       CAST(user_id AS VARCHAR) AS x_id,
+       'prod' AS env_lc,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, 17), i -> CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(user_id AS VARCHAR)), CAST(16 + i AS INT), 1))
+                - 1 AS BIGINT))),
+            (acc, d) -> (acc * 16 + d) % 7) AS VARCHAR) AS shard,
+       6 AS n_labels,
+       round(value, 6) AS mvalue,
+       epoch_ms(ts) AS ts_ms
+FROM events
+WHERE user_id % 2 = 0"""
 
     sql["parse_container_log"] = _T + """, flags AS (
   SELECT conv_id, turn_idx, text, (turn_idx % 4) IN (1, 2) AS p
