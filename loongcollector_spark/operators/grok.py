@@ -277,7 +277,9 @@ class Grok(Processor):
                             m = None
                         if m is not None:
                             for gi, alias in enumerate(aliases):
-                                res.at[idx, alias] = m.group(gi + 1)
+                                # non-participating group = "" (Go
+                                # FindStringSubmatch / JVM regexp_extract)
+                                res.at[idx, alias] = m.group(gi + 1) or ""
                             res.at[idx, "__ok__"] = True
                     remaining = eligible & ~res["__ok__"]
                 return res
@@ -298,7 +300,10 @@ class Grok(Processor):
                 if aliases and len(hit_idx):
                     ext = sub.str.extract(rx, expand=True)
                     for gi, alias in enumerate(aliases):
-                        res.loc[hit_idx, alias] = ext.loc[hit_idx, gi]
+                        # matched row + non-participating optional group =
+                        # "" — parity with Go FindStringSubmatch and the
+                        # JVM engine's regexp_extract
+                        res.loc[hit_idx, alias] = ext.loc[hit_idx, gi].fillna("")
                 res.loc[hit_idx, "__ok__"] = True
                 remaining = eligible & ~res["__ok__"]
             return res

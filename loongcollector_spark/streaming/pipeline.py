@@ -136,3 +136,93 @@ def stateful_rate_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ML_STATE = T.StructType(
+    [
+        T.StructField("pending_order", T.LongType()),
+        T.StructField("pending_text", T.StringType()),
+        T.StructField("n_pending", T.LongType()),
+    ]
+)
+
+
+def stateful_multiline_merge(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    source_col: str,
+    start_pattern: str,
+    timeout_ms: int = 0,
+):
+    """Streaming start-pattern multiline merge — the true streaming
+    analogue of MergeMultilineLog's fast path (the reference merges
+    multiline *as the file tails*, not per batch).
+
+    State per group = the currently-open logical event (first order,
+    accumulated text, line count). Each micro-batch continues the merge:
+    a line matching ``start_pattern`` closes the open event (emitting it)
+    and opens a new one; other lines append. Leading lines with no open
+    event emit as singles (single_line treatment). With ``timeout_ms`` >
+    0 the open event flushes after that much processing-time idleness —
+    the streaming replacement for end-of-input flush.
+
+    Output: (group, source, order, n_merged) — identical shape to the
+    batch operator, so batch == streaming equivalence is testable
+    row-for-row (modulo the still-open tail event).
+    """
+    import re as _re
+
+    out_schema = T.StructType(
+        [
+            df.schema[group_col],
+            T.StructField(source_col, T.StringType()),
+            T.StructField(order_col, T.LongType()),
+            T.StructField("n_merged", T.LongType()),
+        ]
+    )
+    rx = _re.compile(start_pattern)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        gval = key[0]
+        cols = [group_col, source_col, order_col, "n_merged"]
+        if state.hasTimedOut:
+            po, pt, n = state.get
+            state.remove()
+            yield pd.DataFrame([[gval, pt, po, n]], columns=cols)
+            return
+        pending = state.get if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for o, t in zip(pdf[order_col], pdf[source_col]):
+                text = "" if t is None else t
+                if rx.search(text):
+                    if pending is not None:
+                        out.append([gval, pending[1], pending[0], pending[2]])
+                    pending = (int(o), text, 1)
+                elif pending is not None:
+                    pending = (
+                        pending[0], pending[1] + "\n" + text, pending[2] + 1
+                    )
+                else:
+                    out.append([gval, text, int(o), 1])
+        if pending is not None:
+            state.update(pending)
+            if timeout_ms > 0:
+                state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
+
+    return df.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=_ML_STATE,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -69,3 +69,50 @@ class TestParseTotality:
         for name in ("sink_model", "sink_errors"):
             for r in sinks[name].collect():
                 assert (r["conv_id"], r["turn_idx"]) in all_rows
+
+
+class TestGrokEngineParity:
+    """The grok JVM (regexp_extract) and python (pandas str) engines must
+    agree row-for-row on the common regex-dialect subset the compiled
+    pattern library uses — fuzzed over byte soup near the grammar."""
+
+    GROK_TEXTS = st.lists(
+        st.one_of(
+            st.text(alphabet="abc =|.:/0123456789\t", max_size=40),
+            st.from_regex(r"[a-z]+=[0-9]+", fullmatch=True),
+            st.from_regex(r"[a-z]+ [0-9]+( [0-9.]+)?", fullmatch=True),
+            st.from_regex(r"10\.0\.[0-9]{1,3}\.[0-9]{1,3} GET /[a-z]*", fullmatch=True),
+            st.just(""),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts=GROK_TEXTS)
+    def test_jvm_python_same_rows_and_fields(self, spark, texts):
+        from loongcollector_spark.operators.grok import Grok
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "idx int, content string"
+        )
+        kw = dict(
+            SourceKey="content",
+            Match=[
+                r"%{WORD:k}=%{INT:v}",
+                r"%{IPV4:ip} %{WORD:verb} %{URIPATH:path}",
+                r"%{WORD:w} %{INT:n}(?: %{NUMBER:f})?",
+            ],
+            ErrorClassKey="ec",
+        )
+        cols = ("idx", "k", "v", "ip", "verb", "path", "w", "n", "f", "ec")
+        jvm = sorted(
+            tuple(r[c] for c in cols)
+            for r in Grok(Engine="jvm", **kw)(df).collect()
+        )
+        py = sorted(
+            tuple(r[c] for c in cols)
+            for r in Grok(Engine="python", **kw)(df).collect()
+        )
+        assert jvm == py

@@ -230,3 +230,69 @@ class TestSaltedAgg:
             "SELECT sum(n_rows) AS n FROM lc_wm_metrics"
         ).collect()[0]
         assert got.n == 1000  # every turn lands in exactly one window
+
+
+class TestStatefulMultilineMerge:
+    def test_stream_equals_batch_minus_open_tail(self, spark, tmp_path):
+        """Streaming start-pattern merge == batch MergeMultilineLog on the
+        same rows, except the still-open tail event per group (no
+        end-of-input in a stream; flushed by timeout in production)."""
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+        from loongcollector_spark.streaming.pipeline import (
+            stateful_multiline_merge,
+        )
+
+        rows = []
+        for g in ("f1", "f2"):
+            for i in range(12):
+                txt = (
+                    f"2024-01-0{(i % 3) + 1} start {g}-{i}"
+                    if i % 3 == 0
+                    else f"  cont {g}-{i}"
+                )
+                rows.append((g, i, txt))
+        # leading unmatched rows for f3 (emit as singles)
+        rows += [("f3", 0, "orphan a"), ("f3", 1, "orphan b"),
+                 ("f3", 2, "2024-01-01 start f3")]
+        src_path = str(tmp_path / "ml_src")
+        spark.createDataFrame(
+            rows, "src string, off long, content string"
+        ).repartition(1).write.parquet(src_path)
+
+        static = spark.read.parquet(src_path)
+        stream = spark.readStream.schema(static.schema).parquet(src_path)
+        merged = stateful_multiline_merge(
+            stream, "src", "off", "content", r"\d{4}-\d{2}-\d{2}"
+        )
+        q = (
+            merged.writeStream.format("memory")
+            .queryName("lc_ml_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in spark.sql("SELECT * FROM lc_ml_stream").collect()
+        }
+
+        batch = MergeMultilineLog(
+            SourceKey="content",
+            StartPattern=r"\d{4}-\d{2}-\d{2}",
+            GroupKey="src",
+            OrderKey="off",
+        )(static)
+        b_rows = batch.collect()
+        # drop the last (open) event per group — the stream hasn't flushed it
+        last_per_group = {}
+        for r in b_rows:
+            if r.src not in last_per_group or r.off > last_per_group[r.src]:
+                last_per_group[r.src] = r.off
+        expected = {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in b_rows
+            if r.off != last_per_group[r.src]
+        }
+        assert got == expected
+        assert any(k[0] == "f3" for k in got)  # orphans emitted as singles
