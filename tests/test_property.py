@@ -116,3 +116,46 @@ class TestGrokEngineParity:
             for r in Grok(Engine="python", **kw)(df).collect()
         )
         assert jvm == py
+
+
+def _kv_reference(content, delim="&", sep="=", empty_prefix="empty_key_",
+                  nosep_prefix="no_separator_key_", discard_no_sep=False):
+    """Pure-Python transcription of key_value_splitter.go:99-143 (no
+    quote handling), LAST_WIN on duplicate keys."""
+    out = {}
+    empty_i = nosep_i = 0
+    for pair in content.split(delim):
+        pos = pair.find(sep)
+        if pos == -1:
+            if not discard_no_sep:
+                out[f"{nosep_prefix}{nosep_i}"] = pair
+                nosep_i += 1
+        else:
+            key = pair[:pos]
+            val = pair[pos + len(sep):]
+            if key == "":
+                key = f"{empty_prefix}{empty_i}"
+                empty_i += 1
+            out[key] = val
+    return out
+
+
+class TestSplitKeyValueParity:
+    """Fuzz the higher-order-function SplitKeyValue against a direct
+    transcription of the reference's splitter loop."""
+
+    CONTENT = st.text(alphabet="abk=&123 _", min_size=0, max_size=50)
+
+    @settings(max_examples=25, deadline=None)
+    @given(content=CONTENT, discard=st.booleans())
+    def test_matches_reference_loop(self, spark, content, discard):
+        from loongcollector_spark.operators.parsers import SplitKeyValue
+
+        df = spark.createDataFrame([(content,)], "content string")
+        proc = SplitKeyValue(
+            SourceKey="content", Delimiter="&", Separator="=",
+            DiscardWhenSeparatorNotFound=discard,
+        )
+        got = proc(df).collect()[0]["kv"]
+        want = _kv_reference(content, discard_no_sep=discard)
+        assert dict(got) == want, (content, discard)

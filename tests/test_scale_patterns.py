@@ -83,3 +83,69 @@ class TestShardhashProperties:
 
         with pytest.raises(ValueError, match="power of 2"):
             shardhash_repartition(transcripts, ["conv_id"], 6)
+
+
+class TestRound2PlanShapes:
+    def test_prom_relabel_no_exchange(self, spark):
+        """Relabel is row-local map surgery — the physical plan must have
+        ZERO shuffles regardless of config-chain length."""
+        from loongcollector_spark.operators.prom import PromRelabel
+
+        df = spark.createDataFrame(
+            [({"__name__": "m", "a": "1"},)], "labels map<string,string>"
+        )
+        rel = PromRelabel(RelabelConfigs=[
+            {"action": "replace", "source_labels": ["a"], "regex": "(.*)",
+             "target_label": "b", "replacement": "x$1"},
+            {"action": "keep", "source_labels": ["__name__"], "regex": ".*"},
+            {"action": "hashmod", "source_labels": ["a"], "modulus": 5,
+             "target_label": "s"},
+            {"action": "labelmap", "regex": "a", "replacement": "aa"},
+        ])
+        plan = rel(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_merge_fsm_single_shuffle_jvm_flags(self, spark):
+        """Continue+End FSM: exactly one Exchange (the group-key shuffle
+        into applyInPandas); regex flags computed BEFORE the shuffle so
+        pandas sees only booleans."""
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+
+        df = spark.createDataFrame(
+            [("g", 0, "x")], "src string, off int, content string"
+        )
+        proc = MergeMultilineLog(
+            SourceKey="content", GroupKey="src", OrderKey="off",
+            ContinuePattern="c", EndPattern="e",
+        )
+        plan = proc(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        # the rlike flag projection sits below FlatMapGroupsInPandas
+        fmap = plan.find("FlatMapGroupsInPandas")
+        assert fmap != -1 and "rlike" in plan[fmap:].lower()
+
+    def test_container_parse_narrow(self, spark):
+        """Container-log parse is a pure projection — no Exchange."""
+        from loongcollector_spark.operators.parsers import (
+            ParseContainerLogNative,
+        )
+
+        df = spark.createDataFrame([("t stdout F x",)], "content string")
+        plan = (
+            ParseContainerLogNative(SourceKey="content")(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_otel_reshapes_narrow(self, spark):
+        """OTel metric/trace reshapes: parse-once + explodes, no Exchange."""
+        from loongcollector_spark.operators.convert import (
+            OtelMetricReshape,
+            OtelTraceReshape,
+        )
+
+        df = spark.createDataFrame([("{}",)], "content string")
+        for op in (OtelMetricReshape(SourceKey="content"),
+                   OtelTraceReshape(SourceKey="content")):
+            plan = op(df)._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, type(op).__name__
