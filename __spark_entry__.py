@@ -49,7 +49,18 @@ PAT_KV = tp.PAT_KV
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _session_safety(spark)
     return transcripts_from_events(spark, sf_dir)
+
+
+def _session_safety(spark: SparkSession) -> None:
+    """The driver runs queries() in ITS OWN session — map-building
+    operators (str_to_map, map_from_entries/arrays/concat) rely on
+    LAST_WIN duplicate-key semantics, which is a runtime conf."""
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    except Exception:
+        pass  # conf locked → operators still work on dup-free data
 
 
 # ---------------------------------------------------------------------------
@@ -545,6 +556,7 @@ def q_otel_metric_reshape(spark, sf_dir):
     directly."""
     from loongcollector_spark.operators.convert import OtelMetricReshape
 
+    _session_safety(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
     _attr_t = "array<struct<key:string,value:struct<stringValue:string,intValue:string>>>"
@@ -752,6 +764,7 @@ def q_prom_parse_relabel(spark, sf_dir):
     labeldrop), flattened so DuckDB can recompute every field."""
     from loongcollector_spark.operators.prom import PromParse, PromRelabel
 
+    _session_safety(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_ms = (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
     line = F.concat(

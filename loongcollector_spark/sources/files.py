@@ -1,0 +1,96 @@
+"""File-tail sources, Spark-first.
+
+The reference's file input (core/file_server/: polling + inotify tailers,
+per-file dev+inode offsets, rotation tracking) is replaced wholesale by
+Spark's file sources — the cluster-native equivalent of "tail every file
+under a glob":
+
+* batch   — ``spark.read.text`` with ``pathGlobFilter``/
+  ``recursiveFileLookup``; each row carries its source path + a stable
+  per-file line offset (the dev+inode-offset analogue) so downstream
+  multiline merges have a (GroupKey, OrderKey).
+* stream  — ``spark.readStream.text`` with ``maxFilesPerTrigger``; file
+  discovery + exactly-once progress live in the streaming checkpoint (the
+  reference's checkpoint dump/load, CheckPointManager.h:137-140).
+
+``container_stdout_lines`` composes the full container tail path the
+reference wires internally: file lines → ParseContainerLogNative →
+MergePartialLogs — one call from raw containerd/docker files to merged
+logical events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_text_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+    stream: bool = False,
+) -> DataFrame:
+    """Lines of every matching file as (content, _file_, _offset_).
+
+    ``_offset_`` is the line's ordinal within its file — computed with a
+    per-file window in batch mode (one shuffle on file path; files are
+    the natural partition so this is skew-bounded by file size). In
+    streaming mode Spark doesn't expose intra-file order cheaply, so
+    ``_offset_`` is a monotonic per-micro-batch id and downstream merges
+    should key on event-time instead.
+    """
+    reader = spark.readStream if stream else spark.read
+    opts = {"recursiveFileLookup": str(recursive).lower()}
+    if glob:
+        opts["pathGlobFilter"] = glob
+    df = reader.options(**opts).text(path)
+    df = df.select(
+        F.col("value").alias("content"),
+        F.input_file_name().alias("_file_"),
+    )
+    if stream:
+        return df.withColumn("_offset_", F.monotonically_increasing_id())
+    w = Window.partitionBy("_file_").orderBy(F.monotonically_increasing_id())
+    return df.withColumn("_offset_", F.row_number().over(w).cast("long") - 1)
+
+
+def container_stdout_lines(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "containerd_text",
+    glob: str | None = None,
+    ignoring_stdout: bool = False,
+    ignoring_stderr: bool = False,
+) -> DataFrame:
+    """Raw container log files → merged logical events: read → per-line
+    parse (P/F tags or docker json) → flag-based partial merge keyed by
+    (file, line offset). Returns (_file_, content, _offset_, n_merged,
+    _time_, _source_) with one row per logical event."""
+    from loongcollector_spark.operators.parsers import ParseContainerLogNative
+    from loongcollector_spark.operators.splits import MergePartialLogs
+
+    lines = read_text_files(spark, path, glob=glob)
+    parsed = ParseContainerLogNative(
+        SourceKey="content",
+        Format=fmt,
+        IgnoringStdout=ignoring_stdout,
+        IgnoringStderr=ignoring_stderr,
+    )(lines)
+    # carry the first piece's time/source through the merge via a join
+    # back on (file, offset) of the merged head row
+    merged = MergePartialLogs(
+        SourceKey="content", GroupKey="_file_", OrderKey="_offset_"
+    )(parsed)
+    heads = parsed.select(
+        "_file_", F.col("_offset_").alias("__head_off__"), "_time_", "_source_"
+    )
+    return merged.join(
+        heads,
+        (merged["_file_"] == heads["_file_"])
+        & (merged["_offset_"] == heads["__head_off__"]),
+    ).select(
+        merged["_file_"], "content", merged["_offset_"], "n_merged",
+        "_time_", "_source_",
+    )

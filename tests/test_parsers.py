@@ -472,3 +472,56 @@ class TestParseContainerLog:
             ("c1", 4): ("dangling", 1),
             ("c2", 0): ("xy", 2),
         }
+
+
+class TestFileSources:
+    def test_container_stdout_end_to_end(self, spark, tmp_path):
+        """Raw containerd files on disk → merged logical events, offsets
+        stable per file (the dev+inode+offset analogue)."""
+        import os
+
+        from loongcollector_spark.sources.files import (
+            container_stdout_lines,
+            read_text_files,
+        )
+
+        d = tmp_path / "logs"
+        os.makedirs(d)
+        (d / "a.log").write_text(
+            "t1 stdout P hello \n"
+            "t2 stdout P world\n"
+            "t3 stdout F !\n"
+            "t4 stderr F oops\n"
+        )
+        (d / "b.log").write_text("t5 stdout F solo\n")
+
+        lines = read_text_files(spark, str(d), glob="*.log")
+        assert lines.count() == 5
+        offs = {
+            (os.path.basename(r["_file_"]), r["_offset_"])
+            for r in lines.collect()
+        }
+        assert ("a.log", 0) in offs and ("b.log", 0) in offs
+
+        out = container_stdout_lines(spark, str(d), glob="*.log")
+        got = {
+            (os.path.basename(r["_file_"]), r["content"]): (
+                r["n_merged"], r["_source_"], r["_time_"]
+            )
+            for r in out.collect()
+        }
+        assert got[("a.log", "hello world!")] == (3, "stdout", "t1")
+        assert got[("a.log", "oops")] == (1, "stderr", "t4")
+        assert got[("b.log", "solo")] == (1, "stdout", "t5")
+
+    def test_streaming_reader_schema(self, spark, tmp_path):
+        import os
+
+        from loongcollector_spark.sources.files import read_text_files
+
+        d = tmp_path / "slogs"
+        os.makedirs(d)
+        (d / "x.log").write_text("line\n")
+        s = read_text_files(spark, str(d), stream=True)
+        assert s.isStreaming
+        assert set(s.columns) == {"content", "_file_", "_offset_"}
