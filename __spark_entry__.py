@@ -802,6 +802,70 @@ def q_prom_parse_relabel(spark, sf_dir):
     )
 
 
+def q_parse_from_pb(spark, sf_dir):
+    """sls_logs LogGroup wire decode (ProcessorParseFromPBNative): each
+    event is wire-encoded into a real protobuf LogGroup (tiny proto2
+    writer UDF), decoded by the operator, and the flattened fields are
+    recomputed independently by the oracle — a true roundtrip through
+    the wire bytes."""
+    from pyspark.sql import types as T
+
+    from loongcollector_spark.operators.pb import ParseFromPbNative
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(event_id, ts_s, etype, value, user_id):
+        import pandas as pd
+
+        def varint(n):
+            out = b""
+            while True:
+                b7 = n & 0x7F
+                n >>= 7
+                if n:
+                    out += bytes([b7 | 0x80])
+                else:
+                    return out + bytes([b7])
+
+        def ld(fnum, payload):
+            return varint((fnum << 3) | 2) + varint(len(payload)) + payload
+
+        def kv(k, v):
+            return ld(1, k.encode()) + ld(2, v.encode())
+
+        res = []
+        for eid, t, et, v, uid in zip(event_id, ts_s, etype, value, user_id):
+            log = varint(1 << 3) + varint(int(t))
+            log += ld(2, kv("etype", str(et)))
+            log += ld(2, kv("val", str(round(float(v), 2))))
+            log += ld(2, kv("eid", str(eid)))
+            group = ld(1, log)
+            group += ld(3, b"events")  # topic
+            group += ld(4, b"gen")  # source
+            group += ld(6, kv("uid", str(uid)))
+            res.append(group)
+        return pd.Series(res)
+
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000
+    payload = encode(
+        F.col("event_id"), F.floor(epoch).cast("long"),
+        F.col("event_type"), F.col("value"), F.col("user_id"),
+    )
+    df = ev.select(payload.alias("raw"))
+    out = ParseFromPbNative(SourceKey="raw")(df)
+    return out.select(
+        F.try_element_at(F.col("contents"), F.lit("eid"))
+        .cast("long").alias("event_id"),
+        "topic",
+        "source",
+        "log_time",
+        F.try_element_at(F.col("contents"), F.lit("etype")).alias("etype"),
+        F.try_element_at(F.col("contents"), F.lit("val")).alias("val_str"),
+        F.try_element_at(F.col("tags"), F.lit("uid")).alias("uid"),
+    )
+
+
 def q_parse_container_log(spark, sf_dir):
     """containerd text parse + partial-log merge
     (ProcessorParseContainerLogNative.cpp:176-259 + MergeType=flags merge):
@@ -1082,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_metric_reshape": q_otel_metric_reshape,
         "otel_trace_reshape": q_otel_trace_reshape,
         "parse_container_log": q_parse_container_log,
+        "parse_from_pb": q_parse_from_pb,
         "prom_parse_relabel": q_prom_parse_relabel,
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1521,6 +1586,14 @@ SELECT event_id,
        epoch_ms(ts) AS ts_ms
 FROM events
 WHERE user_id % 2 = 0"""
+
+    sql["parse_from_pb"] = """
+SELECT event_id, 'events' AS topic, 'gen' AS source,
+       CAST(floor(epoch(ts)) AS BIGINT) AS log_time,
+       event_type AS etype,
+       CAST(round(value, 2) AS VARCHAR) AS val_str,
+       CAST(user_id AS VARCHAR) AS uid
+FROM events"""
 
     sql["parse_container_log"] = _T + """, flags AS (
   SELECT conv_id, turn_idx, text, (turn_idx % 4) IN (1, 2) AS p

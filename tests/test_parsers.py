@@ -525,3 +525,95 @@ class TestFileSources:
         s = read_text_files(spark, str(d), stream=True)
         assert s.isStreaming
         assert set(s.columns) == {"content", "_file_", "_offset_"}
+
+
+def _pb_varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _pb_len(fnum: int, payload: bytes) -> bytes:
+    return _pb_varint((fnum << 3) | 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_kv(k: str, v: str) -> bytes:
+    return _pb_len(1, k.encode()) + _pb_len(2, v.encode())
+
+
+def _pb_log(time: int, contents: dict, time_ns: int | None = None) -> bytes:
+    body = _pb_varint(1 << 3) + _pb_varint(time)
+    for k, v in contents.items():
+        body += _pb_len(2, _pb_kv(k, v))
+    if time_ns is not None:
+        body += _pb_varint((4 << 3) | 5) + time_ns.to_bytes(4, "little")
+    return body
+
+
+def _pb_log_group(logs, topic="t1", source="s1", tags=None) -> bytes:
+    out = b""
+    for lg in logs:
+        out += _pb_len(1, lg)
+    out += _pb_len(3, topic.encode()) + _pb_len(4, source.encode())
+    for k, v in (tags or {}).items():
+        out += _pb_len(6, _pb_kv(k, v))
+    return out
+
+
+class TestParseFromPb:
+    """sls_logs.proto wire decode (ProcessorParseFromPBNative) — payloads
+    hand-encoded with a tiny proto2 writer above, so the decoder is
+    checked against the wire format itself, not against itself."""
+
+    def test_log_group_roundtrip(self, spark):
+        from loongcollector_spark.operators.pb import ParseFromPbNative
+
+        pb = _pb_log_group(
+            [
+                _pb_log(1700000000, {"k1": "v1", "k2": "v2"}, time_ns=123),
+                _pb_log(1700000001, {"k3": "v3"}),
+            ],
+            topic="top", source="10.0.0.1", tags={"host": "h1"},
+        )
+        df = spark.createDataFrame([(1, bytearray(pb))], "gid int, raw binary")
+        rows = ParseFromPbNative(SourceKey="raw")(df).orderBy("log_time").collect()
+        assert len(rows) == 2
+        r0 = rows[0]
+        assert r0.gid == 1 and r0.topic == "top" and r0.source == "10.0.0.1"
+        assert dict(r0.tags) == {"host": "h1"}
+        assert r0.log_time == 1700000000 and r0.log_time_ns == 123
+        assert dict(r0.contents) == {"k1": "v1", "k2": "v2"}
+        assert rows[1].log_time_ns is None
+        assert dict(rows[1].contents) == {"k3": "v3"}
+
+    def test_garbage_and_null_dropped(self, spark):
+        from loongcollector_spark.operators.pb import ParseFromPbNative
+
+        good = _pb_log_group([_pb_log(1, {"a": "b"})])
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xff\xff")), (2, None), (3, bytearray(good))],
+            "gid int, raw binary",
+        )
+        rows = ParseFromPbNative(SourceKey="raw")(df).collect()
+        assert [r.gid for r in rows] == [3]
+
+    def test_unsupported_protocol_rejected(self):
+        import pytest as _pytest
+
+        from loongcollector_spark.operators.pb import ParseFromPbNative
+
+        with _pytest.raises(ValueError):
+            ParseFromPbNative(Protocol="otlp")
+
+    def test_multibyte_varint_and_unicode(self, spark):
+        from loongcollector_spark.operators.pb import ParseFromPbNative
+
+        pb = _pb_log_group([_pb_log(2**31 - 1, {"键": "值" * 50})])
+        df = spark.createDataFrame([(1, bytearray(pb))], "gid int, raw binary")
+        r = ParseFromPbNative(SourceKey="raw")(df).collect()[0]
+        assert r.log_time == 2**31 - 1 and r.contents["键"] == "值" * 50
