@@ -802,6 +802,25 @@ def q_prom_parse_relabel(spark, sf_dir):
     )
 
 
+def q_text_gopher_quality(spark, sf_dir):
+    """Gopher-style document quality rules (public heuristics) as
+    signals + verdict over the documents table."""
+    from loongcollector_spark.functions.textclean import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_filter(docs, min_words=5, min_stop_words=1)
+    return out.select(
+        "doc_id",
+        F.col("gopher.n_words").alias("n_words"),
+        F.col("gopher.mean_word_len").alias("mean_word_len"),
+        F.col("gopher.symbol_ratio").alias("symbol_ratio"),
+        F.col("gopher.bullet_line_ratio").alias("bullet_line_ratio"),
+        F.col("gopher.ellipsis_line_ratio").alias("ellipsis_line_ratio"),
+        F.col("gopher.stop_word_hits").alias("stop_word_hits"),
+        "keep",
+    )
+
+
 def q_parse_from_pb(spark, sf_dir):
     """sls_logs LogGroup wire decode (ProcessorParseFromPBNative): each
     event is wire-encoded into a real protobuf LogGroup (tiny proto2
@@ -1147,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_trace_reshape": q_otel_trace_reshape,
         "parse_container_log": q_parse_container_log,
         "parse_from_pb": q_parse_from_pb,
+        "text_gopher_quality": q_text_gopher_quality,
         "prom_parse_relabel": q_prom_parse_relabel,
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1586,6 +1606,40 @@ SELECT event_id,
        epoch_ms(ts) AS ts_ms
 FROM events
 WHERE user_id % 2 = 0"""
+
+    sql["text_gopher_quality"] = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS words,
+         str_split(text, chr(10)) AS lines
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    CAST(len(words) AS INT) AS n_words,
+    round(CASE WHEN len(words) > 0 THEN
+        CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+             AS DOUBLE) / len(words) ELSE 0 END, 6) AS mean_word_len,
+    round(CASE WHEN len(words) > 0 THEN
+        ((length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3)
+        / CAST(len(words) AS DOUBLE) ELSE 0 END, 6) AS symbol_ratio,
+    round(CAST(len(list_filter(lines,
+        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        / greatest(len(lines), 1), 6) AS bullet_line_ratio,
+    round(CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS DOUBLE)
+        / greatest(len(lines), 1), 6) AS ellipsis_line_ratio,
+    CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+        ['the','be','to','of','and','that','have','with'])) AS INT)
+        AS stop_word_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, stop_word_hits,
+       (n_words BETWEEN 5 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+       AND ellipsis_line_ratio <= 0.3 AND stop_word_hits >= 1 AS keep
+FROM sig"""
 
     sql["parse_from_pb"] = """
 SELECT event_id, 'events' AS topic, 'gen' AS source,

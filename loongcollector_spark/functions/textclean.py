@@ -1,0 +1,125 @@
+"""Corpus-cleaning filters for LLM training-data pipelines.
+
+Implements the two public heuristic families everyone uses, as pure
+built-in expressions (no UDFs, fully pushdown-friendly):
+
+* C4-style line filtering (Raffel et al. 2020, §2.2): keep a line only if
+  it ends in terminal punctuation, has ≥ `min_words` words, and contains
+  neither curly braces nor boilerplate markers ("javascript", "cookie
+  policy", "lorem ipsum", "all rights reserved").
+* Gopher-style document rules (Rae et al. 2021, table A1 subset): word
+  count bounds, mean word length in [3, 10], symbol-to-word ratio caps
+  (# and ellipsis), bullet/ellipsis line-ratio caps, and a minimum count
+  of common English stop words.
+
+Both emit *signals + verdict* rather than silently dropping, so the
+pipeline can route rejects to a quarantine sink (the same
+multicast-router shape as the log pipeline) and the thresholds stay
+auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TERMINAL = (".", "!", "?", '"', "'")
+_BOILERPLATE = ("javascript", "cookie policy", "lorem ipsum",
+                "all rights reserved")
+_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def c4_line_filter(
+    text: Column, min_words: int = 3
+) -> Column:
+    """Return the text with non-qualifying lines removed (C4 §2.2)."""
+    lines = F.split(text, r"\n", -1)
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        lower = F.lower(t)
+        words = F.size(F.split(t, r"\s+", -1))
+        ends_ok = F.lit(False)
+        for p in _TERMINAL:
+            ends_ok = ends_ok | t.endswith(p)
+        boiler = F.lit(False)
+        for b in _BOILERPLATE:
+            boiler = boiler | lower.contains(b)
+        return (
+            ends_ok
+            & (words >= min_words)
+            & ~t.contains("{")
+            & ~t.contains("}")
+            & ~boiler
+        )
+
+    return F.array_join(F.filter(lines, keep), "\n")
+
+
+def gopher_signals(text: Column) -> Column:
+    """Struct of Gopher-rule signals over one document."""
+    words = F.split(F.trim(text), r"\s+", -1)
+    n_words = F.size(words)
+    word_lens = F.transform(words, lambda w: F.length(w))
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(word_lens, F.lit(0), lambda a, x: a + x).cast("double")
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(text, r"#", -1)) - 1
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
+    lines = F.split(text, r"\n", -1)
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[\-\*•]"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.lower(w)),
+            F.array(*[F.lit(s) for s in _STOPWORDS]),
+        )
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(
+            F.when(n_words > 0, (n_hash + n_ellipsis) / n_words).otherwise(0.0), 6
+        ).alias("symbol_ratio"),
+        F.round(bullet_lines / n_lines, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_lines / n_lines, 6).alias("ellipsis_line_ratio"),
+        stop_hits.alias("stop_word_hits"),
+    )
+
+
+def gopher_verdict(
+    sig: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_stop_words: int = 2,
+) -> Column:
+    return (
+        sig["n_words"].between(min_words, max_words)
+        & sig["mean_word_len"].between(min_mean_wl, max_mean_wl)
+        & (sig["symbol_ratio"] <= max_symbol_ratio)
+        & (sig["bullet_line_ratio"] <= max_bullet_ratio)
+        & (sig["ellipsis_line_ratio"] <= max_ellipsis_ratio)
+        & (sig["stop_word_hits"] >= min_stop_words)
+    )
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Attach ``gopher`` signal struct + ``keep`` verdict — route on
+    ``keep`` instead of filtering so rejects stay auditable."""
+    sig = gopher_signals(F.col(text_col))
+    out = df.withColumn("gopher", sig)
+    return out.withColumn(
+        "keep", gopher_verdict(F.col("gopher"), **thresholds)
+    )

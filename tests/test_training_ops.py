@@ -497,3 +497,49 @@ class TestRealMediaDecode:
         )
         with _pytest.raises(Exception, match="NotImplementedError|codec"):
             mm.extract_features(df, deterministic_fake=False).collect()
+
+
+class TestTextClean:
+    """C4 line filtering + Gopher document rules (public heuristics)."""
+
+    def test_c4_line_filter(self, spark):
+        from loongcollector_spark.functions.textclean import c4_line_filter
+
+        doc = "\n".join([
+            "This line is a keeper.",           # kept
+            "short.",                            # < 3 words
+            "No terminal punctuation here",      # no punct
+            "Enable javascript to continue.",    # boilerplate
+            "Object has { braces } in it.",      # braces
+            "Another good sentence stays!",      # kept
+        ])
+        df = spark.createDataFrame([(doc,)], "text string")
+        out = df.select(c4_line_filter(F.col("text")).alias("t")).collect()[0]["t"]
+        assert out == "This line is a keeper.\nAnother good sentence stays!"
+
+    def test_gopher_signals_and_verdict(self, spark):
+        from loongcollector_spark.functions.textclean import quality_filter
+
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "runs away with great speed to be free of the yard") * 2
+        symbols = "# " * 40 + "words to have some body in the text"
+        bullets = "\n".join("- item" for _ in range(10))
+        df = spark.createDataFrame(
+            [(1, good), (2, symbols), (3, bullets)], "doc_id int, text string"
+        )
+        out = {r.doc_id: r for r in quality_filter(
+            df, min_words=10, min_stop_words=1).collect()}
+        assert out[1].keep
+        assert not out[2].keep and out[2].gopher.symbol_ratio > 0.1
+        assert not out[3].keep and out[3].gopher.bullet_line_ratio > 0.9
+
+    def test_signals_values(self, spark):
+        from loongcollector_spark.functions.textclean import gopher_signals
+
+        df = spark.createDataFrame([("the cat... sat #ok\n- bullet",)],
+                                   "text string")
+        s = df.select(gopher_signals(F.col("text")).alias("g")).collect()[0]["g"]
+        assert s.n_words == 6  # the cat... sat #ok - bullet
+        assert s.stop_word_hits == 1  # 'the'
+        assert s.symbol_ratio > 0
+        assert s.bullet_line_ratio == 0.5
