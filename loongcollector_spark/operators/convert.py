@@ -721,7 +721,7 @@ class OtelMetricReshape(Processor):
 
         mm = F.col("__m__")
         num_value = lambda dp: F.coalesce(  # noqa: E731
-            dp["asDouble"], dp["asInt"].cast("double")
+            dp["asDouble"], dp["asInt"].try_cast("double")
         )
         gauge = F.coalesce(
             F.transform(
@@ -785,7 +785,7 @@ class OtelMetricReshape(Processor):
                     F.aggregate(
                         F.slice(counts, F.lit(1), j),
                         F.lit(0.0),
-                        lambda acc, x: acc + x.cast("double"),
+                        lambda acc, x: acc + F.coalesce(x.try_cast("double"), F.lit(0.0)),
                     ),
                 ),
             )
@@ -793,7 +793,7 @@ class OtelMetricReshape(Processor):
                 entry("_sum", t, attrs, hist_extras, dp["sum"]),
                 entry("_min", t, attrs, hist_extras, dp["min"]),
                 entry("_max", t, attrs, hist_extras, dp["max"]),
-                entry("_count", t, attrs, hist_extras, dp["count"].cast("double")),
+                entry("_count", t, attrs, hist_extras, dp["count"].try_cast("double")),
             )
             return F.concat(fixed, buckets)
 
@@ -821,7 +821,7 @@ class OtelMetricReshape(Processor):
             return F.concat(
                 F.array(
                     entry("_sum", t, attrs, no_extras, dp["sum"]),
-                    entry("_count", t, attrs, no_extras, dp["count"].cast("double")),
+                    entry("_count", t, attrs, no_extras, dp["count"].try_cast("double")),
                 ),
                 quantiles,
             )
@@ -841,7 +841,7 @@ class OtelMetricReshape(Processor):
         )
         out = df.select(
             name.alias("__name__"),
-            F.col("__e__.t").cast("long").alias("__time_nano__"),
+            F.col("__e__.t").try_cast("long").alias("__time_nano__"),
             _labels_string(
                 F.col("__res_kv__"), F.col("__e__.attrs"), F.col("__e__.extras")
             ).alias("__labels__"),
@@ -972,10 +972,12 @@ class OtelTraceReshape(Processor):
         res = F.col("__rs__.resource.attributes")
         res_kv = _norm_attrs(res)
         host = F.coalesce(
-            F.element_at(F.map_from_entries(res_kv), F.lit("host.name")), F.lit("")
+            F.try_element_at(F.map_from_entries(res_kv), F.lit("host.name")),
+            F.lit(""),
         )
         service = F.coalesce(
-            F.element_at(F.map_from_entries(res_kv), F.lit("service.name")), F.lit("")
+            F.try_element_at(F.map_from_entries(res_kv), F.lit("service.name")),
+            F.lit(""),
         )
         rest_kv = F.filter(
             res_kv, lambda e: ~e["k"].isin("host.name", "service.name")
@@ -992,8 +994,8 @@ class OtelTraceReshape(Processor):
         sp = F.col("__sp__")
         kind_map = F.create_map(*[F.lit(x) for kvp in self._KIND.items() for x in kvp])
         status_map = F.create_map(*[F.lit(x) for kvp in self._STATUS.items() for x in kvp])
-        start_ns = sp["startTimeUnixNano"].cast("decimal(26,0)")
-        end_ns = sp["endTimeUnixNano"].cast("decimal(26,0)")
+        start_ns = sp["startTimeUnixNano"].try_cast("decimal(26,0)")
+        end_ns = sp["endTimeUnixNano"].try_cast("decimal(26,0)")
         micros = lambda c: (c / 1000).cast("long").cast("string")  # noqa: E731
         events_json = F.concat(
             F.lit("["),
