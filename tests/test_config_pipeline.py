@@ -33,3 +33,23 @@ processors:
         )
         out = cfg.run(transcripts)["default"]
         assert out.columns == ["conv_id", "turn_idx", "role"]
+
+
+class TestContainerConfig:
+    def test_container_yaml_end_to_end(self, spark):
+        from loongcollector_spark.plans.config_pipeline import load_config
+
+        cfg = load_config("configs/container_pipeline.yaml")
+        df = spark.createDataFrame(
+            [
+                ("f1", 0, "t stdout P ab"),
+                ("f1", 1, "t stdout F cd"),
+                ("f1", 2, "t stderr F solo"),
+            ],
+            "src string, off int, content string",
+        )
+        rows = {
+            r.off: (r.content, r.n_merged)
+            for r in cfg.run(df)["sink_all"].collect()
+        }
+        assert rows == {0: ("abcd", 2), 2: ("solo", 1)}
