@@ -517,7 +517,10 @@ class OtelMetricReshape(Processor):
     * summary — ``_sum``/``_count`` + one row per quantile with a
       ``quantile`` label (:162-183)
 
-    Not covered (documented): exponential histograms, exemplar rows, and
+    * exponential histogram — base 2^(2^-scale) bucket ranges as le
+      labels, offsets and zeroCount as their own rows (:231-274)
+
+    Not covered (documented): exemplar rows and
     the protobuf/protojson binary input formats (this container has no
     OTLP proto libs — JSON only). ``__value__`` stays a typed double and
     ``__time_nano__`` a typed long rather than the reference's
@@ -624,6 +627,49 @@ class OtelMetricReshape(Processor):
                                                                             "aggregationTemporality",
                                                                             T.StringType(),
                                                                         ),
+                                                                    ]
+                                                                ),
+                                                            ),
+                                                            T.StructField(
+                                                                "exponentialHistogram",
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField(
+                                                                            "dataPoints",
+                                                                            T.ArrayType(
+                                                                                T.StructType(
+                                                                                    [
+                                                                                        T.StructField("attributes", _OTLP_KVS),
+                                                                                        T.StructField("timeUnixNano", T.StringType()),
+                                                                                        T.StructField("count", T.StringType()),
+                                                                                        T.StructField("sum", T.DoubleType()),
+                                                                                        T.StructField("min", T.DoubleType()),
+                                                                                        T.StructField("max", T.DoubleType()),
+                                                                                        T.StructField("zeroCount", T.StringType()),
+                                                                                        T.StructField("scale", T.IntegerType()),
+                                                                                        T.StructField(
+                                                                                            "positive",
+                                                                                            T.StructType(
+                                                                                                [
+                                                                                                    T.StructField("offset", T.IntegerType()),
+                                                                                                    T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+                                                                                                ]
+                                                                                            ),
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "negative",
+                                                                                            T.StructType(
+                                                                                                [
+                                                                                                    T.StructField("offset", T.IntegerType()),
+                                                                                                    T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+                                                                                                ]
+                                                                                            ),
+                                                                                        ),
+                                                                                    ]
+                                                                                )
+                                                                            ),
+                                                                        ),
+                                                                        T.StructField("aggregationTemporality", T.StringType()),
                                                                     ]
                                                                 ),
                                                             ),
@@ -831,8 +877,85 @@ class OtelMetricReshape(Processor):
             empty_entries,
         )
 
+        exp_extras = F.array(
+            _kv("otlp.metric.aggregation.temporality",
+                _temporality_str(mm["exponentialHistogram"]["aggregationTemporality"])),
+            _kv("otlp.metric.histogram.type", "ExponentialHistogram"),
+        )
+
+        def exp_hist_entries(dp):
+            # ExponentialHistogramToLogs (otlpDataToSLSProto.go:231-274):
+            # base = 2^(2^-scale); positive bucket i covers
+            # (base^(offset+i), base^(offset+i+1)], negative buckets are
+            # the mirrored [..) ranges; counts are NOT cumulative; offsets
+            # and zeroCount emit as their own le-labelled rows.
+            t = dp["timeUnixNano"]
+            attrs = _norm_attrs(dp["attributes"])
+            base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -dp["scale"].cast("double")))
+
+            def side(struct_col, positive):
+                counts = F.coalesce(
+                    struct_col["bucketCounts"], F.array().cast("array<string>")
+                )
+                off = F.coalesce(struct_col["offset"], F.lit(0)).cast("double")
+                n = F.size(counts)
+                idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                    F.array().cast("array<int>")
+                )
+
+                def one(j):
+                    lower = F.pow(base, off + (j - 1).cast("double"))
+                    upper = lower * base
+                    le = (
+                        F.concat(F.lit("("), _g_format(lower), F.lit(","),
+                                 _g_format(upper), F.lit("]"))
+                        if positive
+                        else F.concat(F.lit("["), _g_format(-upper), F.lit(","),
+                                      _g_format(-lower), F.lit(")"))
+                    )
+                    return entry(
+                        "_bucket", t, attrs,
+                        F.concat(exp_extras, F.array(_kv("le", le))),
+                        F.try_element_at(counts, j).try_cast("double"),
+                    )
+
+                off_key = "positive.offset" if positive else "negative.offset"
+                return F.concat(
+                    F.transform(idx, one),
+                    F.array(
+                        entry(
+                            "_bucket", t, attrs,
+                            F.concat(exp_extras, F.array(_kv("le", off_key))),
+                            off,
+                        )
+                    ),
+                )
+
+            fixed = F.array(
+                entry("_sum", t, attrs, exp_extras, dp["sum"]),
+                entry("_min", t, attrs, exp_extras, dp["min"]),
+                entry("_max", t, attrs, exp_extras, dp["max"]),
+                entry("_count", t, attrs, exp_extras, dp["count"].try_cast("double")),
+                entry(
+                    "_bucket", t, attrs,
+                    F.concat(exp_extras, F.array(_kv("le", "zero.count"))),
+                    F.coalesce(dp["zeroCount"], F.lit("0")).try_cast("double"),
+                ),
+            )
+            return F.concat(fixed, side(dp["positive"], True),
+                            side(dp["negative"], False))
+
+        exp_hists = F.coalesce(
+            F.flatten(
+                F.transform(
+                    mm["exponentialHistogram"]["dataPoints"], exp_hist_entries
+                )
+            ),
+            empty_entries,
+        )
+
         entries = F.filter(
-            F.concat(gauge, sums, hists, summaries),
+            F.concat(gauge, sums, hists, summaries, exp_hists),
             lambda e: e["value"].isNotNull(),
         )
         df = df.select("*", F.explode(entries).alias("__e__"))

@@ -297,3 +297,30 @@ class TestOtelMetricTrace:
         )
         assert OtelMetricReshape(SourceKey="content")(df).count() == 0
         assert OtelTraceReshape(SourceKey="content")(df).count() == 0
+
+    def test_exponential_histogram(self, spark):
+        """ExponentialHistogramToLogs (otlpDataToSLSProto.go:231-274):
+        base 2^(2^-scale) bucket ranges, offsets + zeroCount rows."""
+        rows = self._metric_rows(spark, {
+            "resourceMetrics": [{
+                "resource": {"attributes": []},
+                "scopeMetrics": [{"metrics": [
+                    {"name": "eh", "exponentialHistogram": {
+                        "aggregationTemporality": 2,
+                        "dataPoints": [{"attributes": [], "timeUnixNano": "5",
+                            "count": "7", "sum": 10.5, "zeroCount": "1",
+                            "scale": 0,
+                            "positive": {"offset": 1,
+                                         "bucketCounts": ["2", "3"]},
+                            "negative": {"offset": 0,
+                                         "bucketCounts": ["1"]}}]}}]}]}]})
+        base = ("otlp.metric.aggregation.temporality#$#Cumulative"
+                "|otlp.metric.histogram.type#$#ExponentialHistogram")
+        assert rows[("eh_sum", base)] == (5, 10.5)
+        assert rows[("eh_count", base)] == (5, 7.0)
+        assert rows[("eh_bucket", f"le#$#zero.count|{base}")] == (5, 1.0)
+        assert rows[("eh_bucket", f"le#$#(2,4]|{base}")] == (5, 2.0)
+        assert rows[("eh_bucket", f"le#$#(4,8]|{base}")] == (5, 3.0)
+        assert rows[("eh_bucket", f"le#$#positive.offset|{base}")] == (5, 1.0)
+        assert rows[("eh_bucket", f"le#$#[-2,-1)|{base}")] == (5, 1.0)
+        assert rows[("eh_bucket", f"le#$#negative.offset|{base}")] == (5, 0.0)
