@@ -520,7 +520,7 @@ class OtelMetricReshape(Processor):
     * exponential histogram — base 2^(2^-scale) bucket ranges as le
       labels, offsets and zeroCount as their own rows (:231-274)
 
-    Not covered (documented): exemplar rows and
+    Not covered (documented):
     the protobuf/protojson binary input formats (this container has no
     OTLP proto libs — JSON only). ``__value__`` stays a typed double and
     ``__time_nano__`` a typed long rather than the reference's
@@ -530,6 +530,18 @@ class OtelMetricReshape(Processor):
     parsed once, every datapoint expansion is JVM-side.
     """
 
+    _EXEMPLARS = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("filteredAttributes", _OTLP_KVS),
+                T.StructField("timeUnixNano", T.StringType()),
+                T.StructField("asDouble", T.DoubleType()),
+                T.StructField("asInt", T.StringType()),
+                T.StructField("spanId", T.StringType()),
+                T.StructField("traceId", T.StringType()),
+            ]
+        )
+    )
     _DP_NUM = T.ArrayType(
         T.StructType(
             [
@@ -537,6 +549,7 @@ class OtelMetricReshape(Processor):
                 T.StructField("timeUnixNano", T.StringType()),
                 T.StructField("asDouble", T.DoubleType()),
                 T.StructField("asInt", T.StringType()),
+                T.StructField("exemplars", _EXEMPLARS),
             ]
         )
     )
@@ -618,6 +631,9 @@ class OtelMetricReshape(Processor):
                                                                                         T.StructField(
                                                                                             "explicitBounds",
                                                                                             T.ArrayType(T.DoubleType()),
+                                                                                        ),
+                                                                                        T.StructField(
+                                                                                            "exemplars", _EXEMPLARS
                                                                                         ),
                                                                                     ]
                                                                                 )
@@ -769,13 +785,53 @@ class OtelMetricReshape(Processor):
         num_value = lambda dp: F.coalesce(  # noqa: E731
             dp["asDouble"], dp["asInt"].try_cast("double")
         )
+        empty_kv = F.array().cast("array<struct<k:string,v:string>>")
+
+        def exemplar_entries(dp, extras):
+            """newExemplarMetricLogFromRaw (otlpDataToSLSProto.go:79-118):
+            one `<name>_exemplars` row per exemplar — traceId/spanId
+            labels when non-empty, filtered attributes appended, value =
+            DoubleValue() (0 for int exemplars, faithfully), and the
+            time value in SECONDS (the reference formats Unix())."""
+
+            def one(ex):
+                tid = F.coalesce(ex["traceId"], F.lit(""))
+                sid = F.coalesce(ex["spanId"], F.lit(""))
+                # decimal division: long/double rounds ns near the
+                # second boundary (Go Unix() truncates)
+                t_secs = (
+                    (ex["timeUnixNano"].try_cast("decimal(26,0)")
+                     / F.lit(1_000_000_000))
+                    .cast("long").cast("string")
+                )
+                ex_extras = F.concat(
+                    extras,
+                    F.when(tid != "", F.array(_kv("traceId", tid))).otherwise(empty_kv),
+                    F.when(sid != "", F.array(_kv("spanId", sid))).otherwise(empty_kv),
+                    _norm_attrs(ex["filteredAttributes"]),
+                )
+                return entry(
+                    "_exemplars", t_secs, _norm_attrs(dp["attributes"]),
+                    ex_extras, F.coalesce(ex["asDouble"], F.lit(0.0)),
+                )
+
+            return F.coalesce(F.transform(dp["exemplars"], one), empty_entries)
+
         gauge = F.coalesce(
-            F.transform(
-                mm["gauge"]["dataPoints"],
-                lambda dp: entry(
-                    "", dp["timeUnixNano"], _norm_attrs(dp["attributes"]),
-                    no_extras, num_value(dp),
-                ),
+            F.flatten(
+                F.transform(
+                    mm["gauge"]["dataPoints"],
+                    lambda dp: F.concat(
+                        F.array(
+                            entry(
+                                "", dp["timeUnixNano"],
+                                _norm_attrs(dp["attributes"]),
+                                no_extras, num_value(dp),
+                            )
+                        ),
+                        exemplar_entries(dp, no_extras),
+                    ),
+                )
             ),
             empty_entries,
         )
@@ -786,12 +842,20 @@ class OtelMetricReshape(Processor):
                 _temporality_str(mm["sum"]["aggregationTemporality"])),
         )
         sums = F.coalesce(
-            F.transform(
-                mm["sum"]["dataPoints"],
-                lambda dp: entry(
-                    "", dp["timeUnixNano"], _norm_attrs(dp["attributes"]),
-                    sum_extras, num_value(dp),
-                ),
+            F.flatten(
+                F.transform(
+                    mm["sum"]["dataPoints"],
+                    lambda dp: F.concat(
+                        F.array(
+                            entry(
+                                "", dp["timeUnixNano"],
+                                _norm_attrs(dp["attributes"]),
+                                sum_extras, num_value(dp),
+                            )
+                        ),
+                        exemplar_entries(dp, sum_extras),
+                    ),
+                )
             ),
             empty_entries,
         )
@@ -841,7 +905,7 @@ class OtelMetricReshape(Processor):
                 entry("_max", t, attrs, hist_extras, dp["max"]),
                 entry("_count", t, attrs, hist_extras, dp["count"].try_cast("double")),
             )
-            return F.concat(fixed, buckets)
+            return F.concat(fixed, buckets, exemplar_entries(dp, hist_extras))
 
         hists = F.coalesce(
             F.flatten(F.transform(mm["histogram"]["dataPoints"], hist_entries)),

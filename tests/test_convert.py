@@ -324,3 +324,31 @@ class TestOtelMetricTrace:
         assert rows[("eh_bucket", f"le#$#positive.offset|{base}")] == (5, 1.0)
         assert rows[("eh_bucket", f"le#$#[-2,-1)|{base}")] == (5, 1.0)
         assert rows[("eh_bucket", f"le#$#negative.offset|{base}")] == (5, 0.0)
+
+    def test_exemplar_rows(self, spark):
+        """newExemplarMetricLogFromRaw (otlpDataToSLSProto.go:79-118):
+        <name>_exemplars rows with traceId/spanId + filtered-attribute
+        labels, SECONDS-scale time (truncated), DoubleValue() semantics
+        (0.0 for int exemplars)."""
+        rows = self._metric_rows(spark, {
+            "resourceMetrics": [{
+                "resource": {"attributes": []},
+                "scopeMetrics": [{"metrics": [
+                    {"name": "g", "gauge": {"dataPoints": [
+                        {"attributes": [{"key": "core",
+                                         "value": {"intValue": "0"}}],
+                         "timeUnixNano": "1700000000123456789",
+                         "asDouble": 0.5,
+                         "exemplars": [
+                             {"filteredAttributes": [
+                                 {"key": "q", "value": {"stringValue": "x"}}],
+                              "timeUnixNano": "1700000000999999999",
+                              "asDouble": 42.5,
+                              "spanId": "ab12", "traceId": "cd34"},
+                             {"timeUnixNano": "1700000001000000000",
+                              "asInt": "7"}]}]}}]}]}]})
+        assert rows[("g", "core#$#0")] == (1700000000123456789, 0.5)
+        assert rows[(
+            "g_exemplars", "core#$#0|q#$#x|spanId#$#ab12|traceId#$#cd34"
+        )] == (1700000000, 42.5)  # seconds, truncated like Go Unix()
+        assert rows[("g_exemplars", "core#$#0")] == (1700000001, 0.0)
