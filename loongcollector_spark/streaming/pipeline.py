@@ -193,7 +193,12 @@ def stateful_multiline_merge(
             state.remove()
             yield pd.DataFrame([[gval, pt, po, n]], columns=cols)
             return
-        pending = state.get if state.exists else None
+        # pending = (first_order, [pieces], n_lines) — list-accumulate +
+        # join so a long open event costs O(total bytes), not quadratic
+        pending = None
+        if state.exists:
+            po, pt, n = state.get
+            pending = (po, [pt], n)
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(order_col)
@@ -201,16 +206,17 @@ def stateful_multiline_merge(
                 text = "" if t is None else t
                 if rx.search(text):
                     if pending is not None:
-                        out.append([gval, pending[1], pending[0], pending[2]])
-                    pending = (int(o), text, 1)
+                        out.append(
+                            [gval, "\n".join(pending[1]), pending[0], pending[2]]
+                        )
+                    pending = (int(o), [text], 1)
                 elif pending is not None:
-                    pending = (
-                        pending[0], pending[1] + "\n" + text, pending[2] + 1
-                    )
+                    pending[1].append(text)
+                    pending = (pending[0], pending[1], pending[2] + 1)
                 else:
                     out.append([gval, text, int(o), 1])
         if pending is not None:
-            state.update(pending)
+            state.update((pending[0], "\n".join(pending[1]), pending[2]))
             if timeout_ms > 0:
                 state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(out, columns=cols)
