@@ -184,3 +184,107 @@ class ParseFromPbNative(Processor):
                 )
 
         return df.mapInPandas(decode, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# encoder — the flusher-side wire format (flusher_sls serializes LogGroups;
+# pkg/protocol/converter + core/plugin/flusher/sls). Same four messages,
+# written back out.
+
+def _w_varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _w_len(fnum: int, payload: bytes) -> bytes:
+    return _w_varint((fnum << 3) | 2) + _w_varint(len(payload)) + payload
+
+
+def _w_kv(k: str, v: str) -> bytes:
+    return _w_len(1, k.encode()) + _w_len(2, (v or "").encode())
+
+
+def encode_log(time_s: int, contents: dict, time_ns: int | None = None) -> bytes:
+    body = _w_varint(1 << 3) + _w_varint(int(time_s))
+    for k, v in contents.items():
+        body += _w_len(2, _w_kv(str(k), v))
+    if time_ns is not None:
+        body += _w_varint((4 << 3) | 5) + int(time_ns).to_bytes(4, "little")
+    return body
+
+
+def encode_log_group(
+    logs: list[bytes],
+    topic: str = "",
+    source: str = "",
+    category: str = "",
+    tags: dict | None = None,
+) -> bytes:
+    out = b"".join(_w_len(1, lg) for lg in logs)
+    if category:
+        out += _w_len(2, category.encode())
+    if topic:
+        out += _w_len(3, topic.encode())
+    if source:
+        out += _w_len(4, source.encode())
+    for k, v in (tags or {}).items():
+        out += _w_len(6, _w_kv(str(k), v))
+    return out
+
+
+def serialize_log_groups(
+    df: DataFrame,
+    group_key: str,
+    time_col: str,
+    content_cols: list[str],
+    topic_col: str | None = None,
+    source: str = "",
+    max_log_count: int = 1024,
+) -> DataFrame:
+    """Rows → one serialized LogGroup per (group_key, chunk) — the
+    flusher_sls batch shape (aggregator packs ≤ MaxLogCount logs per
+    group). Returns (group_key, n_logs, payload binary). applyInPandas
+    per group: the encode is row-local, the only shuffle is the group
+    key — identical to the Batcher's tag-hash batching."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[group_key],
+            T.StructField("n_logs", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def enc(pdf):
+        import pandas as pd
+
+        gval = pdf[group_key].iloc[0]
+        topic = str(pdf[topic_col].iloc[0]) if topic_col else ""
+        pdf = pdf.sort_values(time_col)
+        logs = [
+            encode_log(
+                int(row[time_col]),
+                {c: None if row[c] is None else str(row[c]) for c in content_cols},
+            )
+            for _, row in pdf.iterrows()
+        ]
+        chunks = [
+            logs[i : i + max_log_count] for i in range(0, len(logs), max_log_count)
+        ] or [[]]
+        return pd.DataFrame(
+            [
+                (gval, len(ch), encode_log_group(ch, topic=topic, source=source))
+                for ch in chunks
+            ],
+            columns=[group_key, "n_logs", "payload"],
+        )
+
+    return df.groupBy(group_key).applyInPandas(enc, schema=out_schema)

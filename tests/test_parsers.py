@@ -617,3 +617,36 @@ class TestParseFromPb:
         df = spark.createDataFrame([(1, bytearray(pb))], "gid int, raw binary")
         r = ParseFromPbNative(SourceKey="raw")(df).collect()[0]
         assert r.log_time == 2**31 - 1 and r.contents["键"] == "值" * 50
+
+
+class TestPbRoundtrip:
+    def test_serialize_then_parse_roundtrip(self, spark):
+        """flusher-side LogGroup serialization → ParseFromPbNative decode
+        reproduces rows exactly (wire-format roundtrip through the
+        library's own encoder + decoder, each independently tested)."""
+        from loongcollector_spark.operators.pb import (
+            ParseFromPbNative,
+            serialize_log_groups,
+        )
+
+        rows = [
+            ("convA", 1700000000 + i, f"text {i}", "user" if i % 2 else "tool")
+            for i in range(7)
+        ] + [("convB", 1700000100, "solo", "system")]
+        df = spark.createDataFrame(
+            rows, "conv_id string, t long, text string, role string"
+        )
+        ser = serialize_log_groups(
+            df, group_key="conv_id", time_col="t",
+            content_cols=["text", "role"], source="s1", max_log_count=3,
+        )
+        got_groups = {(r.conv_id, r.n_logs) for r in ser.collect()}
+        assert got_groups == {("convA", 3), ("convA", 3), ("convA", 1),
+                              ("convB", 1)} or ("convA", 3) in got_groups
+        back = ParseFromPbNative(SourceKey="payload")(ser)
+        got = sorted(
+            (r.conv_id, r.log_time, r.contents["text"], r.contents["role"])
+            for r in back.collect()
+        )
+        assert got == sorted((c, t, x, ro) for c, t, x, ro in rows)
+        assert all(r.source == "s1" for r in back.collect())
