@@ -336,8 +336,6 @@ class MergeMultilineLog(Processor):
                     emit_merge()
                 else:
                     unmatch(events)  # dangling partial with End → unmatched
-            import pandas as pd  # noqa: F811
-
             return pd.DataFrame(
                 out, columns=[group_key, source_key, order_key, "n_merged"]
             )
