@@ -549,6 +549,58 @@ def q_otel_reshape(spark, sf_dir):
     )
 
 
+def q_otel_log_parse(spark, sf_dir):
+    """OTLP-JSON logs payload → flat LogRecord rows (ConvertOtlpLogV1):
+    one record per turn, fields recomputed by the oracle."""
+    from loongcollector_spark.operators.convert import OtelLogParse
+
+    t = _transcripts(spark, sf_dir)
+    ns = (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("string")
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.struct(
+                        F.array(
+                            F.struct(
+                                F.lit("svc").alias("key"),
+                                F.struct(F.lit("chat").alias("stringValue")).alias("value"),
+                            )
+                        ).alias("attributes")
+                    ).alias("resource"),
+                    F.array(
+                        F.struct(
+                            F.array(
+                                F.struct(
+                                    ns.alias("timeUnixNano"),
+                                    (F.pmod(F.col("turn_idx"), F.lit(16)) + 9)
+                                    .cast("string").alias("severityNumber"),
+                                    F.upper(F.col("role")).alias("severityText"),
+                                    F.struct(F.col("text").alias("stringValue")).alias("body"),
+                                    F.array(
+                                        F.struct(
+                                            F.lit("conv").alias("key"),
+                                            F.struct(F.col("conv_id").alias("stringValue")).alias("value"),
+                                        ),
+                                        F.struct(
+                                            F.lit("turn").alias("key"),
+                                            F.struct(
+                                                F.col("turn_idx").cast("string").alias("stringValue")
+                                            ).alias("value"),
+                                        ),
+                                    ).alias("attributes"),
+                                )
+                            ).alias("logRecords")
+                        )
+                    ).alias("scopeLogs"),
+                )
+            ).alias("resourceLogs")
+        )
+    )
+    df = t.select(payload.alias("content"))
+    return OtelLogParse(SourceKey="content")(df)
+
+
 def q_otel_metric_reshape(spark, sf_dir):
     """OTLP-JSON metrics → SLS metric rows (gauge + monotonic sum per
     event; ConvertOtlpMetricV1 shape). The payload is built in-query from
@@ -1162,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_lookup_geoip": q_range_lookup,
         "streaming_parse_enrich": q_streaming_parse_enrich,
         "otel_log_reshape": q_otel_reshape,
+        "otel_log_parse": q_otel_log_parse,
         "otel_metric_reshape": q_otel_metric_reshape,
         "otel_trace_reshape": q_otel_trace_reshape,
         "parse_container_log": q_parse_container_log,
@@ -1662,6 +1715,16 @@ SELECT conv_id, string_agg(text, '' ORDER BY turn_idx) AS content,
        CAST(min(turn_idx) AS INT) AS turn_start,
        CAST(count(*) AS BIGINT) AS n_merged
 FROM seg GROUP BY conv_id, grp"""
+
+    sql["otel_log_parse"] = _T + """
+SELECT CAST(epoch_us(ts) * 1000 AS BIGINT) AS time_unix_nano,
+       CAST((turn_idx % 16) + 9 AS INT) AS severity_number,
+       upper(role) AS severity_text,
+       text AS content,
+       '{"conv":"' || conv_id || '","turn":"' || CAST(turn_idx AS VARCHAR)
+           || '"}' AS attributes,
+       '{"svc":"chat"}' AS resources
+FROM transcripts"""
 
     sql["otel_metric_reshape"] = """
 SELECT 'evt_' || event_type AS mname,

@@ -1257,3 +1257,94 @@ class OtelTraceReshape(Processor):
         return F.coalesce(
             F.to_json(F.map_from_entries(sorted_kvs)), F.lit("{}")
         )
+
+
+@register("processor_otel_log_parse")
+class OtelLogParse(Processor):
+    """OTLP-JSON logs payload → one row per LogRecord with the
+    reference's flat fields (ConvertOtlpLogV1,
+    otlpDataToSLSProto.go:280-338): time_unix_nano, severity_number,
+    severity_text, content (body AsString), attributes / resources as
+    key-sorted JSON strings (NULL when empty, like the reference omitting
+    the key). Completes the OTLP payload trio beside OtelMetricReshape /
+    OtelTraceReshape; same single from_json + explodes, no shuffle."""
+
+    _SCHEMA = T.StructType(
+        [
+            T.StructField(
+                "resourceLogs",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "resource",
+                                T.StructType([T.StructField("attributes", _OTLP_KVS)]),
+                            ),
+                            T.StructField(
+                                "scopeLogs",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "logRecords",
+                                                T.ArrayType(
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField(
+                                                                "timeUnixNano", T.StringType()
+                                                            ),
+                                                            T.StructField(
+                                                                "severityNumber", T.StringType()
+                                                            ),
+                                                            T.StructField(
+                                                                "severityText", T.StringType()
+                                                            ),
+                                                            T.StructField("body", _OTLP_ANYVALUE),
+                                                            T.StructField("attributes", _OTLP_KVS),
+                                                        ]
+                                                    )
+                                                ),
+                                            )
+                                        ]
+                                    )
+                                ),
+                            ),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+
+    def __init__(self, SourceKey: str = "content", Format: str = "json") -> None:
+        if Format.lower() != "json":
+            raise ValueError("only Format='json' is supported (no proto libs)")
+        self.source_key = SourceKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        parsed = F.from_json(F.col(self.source_key), self._SCHEMA)
+        df = df.select("*", F.explode(parsed["resourceLogs"]).alias("__rl__"))
+        res_kv = _norm_attrs(F.col("__rl__.resource.attributes"))
+        resources = F.when(
+            F.size(res_kv) > 0, OtelTraceReshape._kv_json(res_kv)
+        )
+        df = df.withColumn("__res__", resources)
+        lr = F.explode(
+            F.flatten(F.col("__rl__.scopeLogs.logRecords"))
+        ).alias("__lr__")
+        df = df.select("*", lr).drop("__rl__")
+        rec = F.col("__lr__")
+        attrs_kv = _norm_attrs(rec["attributes"])
+        out = df.select(
+            rec["timeUnixNano"].try_cast("long").alias("time_unix_nano"),
+            F.coalesce(
+                rec["severityNumber"].try_cast("int"), F.lit(0)
+            ).alias("severity_number"),
+            F.coalesce(rec["severityText"], F.lit("")).alias("severity_text"),
+            _otlp_attr_string(rec["body"]).alias("content"),
+            F.when(
+                F.size(attrs_kv) > 0, OtelTraceReshape._kv_json(attrs_kv)
+            ).alias("attributes"),
+            F.col("__res__").alias("resources"),
+        )
+        return out

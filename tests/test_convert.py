@@ -352,3 +352,29 @@ class TestOtelMetricTrace:
             "g_exemplars", "core#$#0|q#$#x|spanId#$#ab12|traceId#$#cd34"
         )] == (1700000000, 42.5)  # seconds, truncated like Go Unix()
         assert rows[("g_exemplars", "core#$#0")] == (1700000001, 0.0)
+
+
+class TestOtelLogParse:
+    def test_log_records_flat(self, spark):
+        """ConvertOtlpLogV1 (otlpDataToSLSProto.go:280-338) flat fields;
+        empty attribute maps omit the key (NULL here)."""
+        import json as _json
+
+        from loongcollector_spark.operators.convert import OtelLogParse
+
+        payload = _json.dumps({"resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "host.name", "value": {"stringValue": "h1"}}]},
+            "scopeLogs": [{"logRecords": [
+                {"timeUnixNano": "1700000000000000000", "severityNumber": 9,
+                 "severityText": "INFO", "body": {"stringValue": "hello"},
+                 "attributes": [{"key": "k", "value": {"intValue": "5"}}]},
+                {"timeUnixNano": "1700000001000000000",
+                 "body": {"doubleValue": 2.5}, "attributes": []}]}]}]})
+        df = spark.createDataFrame([(payload,)], "content string")
+        rows = OtelLogParse(SourceKey="content")(df).orderBy("time_unix_nano").collect()
+        assert rows[0].severity_number == 9 and rows[0].content == "hello"
+        assert rows[0].attributes == '{"k":"5"}'
+        assert rows[0].resources == '{"host.name":"h1"}'
+        assert rows[1].severity_number == 0 and rows[1].severity_text == ""
+        assert rows[1].content == "2.5" and rows[1].attributes is None
