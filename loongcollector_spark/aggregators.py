@@ -14,7 +14,7 @@ self-monitor counter set (§2.7). Both are represented here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -202,3 +202,55 @@ def sink_metrics_flat(
         )
         .withColumn("sink", F.lit(sink_name))
     )
+
+
+def metadata_group_bounded(
+    df: DataFrame,
+    group_keys: list[str],
+    order_col: str,
+    max_events: int | None = None,
+    max_bytes: int | None = None,
+    bytes_col: str | None = None,
+    out_col: str = "group_seq",
+) -> DataFrame:
+    """aggregator_metadata_group's v2 size bounds
+    (plugins/aggregator/metadatagroup: GroupMaxEventLength /
+    GroupMaxByteLength): rows sharing the metadata keys are split into
+    bounded chunks — ``out_col`` is the chunk ordinal, so (group_keys,
+    out_col) is the LogGroup identity for downstream batch serialization
+    (serialize_log_groups) or per-group files.
+
+    Chunking is the deterministic window form: event chunk = ordinal //
+    max_events, byte chunk = ceil-division of the RUNNING byte total —
+    one shuffle on the metadata keys, no sequential packing loop. This
+    matches the reference's greedy packer exactly for uniform record
+    sizes and bounds every chunk by the same limits; with skewed record
+    sizes chunk boundaries may differ from greedy packing (each chunk
+    still respects max_events, and byte chunks can exceed max_bytes only
+    by the final record, same as the reference's append-then-check).
+    """
+    if not (max_events or max_bytes):
+        raise ValueError("at least one of max_events/max_bytes required")
+    w = Window.partitionBy(*group_keys).orderBy(order_col)
+    parts = []
+    if max_events:
+        parts.append(
+            F.floor((F.row_number().over(w) - 1) / F.lit(max_events))
+        )
+    if max_bytes:
+        if not bytes_col:
+            raise ValueError("bytes_col required with max_bytes")
+        # bytes BEFORE the record: a record belongs to the chunk it
+        # STARTS in (greedy append-then-check), so the first record of a
+        # group is always chunk 0 even when oversized
+        before = F.coalesce(
+            F.sum(F.octet_length(F.col(bytes_col))).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        parts.append(F.floor(before / F.lit(max_bytes)))
+    chunk = parts[0]
+    for p in parts[1:]:
+        chunk = F.greatest(chunk, p)
+    return df.withColumn(out_col, chunk.cast("int"))

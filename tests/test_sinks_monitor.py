@@ -296,3 +296,49 @@ class TestStatefulMultilineMerge:
         }
         assert got == expected
         assert any(k[0] == "f3" for k in got)  # orphans emitted as singles
+
+
+class TestMetadataGroupBounded:
+    def test_event_and_byte_bounds(self, spark):
+        """GroupMaxEventLength/ByteLength (aggregator_metadatagroup v2):
+        chunks bounded by both limits, ordinal stable per group."""
+        from loongcollector_spark.aggregators import metadata_group_bounded
+
+        rows = [("g1", i, "x" * 10) for i in range(10)] + [("g2", 0, "y" * 100)]
+        df = spark.createDataFrame(rows, "meta string, off int, text string")
+        out = metadata_group_bounded(
+            df, ["meta"], "off", max_events=4, max_bytes=35, bytes_col="text"
+        )
+        chunks = {(r.meta, r.off): r.group_seq for r in out.collect()}
+        # byte bound (35 / 10-byte rows → ceil split at rows 0-3|4-6…)
+        # combined with event bound 4: greatest() of the two ordinals
+        g1 = [chunks[("g1", i)] for i in range(10)]
+        assert g1 == sorted(g1)  # monotone
+        from collections import Counter
+
+        sizes = Counter(g1).values()
+        assert all(s <= 4 for s in sizes)  # event bound holds
+        assert chunks[("g2", 0)] in (0, 1)  # single oversized record: one chunk
+
+    def test_pairs_with_serializer(self, spark):
+        """(group, chunk) feeds serialize_log_groups as the LogGroup id."""
+        from loongcollector_spark.aggregators import metadata_group_bounded
+        from loongcollector_spark.operators.pb import (
+            ParseFromPbNative,
+            serialize_log_groups,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [("t1", 1700000000 + i, f"m{i}") for i in range(7)]
+        df = spark.createDataFrame(rows, "topic string, t long, text string")
+        chunked = metadata_group_bounded(
+            df, ["topic"], "t", max_events=3
+        ).withColumn(
+            "gid", F.concat_ws("#", "topic", F.col("group_seq").cast("string"))
+        )
+        ser = serialize_log_groups(
+            chunked, group_key="gid", time_col="t", content_cols=["text"]
+        )
+        assert ser.count() == 3  # 3+3+1
+        back = ParseFromPbNative(SourceKey="payload")(ser)
+        assert back.count() == 7
