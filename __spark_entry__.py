@@ -854,6 +854,64 @@ def q_prom_parse_relabel(spark, sf_dir):
     )
 
 
+def q_filter_key_regex_tag(spark, sf_dir):
+    """Key-name projection (processor_filter_key_regex) + constant host
+    tags (processor_tag_native) — plan-time column ops, zero row cost."""
+    from loongcollector_spark.operators.enrich import TagNative
+    from loongcollector_spark.operators.filters import FilterKeyRegex
+
+    t = _transcripts(spark, sf_dir)
+    tagged = TagNative(
+        Tags={"__hostname__": "host1", "__cloud_provider__": "none"}
+    )(t)
+    out = FilterKeyRegex(Include=[r"conv_.*", "turn_idx", r"__.*"])(tagged)
+    return out
+
+
+def q_droplastkey_times(spark, sf_dir):
+    """processor_droplastkey + processor_gotime + processor_strptime in
+    one chain: reformat a Go-layout time, re-parse it with strptime, and
+    drop the intermediate key once the Include set is present."""
+    from loongcollector_spark.operators.convert import DropLastKey, GoTime, Strptime
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.withColumn(
+        "ts_str", F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    )
+    df = GoTime(
+        SourceKey="ts_str", SourceFormat="2006-01-02 15:04:05",
+        DestKey="day_fmt", DestFormat="2006/01/02",
+    )(df)
+    df = Strptime(SourceKey="ts_str", Format="%Y-%m-%d %H:%M:%S", DestKey="ts2")(df)
+    df = DropLastKey(DropKey="ts_str", Include=["day_fmt", "ts2"])(df)
+    # per-row semantics: ts_str is nulled wherever all Include keys are
+    # present (always, here) — the column itself remains
+    return df.select(
+        "event_id", "day_fmt",
+        F.date_format(F.col("ts2"), "yyyy-MM-dd HH:mm:ss").alias("ts2_str"),
+        F.col("ts_str").alias("dropped_key"),
+    )
+
+
+def q_encrypt_roundtrip(spark, sf_dir):
+    """processor_encrypt (AES-CBC) value-checked via roundtrip: encrypt →
+    decrypt reproduces the plaintext exactly, so the oracle is the plain
+    projection (DuckDB has no AES; the roundtrip IS the value check)."""
+    from loongcollector_spark.operators.convert import Encrypt
+
+    t = _transcripts(spark, sf_dir)
+    key = "0123456789abcdef"
+    enc = Encrypt(SourceKeys=["text"], EncryptionKey=key)(t)
+    dec = enc.withColumn(
+        "text_rt",
+        F.aes_decrypt(
+            F.unbase64(F.col("text")), F.lit(key).cast("binary"),
+            F.lit("CBC"), F.lit("PKCS"),
+        ).cast("string"),
+    )
+    return dec.select("conv_id", "turn_idx", "text_rt")
+
+
 def q_text_gopher_quality(spark, sf_dir):
     """Gopher-style document quality rules (public heuristics) as
     signals + verdict over the documents table."""
@@ -1220,6 +1278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_container_log": q_parse_container_log,
         "parse_from_pb": q_parse_from_pb,
         "text_gopher_quality": q_text_gopher_quality,
+        "filter_key_regex_tag": q_filter_key_regex_tag,
+        "droplastkey_times": q_droplastkey_times,
+        "encrypt_roundtrip": q_encrypt_roundtrip,
         "prom_parse_relabel": q_prom_parse_relabel,
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1659,6 +1720,20 @@ SELECT event_id,
        epoch_ms(ts) AS ts_ms
 FROM events
 WHERE user_id % 2 = 0"""
+
+    sql["filter_key_regex_tag"] = _T + """
+SELECT conv_id, turn_idx, 'host1' AS __hostname__, 'none' AS __cloud_provider__
+FROM transcripts"""
+
+    sql["droplastkey_times"] = """
+SELECT event_id,
+       strftime(date_trunc('second', ts), '%Y/%m/%d') AS day_fmt,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts2_str,
+       CAST(NULL AS VARCHAR) AS dropped_key
+FROM events"""
+
+    sql["encrypt_roundtrip"] = _T + """
+SELECT conv_id, turn_idx, text AS text_rt FROM transcripts"""
 
     sql["text_gopher_quality"] = r"""
 WITH w AS (
