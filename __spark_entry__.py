@@ -912,6 +912,21 @@ def q_encrypt_roundtrip(spark, sf_dir):
     return dec.select("conv_id", "turn_idx", "text_rt")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup connected components (iterative min-label propagation) —
+    value-checked against a DuckDB recursive-CTE transitive closure over
+    the same word-Jaccard pair set: the classic 'non-SQL-expressible
+    iterative algorithm' still gets a full value oracle."""
+    from loongcollector_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(docs, shingle_k=1, min_jaccard=0.5)
+    return dedup.dedup_clusters(pairs, max_iterations=20).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_text_gopher_quality(spark, sf_dir):
     """Gopher-style document quality rules (public heuristics) as
     signals + verdict over the documents table."""
@@ -1278,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_container_log": q_parse_container_log,
         "parse_from_pb": q_parse_from_pb,
         "text_gopher_quality": q_text_gopher_quality,
+        "dedup_clusters_cc": q_dedup_clusters,
         "filter_key_regex_tag": q_filter_key_regex_tag,
         "droplastkey_times": q_droplastkey_times,
         "encrypt_roundtrip": q_encrypt_roundtrip,
@@ -1734,6 +1750,35 @@ FROM events"""
 
     sql["encrypt_roundtrip"] = _T + """
 SELECT conv_id, turn_idx, text AS text_rt FROM transcripts"""
+
+    # transitive closure over the jaccard pair set: min reachable id =
+    # cluster label (the recursive-CTE twin of the engine's iterative
+    # min-label propagation)
+    sql["dedup_clusters_cc"] = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(
+             trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+')) AS sh,
+         floor(log2(greatest(length(text), 1))) AS lb
+  FROM documents
+  QUALIFY row_number() OVER (PARTITION BY lb ORDER BY doc_id) <= 500
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM toks a JOIN toks b ON a.lb = b.lb AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT e.a AS id, reach.r
+  FROM edges e JOIN reach ON e.b = reach.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id"""
 
     sql["text_gopher_quality"] = r"""
 WITH w AS (
