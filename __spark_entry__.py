@@ -1244,7 +1244,35 @@ def q_salted_agg(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER matters: the driver runs only the first 50 entries, so the
+    # least-recently-driver-verified queries go first.  Block 1: the 9 with
+    # no driver row in either r01 or r02 (judge-verified locally only).
+    # Block 2: queries new this round.  Block 3: the 9 whose last driver row
+    # is r01.  Block 4: the r02-green rest (freshest artifact, safe to age
+    # out of the 50-query window).
     return {
+        # -- block 1: never driver-checked (r1+r2) --------------------------
+        "droplastkey_times": q_droplastkey_times,
+        "encrypt_roundtrip": q_encrypt_roundtrip,
+        "json_expand_flatten": q_json_expand_map,
+        "logstore_router_regex": q_logstore_router,
+        "pipeline_metrics_single_pass": q_metrics_single_pass,
+        "prom_parse_relabel": q_prom_parse_relabel,
+        "route_exclusive_tagged": q_exclusive_tagged_route,
+        "route_multicast_exploded": q_multicast_exploded,
+        "salted_agg_skew": q_salted_agg,
+        # -- block 2: new in round 3 ---------------------------------------
+        # -- block 3: last driver row is r01 -------------------------------
+        "ivf_ann_topk": q_ivf_ann,
+        "split_char_fields": q_split_char,
+        "string_replace_const": q_string_replace,
+        "appender_template": q_appender,
+        "fields_with_condition_case": q_fields_with_condition,
+        "base64_roundtrip": q_base64_roundtrip,
+        "timestamp_strptime": q_timestamp_strptime,
+        "csv_expand_others": q_csv_expand,
+        "anchor_extract": q_anchor,
+        # -- block 4: green in CORRECTNESS_r02 -----------------------------
         "transcripts": q_transcripts,
         "parse_grammar_dispatch": q_parse_dispatch,
         "enrich_dict_map_broadcast": q_enriched,
@@ -1295,24 +1323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": q_text_gopher_quality,
         "dedup_clusters_cc": q_dedup_clusters,
         "filter_key_regex_tag": q_filter_key_regex_tag,
-        "droplastkey_times": q_droplastkey_times,
-        "encrypt_roundtrip": q_encrypt_roundtrip,
-        "prom_parse_relabel": q_prom_parse_relabel,
-        "ivf_ann_topk": q_ivf_ann,
-        "split_char_fields": q_split_char,
-        "string_replace_const": q_string_replace,
-        "appender_template": q_appender,
-        "fields_with_condition_case": q_fields_with_condition,
-        "base64_roundtrip": q_base64_roundtrip,
-        "timestamp_strptime": q_timestamp_strptime,
-        "csv_expand_others": q_csv_expand,
-        "anchor_extract": q_anchor,
-        "json_expand_flatten": q_json_expand_map,
-        "route_multicast_exploded": q_multicast_exploded,
-        "pipeline_metrics_single_pass": q_metrics_single_pass,
-        "route_exclusive_tagged": q_exclusive_tagged_route,
-        "logstore_router_regex": q_logstore_router,
-        "salted_agg_skew": q_salted_agg,
     }
 
 
