@@ -151,11 +151,17 @@ def minhash_lsh_candidates(
     )
 
 
+class UnconvergedClusteringError(RuntimeError):
+    """min-label propagation hit max_iterations with labels still moving:
+    the returned clustering would split at least one true component."""
+
+
 def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 10,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (id, cluster_id)
     with cluster_id = min id of the component (the canonical doc to keep).
@@ -166,6 +172,13 @@ def dedup_clusters(
     (near-dup clusters are shallow, so ~3-4 rounds in practice). Each
     round is one shuffle; lineage is truncated via localCheckpoint to
     keep plans bounded.
+
+    If the loop exhausts ``max_iterations`` while labels are still
+    changing (a chain-shaped component deeper than the budget), the
+    result is silently wrong — one true component keeps several cluster
+    ids. ``strict=True`` (default) raises :class:`UnconvergedClusteringError`
+    instead; ``strict=False`` returns the partial labels for callers that
+    accept over-segmentation (never under-merging: labels only decrease).
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -177,6 +190,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["id"])
@@ -202,6 +216,26 @@ def dedup_clusters(
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
+    if changed != 0:
+        # The budget's last round still moved labels — but that round may
+        # itself have been the converging one. One extra fixpoint probe
+        # (rare path only) avoids raising on diameter == max_iterations.
+        still_moving = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .join(labels, "id")
+            .filter(F.col("nbr_min") < F.col("cluster_id"))
+            .limit(1)
+            .count()
+        )
+        if still_moving and strict:
+            raise UnconvergedClusteringError(
+                f"label propagation did not converge in {max_iterations} "
+                "iterations (component diameter exceeds the budget); raise "
+                "max_iterations or pass strict=False to accept "
+                "over-segmented clusters"
+            )
     return labels
 
 

@@ -120,16 +120,27 @@ def lsh_ann_topk(
     corpus_vec: str = "embedding",
     query_id: str = "qid",
     query_vec: str = "qvec",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k: join on hyperplane-signature bucket, exact
     cosine re-rank inside buckets. Scale path for when the query set is
-    too large to broadcast-cross-join."""
+    too large to broadcast-cross-join.
+
+    ``max_bucket`` caps the corpus rows per signature bucket (kept by
+    smallest nid) — a degenerate bucket (near-zero or boilerplate
+    embeddings; with n_planes=8 there are only 256 buckets) otherwise
+    makes the bucket join quadratic in the hot bucket. Same guard as
+    minhash_lsh_candidates (dedup.py)."""
     c = with_hyperplane_sig(
         corpus.select(
             F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nvec")
         ),
         "nvec", "sig", dim, n_planes,
     )
+    wb = Window.partitionBy("sig").orderBy("nid")
+    c = c.withColumn("__rn__", F.row_number().over(wb)).filter(
+        F.col("__rn__") <= max_bucket
+    ).drop("__rn__")
     q = with_hyperplane_sig(
         queries.select(
             F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
@@ -214,13 +225,24 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH bucket self-join +
-    exact cosine verify (id_a < id_b)."""
+    exact cosine verify (id_a < id_b).
+
+    ``max_bucket`` bounds each signature bucket before the self-join
+    (keep the max_bucket smallest ids) so one hot bucket — identical or
+    near-zero vectors all hashing to the same signature — cannot blow the
+    join up quadratically. Candidate pairs per bucket are then at most
+    max_bucket^2/2 regardless of skew."""
     base = with_hyperplane_sig(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v", "sig", dim, n_planes,
     )
+    wb = Window.partitionBy("sig").orderBy("id")
+    base = base.withColumn("__rn__", F.row_number().over(wb)).filter(
+        F.col("__rn__") <= max_bucket
+    ).drop("__rn__")
     left = base.select("sig", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     right = base.select("sig", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (

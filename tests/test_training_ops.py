@@ -168,6 +168,85 @@ class TestHyperplaneSigScale:
         assert all(q_ == n for q_, n in top1.items())
 
 
+class TestHotBucketCaps:
+    """VERDICT r2 #1: a degenerate signature bucket must not make the
+    bucket joins quadratic — max_bucket bounds each bucket up front."""
+
+    def test_near_dup_pairs_bounded_on_identical_vectors(self, spark):
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(2000)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.cosine_near_dup_pairs(
+            df, dim=4, threshold=0.5, n_planes=4, max_bucket=50
+        )
+        # all 2000 land in ONE bucket; only the 50 smallest ids survive it
+        assert out.count() == 50 * 49 // 2
+        assert out.agg(F.max("id_b")).collect()[0][0] == 49
+
+    def test_near_dup_pairs_uncapped_default_still_finds_dups(self, spark):
+        rows = [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [-1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.cosine_near_dup_pairs(df, dim=2, threshold=0.95)
+        got = {(r.id_a, r.id_b) for r in out.collect()}
+        assert got == {(1, 2)}
+
+    def test_lsh_ann_topk_corpus_bucket_capped(self, spark):
+        rows = [(i, [1.0, 1.0]) for i in range(500)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        q = spark.createDataFrame(
+            [(0, [1.0, 1.0])], "qid long, qvec array<double>"
+        )
+        out = similarity.lsh_ann_topk(
+            df, q, dim=2, k=1000, n_planes=2, max_bucket=20
+        )
+        # k exceeds the cap: the join can surface at most max_bucket rows
+        assert out.count() == 20
+
+    def test_lsh_ann_topk_self_match_survives_default_cap(self, spark, embeddings):
+        queries = embeddings.limit(3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        out = similarity.lsh_ann_topk(embeddings, queries, dim=64, k=1, n_planes=6)
+        top1 = {r.qid: r.nid for r in out.filter("rank=1").collect()}
+        assert all(qid == nid for qid, nid in top1.items())
+
+
+class TestDedupClustersConvergence:
+    """VERDICT r2 #2: exhausting max_iterations with labels still moving
+    must be loud, not silently over-segmented."""
+
+    @staticmethod
+    def _chain(spark, n_edges):
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(n_edges)], "id_a long, id_b long"
+        )
+
+    def test_deep_chain_raises(self, spark):
+        from loongcollector_spark.functions.dedup import (
+            UnconvergedClusteringError,
+            dedup_clusters,
+        )
+
+        with pytest.raises(UnconvergedClusteringError):
+            dedup_clusters(self._chain(spark, 6), max_iterations=2)
+
+    def test_strict_false_returns_oversegmented(self, spark):
+        from loongcollector_spark.functions.dedup import dedup_clusters
+
+        labels = dedup_clusters(
+            self._chain(spark, 6), max_iterations=2, strict=False
+        )
+        # partial labels: >1 cluster id for the single true component
+        assert labels.select("cluster_id").distinct().count() > 1
+
+    def test_diameter_equals_budget_no_false_raise(self, spark):
+        from loongcollector_spark.functions.dedup import dedup_clusters
+
+        # chain 0..6 converges exactly at round 6: the last round still
+        # reports changed>0, the post-loop fixpoint probe must not raise
+        labels = dedup_clusters(self._chain(spark, 6), max_iterations=6)
+        assert {r.cluster_id for r in labels.collect()} == {0}
+
+
 class TestTextStats:
     def test_lang_id_markers(self, spark):
         rows = [
