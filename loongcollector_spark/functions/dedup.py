@@ -55,11 +55,16 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     """K minhashes: min over xxhash64(shingle, seed_i). Array<long> of
     length ``num_hashes``; built-ins only (aggregate over the shingle
     array per hash seed)."""
+    # NB: the transform lambda must take ONE arg — a two-arg lambda makes
+    # Spark bind the second param to the ELEMENT INDEX, which would shadow
+    # a default-arg seed and collapse the whole hash family (caught by
+    # tests/test_hash_golden.py golden vectors).
+    def _hasher(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(shingle_col, _hasher(i)))
             for i in range(num_hashes)
         ]
     )
