@@ -4,9 +4,11 @@ Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas UDFs over ``mapInPandas``. Decode is REAL for the
 formats that need no codec libraries — PCM WAV (RIFF chunk walk), 24-bit
-BMP and binary PPM (header math + numpy frombuffer) — plus a
-nearest-neighbor ``resize_image``. Codec-dependent formats (PNG/JPEG/MP4)
-fall back to a clearly-marked deterministic fake (or raise when
+BMP and binary PPM (header math + numpy frombuffer), 8-bit PNG (stdlib
+zlib inflate + Sub/Up/Average/Paeth scanline unfiltering, RFC 2083) and
+GIF87a/89a first frame (pure-Python LZW) — plus a nearest-neighbor
+``resize_image``. Codec-dependent formats (JPEG/MP4) fall back to a
+clearly-marked deterministic fake (or raise when
 ``deterministic_fake=False``): those decoders genuinely require
 PIL/av, absent from this container. Corrupt payloads of real formats are
 data, not errors: ``decode_ok=false``.
@@ -136,6 +138,217 @@ def decode_ppm(payload: bytes):
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Reverse PNG scanline filtering (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Up is vectorizable but Sub/Average/Paeth carry a
+    left-pixel dependency, so rows run as plain byte loops — pure
+    stdlib, which is the point."""
+    out = bytearray(h * stride)
+    zeros = bytes(stride)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        prev = out[(y - 1) * stride : y * stride] if y else zeros
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y * stride : (y + 1) * stride] = row
+    return bytes(out)
+
+
+def decode_png(payload: bytes):
+    """REAL decode of non-interlaced 8-bit PNG → numpy (H, W, C) uint8.
+
+    PNG needs no codec library: IDAT is zlib (stdlib ``zlib.decompress``)
+    and the per-scanline filters are byte arithmetic (`_png_unfilter`).
+    Supports color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA) at bit depth 8. Adam7 interlace and 1/2/4/16-bit depths
+    raise ValueError (treated as corrupt/unsupported data upstream)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth})")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG data length")
+    arr = np.frombuffer(
+        _png_unfilter(raw, h, stride, channels), dtype=np.uint8
+    ).reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        arr = pal[arr[:, :, 0]]
+    return arr.copy()
+
+
+def decode_gif(payload: bytes):
+    """REAL decode of the FIRST frame of a GIF87a/GIF89a → numpy
+    (H, W, 3) uint8 RGB. LZW is ~40 lines of stdlib code (variable code
+    width, clear/EOI codes); interlaced frames are de-interlaced."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg, _ = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("GIF frame without color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += ln + 1
+            pos += 1
+            idx = _gif_lzw(bytes(data), min_code, iw * ih)
+            px = np.array(idx, dtype=np.uint16).reshape(ih, iw)
+            if iflags & 0x40:  # de-interlace (4 passes)
+                out = np.empty_like(px)
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                out[order] = px
+                px = out
+            return table[np.minimum(px, len(table) - 1)].astype(np.uint8).copy()
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF with no image data")
+
+
+def _gif_lzw(data: bytes, min_code_size: int, expect: int) -> list[int]:
+    """GIF-variant LZW decode: little-endian bit packing, dynamic code
+    width 〈min+1..12〉, CLEAR resets the table, EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    width, prev = 0, None
+    reset()
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out[:expect]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expect:
+                return out[:expect]
+    return out[:expect]
+
+
 def decode_wav(payload: bytes):
     """REAL decode of PCM WAV (RIFF/WAVE, 8/16-bit) → (samples float32
     in [-1, 1] mixed to mono, sample_rate, n_channels). RIFF chunk walk
@@ -214,11 +427,25 @@ def _audio_features(mono, rate: int, channels: int) -> list[float]:
     ]
 
 
+def _to_rgb(arr):
+    """Normalize a decoded (H, W, C) array to 3-channel RGB for the
+    feature descriptor: gray → replicate, gray+alpha/RGBA → drop alpha."""
+    import numpy as np
+
+    c = arr.shape[2]
+    if c == 1:
+        return np.repeat(arr, 3, axis=2)
+    if c == 2:
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    return arr[:, :, :3]
+
+
 def _decode_one(payload: bytes, media_type: str, deterministic_fake: bool):
-    """Decode one payload. WAV/BMP/PPM decode is REAL (pure header math +
-    numpy, above); PNG/JPEG/MP4 genuinely need codec libs absent from
-    this container — those fall back to the deterministic fake (stable
-    8-dim hash feature) when allowed, else raise."""
+    """Decode one payload. WAV/BMP/PPM/PNG/GIF decode is REAL (pure
+    stdlib + numpy, above — PNG is zlib + scanline unfiltering, GIF is
+    LZW); JPEG/MP4 genuinely need codec libs absent from this container —
+    those fall back to the deterministic fake (stable 8-dim hash feature)
+    when allowed, else raise."""
     if payload:
         if payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
@@ -226,10 +453,14 @@ def _decode_one(payload: bytes, media_type: str, deterministic_fake: bool):
             return _image_features(decode_bmp(payload))
         if payload[:2] == b"P6":
             return _image_features(decode_ppm(payload))
+        if payload.startswith(_PNG_SIG):
+            return _image_features(_to_rgb(decode_png(payload)))
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _image_features(decode_gif(payload))
     if not deterministic_fake:
         raise NotImplementedError(
             f"decode of {media_type!r} requires codec libs (PIL/av) — not "
-            "available; WAV/BMP/PPM decode natively, or run with "
+            "available; WAV/BMP/PPM/PNG/GIF decode natively, or run with "
             "deterministic_fake=True for the plumbing path"
         )
     h = hashlib.sha256(payload or b"").digest()

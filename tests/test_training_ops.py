@@ -571,11 +571,210 @@ class TestRealMediaDecode:
         from loongcollector_spark.functions import multimodal as mm
 
         df = spark.createDataFrame(
-            [(1, bytearray(b"\x89PNG fake"), "image/png", None)],
+            [(1, bytearray(b"\xff\xd8\xff\xe0 jpeg"), "image/jpeg", None)],
             mm.MEDIA_SCHEMA,
         )
         with _pytest.raises(Exception, match="NotImplementedError|codec"):
             mm.extract_features(df, deterministic_fake=False).collect()
+
+
+def _encode_png(arr, color_type, filter_types, palette=None):
+    """Independent spec-following PNG writer (forward filtering) so
+    decode_png isn't tested against itself. `filter_types` is one filter
+    id per scanline."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    flat = arr.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    stride = w * channels
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = filter_types[y % len(filter_types)]
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - prev
+        elif ft == 3:
+            out = cur - ((left + prev) >> 1)
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = cur - pred
+        raw.append(ft)
+        raw += bytes((out & 0xFF).astype(np.uint8))
+        prev = cur
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", bytes(palette))
+    png += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return png + chunk(b"IEND", b"")
+
+
+def _encode_gif(indices, palette):
+    """Independent GIF89a writer: literal-only LZW (CLEAR before every
+    pixel code keeps the table static — valid per the spec, just
+    uncompressed)."""
+    import struct
+
+    h = len(indices)
+    w = len(indices[0])
+    n_colors = len(palette)
+    bits = max(2, (n_colors - 1).bit_length())
+    gct = bytearray()
+    for rgb in palette:
+        gct += bytes(rgb)
+    gct += b"\x00" * ((3 << bits) - len(gct))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = nbits = 0
+    codes = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            codes.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for row in indices:
+        for px in row:
+            emit(clear)
+            emit(px)
+    emit(eoi)
+    if nbits:
+        codes.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(codes), 255):
+        blk = codes[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+class TestPngGifDecode:
+    """PNG (zlib + unfiltering) and GIF (LZW) decode are REAL stdlib
+    paths now — roundtrip against the independent encoders above."""
+
+    @staticmethod
+    def _rand_arr(h, w, c, seed):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8).reshape(h, w, c)
+
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_png_rgb_roundtrip_each_filter(self, ft):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_png
+
+        arr = self._rand_arr(7, 5, 3, seed=ft)
+        out = decode_png(_encode_png(arr, 2, [ft]))
+        assert out.shape == (7, 5, 3) and np.array_equal(out, arr)
+
+    def test_png_rgba_mixed_filters(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_png
+
+        arr = self._rand_arr(9, 4, 4, seed=42)
+        out = decode_png(_encode_png(arr, 6, [0, 1, 2, 3, 4]))
+        assert out.shape == (9, 4, 4) and np.array_equal(out, arr)
+
+    def test_png_grayscale(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_png
+
+        arr = self._rand_arr(3, 6, 1, seed=1)
+        out = decode_png(_encode_png(arr, 0, [1, 4]))
+        assert out.shape == (3, 6, 1) and np.array_equal(out, arr)
+
+    def test_png_palette(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_png
+
+        pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+        idx = self._rand_arr(4, 4, 1, seed=2) % 4
+        flat_pal = [b for rgb in pal for b in rgb]
+        out = decode_png(_encode_png(idx, 3, [0, 2], palette=flat_pal))
+        expect = np.array(pal, dtype=np.uint8)[idx[:, :, 0]]
+        assert np.array_equal(out, expect)
+
+    def test_png_interlace_rejected(self):
+        import struct
+        import zlib
+
+        from loongcollector_spark.functions.multimodal import decode_png
+
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)  # interlace=1
+        crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(">I", crc)
+        )
+        with pytest.raises(ValueError, match="interlace|missing"):
+            decode_png(png)
+
+    def test_gif_roundtrip(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_gif
+
+        pal = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+        idx = [[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 2, 2]]
+        out = decode_gif(_encode_gif(idx, pal))
+        expect = np.array(pal, dtype=np.uint8)[np.array(idx)]
+        assert out.shape == (3, 4, 3) and np.array_equal(out, expect)
+
+    def test_png_gif_through_spark_features(self, spark):
+        from loongcollector_spark.functions import multimodal as mm
+
+        arr = self._rand_arr(6, 6, 3, seed=9)
+        png = _encode_png(arr, 2, [4])
+        gif = _encode_gif([[0, 1], [1, 0]], [(0, 0, 0), (255, 255, 255)])
+        rows = [
+            (1, bytearray(png), "image/png", None),
+            (2, bytearray(gif), "image/gif", None),
+            (3, bytearray(b"\x89PNG\r\n\x1a\ncorrupt"), "image/png", None),
+        ]
+        df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        out = {r.media_id: r for r in mm.extract_features(df).collect()}
+        assert out[1].decode_ok
+        import numpy as np
+
+        f = arr.astype("float32") / 255.0
+        assert abs(out[1].feature[2] - float(f[:, :, 0].mean())) < 1e-6
+        assert out[2].decode_ok and abs(out[2].feature[2] - 0.5) < 1e-6
+        assert not out[3].decode_ok  # corrupt real format = data, not error
 
 
 class TestTextClean:
