@@ -221,25 +221,24 @@ def metadata_group_bounded(
     (serialize_log_groups) or per-group files.
 
     Chunking is the deterministic window form: event chunk = ordinal //
-    max_events, byte chunk = ceil-division of the RUNNING byte total —
-    one shuffle on the metadata keys, no sequential packing loop. This
+    max_events, byte chunk = division of the RUNNING byte total — one
+    shuffle on the metadata keys, no sequential packing loop. This
     matches the reference's greedy packer exactly for uniform record
     sizes and bounds every chunk by the same limits; with skewed record
-    sizes chunk boundaries may differ from greedy packing (each chunk
-    still respects max_events, and byte chunks can exceed max_bytes only
-    by the final record, same as the reference's append-then-check).
+    sizes chunk boundaries may differ from greedy packing (byte chunks
+    can exceed max_bytes only by the final record, same as the
+    reference's append-then-check). When BOTH bounds are set, the event
+    ordinal is recomputed WITHIN each byte chunk and the final chunk is
+    the dense rank of the (byte_chunk, event_sub) pair — max of two
+    independent ordinals would pool rows across event boundaries and
+    break the max_events guarantee (ADVICE r2).
     """
     if not (max_events or max_bytes):
         raise ValueError("at least one of max_events/max_bytes required")
+    if max_bytes and not bytes_col:
+        raise ValueError("bytes_col required with max_bytes")
     w = Window.partitionBy(*group_keys).orderBy(order_col)
-    parts = []
-    if max_events:
-        parts.append(
-            F.floor((F.row_number().over(w) - 1) / F.lit(max_events))
-        )
     if max_bytes:
-        if not bytes_col:
-            raise ValueError("bytes_col required with max_bytes")
         # bytes BEFORE the record: a record belongs to the chunk it
         # STARTS in (greedy append-then-check), so the first record of a
         # group is always chunk 0 even when oversized
@@ -249,8 +248,23 @@ def metadata_group_bounded(
             ),
             F.lit(0),
         )
-        parts.append(F.floor(before / F.lit(max_bytes)))
-    chunk = parts[0]
-    for p in parts[1:]:
-        chunk = F.greatest(chunk, p)
-    return df.withColumn(out_col, chunk.cast("int"))
+        byte_chunk = F.floor(before / F.lit(max_bytes))
+        if not max_events:
+            return df.withColumn(out_col, byte_chunk.cast("int"))
+        out = df.withColumn("__bchunk__", byte_chunk)
+        w_sub = Window.partitionBy(*group_keys, "__bchunk__").orderBy(order_col)
+        out = out.withColumn(
+            "__esub__",
+            F.floor((F.row_number().over(w_sub) - 1) / F.lit(max_events)),
+        )
+        w_rank = Window.partitionBy(*group_keys).orderBy("__bchunk__", "__esub__")
+        return (
+            out.withColumn(
+                out_col, (F.dense_rank().over(w_rank) - 1).cast("int")
+            )
+            .drop("__bchunk__", "__esub__")
+        )
+    return df.withColumn(
+        out_col,
+        F.floor((F.row_number().over(w) - 1) / F.lit(max_events)).cast("int"),
+    )

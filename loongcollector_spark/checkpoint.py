@@ -162,7 +162,16 @@ class BatchedResumableRunner:
             w_unit = F.coalesce(
                 F.col(self.unit_col).cast("string"), F.lit(self.NULL_UNIT)
             )
-            fresh = written.filter(~w_unit.isin(*committed)) if committed else written
+            # Only rows THIS run wrote count as fresh: the lineage column
+            # carries the run_id, so a readable-but-uncommitted partition
+            # left by an interrupted earlier run (for a unit absent from
+            # this run's input, hence not overwritten) is neither counted
+            # nor committed under the new run_id (ADVICE r2).
+            fresh = written.filter(
+                F.col("__lineage__").startswith(f"{run_id}:")
+            )
+            if committed:
+                fresh = fresh.filter(~w_unit.isin(*committed))
             stats_aggs = [F.count(F.lit(1)).alias("n")]
             if "text" in written.columns:
                 stats_aggs.append(

@@ -662,10 +662,11 @@ class SplProgram:
         # HLL sketch family: Spark's native approx family covers the
         # semantics (hll_sketch_agg / hll_union / approx_count_distinct);
         # empty_approx_set() maps to the NULL sketch, the identity under
-        # union (corpus spl.txt:163).
-        spark.udf.register(
-            "empty_approx_set",
-            F.udf(lambda: None, "binary"),
+        # union (corpus spl.txt:163). SQL UDF, not a Python UDF: it folds
+        # to a literal NULL inside codegen — no Python round-trip.
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION empty_approx_set() "
+            "RETURNS BINARY RETURN CAST(NULL AS BINARY)"
         )
         spark._lc_spl_udfs_registered = True
 

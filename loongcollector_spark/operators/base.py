@@ -35,6 +35,24 @@ from pyspark.sql import functions as F
 
 LEGACY_RAW_LOG_KEY = "__raw_log__"
 
+
+def last_win_entries(entries: Column) -> Column:
+    """Drop all but the LAST occurrence of each ``key`` in an array of
+    (key, value) structs, so a following ``map_from_entries`` is safe
+    under ANY ``spark.sql.mapKeyDedupPolicy`` (the default EXCEPTION
+    policy throws on duplicates at runtime — ADVICE r2). O(n²) per row
+    via nested higher-order functions, fine for the small intra-row
+    maps (labels, kv pairs) this guards."""
+    return F.filter(
+        entries,
+        lambda e, i: F.size(
+            F.filter(
+                entries, lambda e2, j: (j > i) & (e2["key"] == e["key"])
+            )
+        )
+        == 0,
+    )
+
 PROCESSOR_REGISTRY: dict[str, type] = {}
 
 

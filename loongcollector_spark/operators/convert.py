@@ -469,11 +469,19 @@ def _kv(key: str, val) -> "F.Column":
 
 
 def _labels_string(*kv_arrays):
-    """MetricLabels.String(): sort by key, join 'k#$#v' with '|'
-    (pkg/helper/log_helper.go:209-228)."""
+    """MetricLabels.String(): sort by KEY (not by the joined 'k#$#v'
+    string — for keys containing chars ordering before '#', e.g. 'a!'
+    vs 'a', the two orders diverge; ADVICE r2), then join 'k#$#v' with
+    '|' (pkg/helper/log_helper.go:209-228)."""
     allkv = F.concat(*kv_arrays) if len(kv_arrays) > 1 else kv_arrays[0]
+    by_key = F.array_sort(
+        allkv,
+        lambda a, b: F.when(a["k"] < b["k"], -1)
+        .when(a["k"] > b["k"], 1)
+        .otherwise(F.when(a["v"] < b["v"], -1).when(a["v"] > b["v"], 1).otherwise(0)),
+    )
     return F.array_join(
-        F.array_sort(F.transform(allkv, lambda e: F.concat(e["k"], F.lit("#$#"), e["v"]))),
+        F.transform(by_key, lambda e: F.concat(e["k"], F.lit("#$#"), e["v"])),
         "|",
     )
 

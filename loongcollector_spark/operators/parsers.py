@@ -25,7 +25,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from loongcollector_spark.operators.base import ParserOptions, Processor, register
+from loongcollector_spark.operators.base import (
+    ParserOptions,
+    Processor,
+    last_win_entries,
+    register,
+)
 
 
 def _split_keys(keys) -> list[str]:
@@ -549,9 +554,10 @@ class SplitKeyValue(Processor):
 
     The per-type running counters are ``size(filter(slice(...)))`` over
     the pairs seen so far — O(pairs²) per row on intra-row data, which is
-    bounded and JVM-side. Duplicate keys resolve LAST_WIN via the session
-    ``mapKeyDedupPolicy`` (matches the reference appending then readers
-    taking the last value).
+    bounded and JVM-side. Duplicate keys resolve LAST_WIN explicitly
+    (``last_win_entries`` before ``map_from_entries``), independent of the
+    session ``mapKeyDedupPolicy`` — matches the reference appending then
+    readers taking the last value.
     """
 
     def __init__(
@@ -638,7 +644,8 @@ class SplitKeyValue(Processor):
             )
 
         entries = F.transform(pairs, pair_entry)
-        m = F.map_from_entries(entries)
+        # 'a=1&a=2' → last value wins, regardless of session dedup policy
+        m = F.map_from_entries(last_win_entries(entries))
         out = df.withColumn(self.dest, m)
         if not self.keep_source:
             out = out.drop(self.source_key)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from loongcollector_spark.operators.base import Processor, register
+from loongcollector_spark.operators.base import Processor, last_win_entries, register
 
 _NAME_RX = r"[a-zA-Z_:][a-zA-Z0-9_:]*"
 _LINE_RX = (
@@ -80,10 +80,21 @@ class PromParse(Processor):
             F.regexp_extract_all(block, F.lit(_LABEL_PAIR_RX), 2),
             _unescape_label_value,
         )
-        labels = F.map_concat(
-            F.map_from_arrays(keys, vals),
-            F.create_map(F.lit("__name__"), name),
+        # entries + explicit last-win dedup: a repeated label key (or an
+        # explicit __name__ label) must not throw under the default
+        # EXCEPTION mapKeyDedupPolicy
+        label_entries = F.concat(
+            F.zip_with(
+                keys, vals,
+                lambda k, v: F.struct(k.alias("key"), v.alias("value")),
+            ),
+            F.array(
+                F.struct(
+                    F.lit("__name__").alias("key"), name.alias("value")
+                )
+            ),
         )
+        labels = F.map_from_entries(last_win_entries(label_entries))
         ts = raw_ts.try_cast("long")
         if self.default_ts:
             ts = F.coalesce(ts, F.col(self.default_ts).cast("long"))
@@ -205,21 +216,27 @@ class PromRelabel(Processor):
                 self.labels_key, _set(labels, cfg["target_label"], mod)
             )
         if act == "labelmap":
-            mapped = F.map_from_entries(
-                F.transform(
-                    F.filter(
-                        F.map_entries(labels), lambda e: e["key"].rlike(rx)
-                    ),
-                    lambda e: F.struct(
-                        F.regexp_replace(
-                            e["key"], rx, cfg["replacement"]
-                        ).alias("key"),
-                        e["value"].alias("value"),
-                    ),
-                )
+            mapped_entries = F.transform(
+                F.filter(
+                    F.map_entries(labels), lambda e: e["key"].rlike(rx)
+                ),
+                lambda e: F.struct(
+                    F.regexp_replace(
+                        e["key"], rx, cfg["replacement"]
+                    ).alias("key"),
+                    e["value"].alias("value"),
+                ),
             )
+            # existing ++ mapped with explicit last-win dedup — two source
+            # keys can map to one target, and targets can collide with
+            # existing labels; must not depend on session dedup policy
             return df.withColumn(
-                self.labels_key, F.map_concat(labels, mapped)
+                self.labels_key,
+                F.map_from_entries(
+                    last_win_entries(
+                        F.concat(F.map_entries(labels), mapped_entries)
+                    )
+                ),
             )
         if act == "labeldrop":
             return df.withColumn(

@@ -131,6 +131,23 @@ class TestLogToMetric:
         assert rows[0].value == 0.5
 
 
+class TestLabelsString:
+    def test_sorts_by_key_not_joined_string(self, spark):
+        """ADVICE r2: keys with chars ordering before '#' ('a!' vs 'a')
+        must sort by KEY, matching MetricLabels.String() key sort —
+        sorting the joined 'k#$#v' strings would put 'a!#$#…' first."""
+        from loongcollector_spark.operators.convert import _kv, _labels_string
+
+        out = spark.range(1).select(
+            _labels_string(
+                F.array(_kv("a!", "v1"), _kv("a", "v2"), _kv("b", "v3"))
+            ).alias("s")
+        ).collect()[0].s
+        # key order: 'a' < 'a!' < 'b'  ('a!' joined would sort before 'a'
+        # because '!' (0x21) < '#' (0x23))
+        assert out == "a#$#v2|a!#$#v1|b#$#v3"
+
+
 class TestEncrypt:
     def test_aes_cbc_deterministic_with_iv(self, text_df_factory):
         df = text_df_factory(["secret payload"])

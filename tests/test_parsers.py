@@ -334,6 +334,21 @@ class TestSplitKeyValue:
             "empty_key_1": "v1",
         }
 
+    def test_duplicate_keys_last_win_under_exception_policy(
+        self, spark, text_df_factory
+    ):
+        """ADVICE r2: 'a=1&a=2' must resolve last-win even when the
+        session runs Spark's default EXCEPTION dedup policy."""
+        old = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        try:
+            df = text_df_factory(["a=1&a=2&b=3"])
+            proc = SplitKeyValue(SourceKey="content", Delimiter="&", Separator="=")
+            rows = rows_as_dicts(proc(df))
+            assert rows[0]["kv"] == {"a": "2", "b": "3"}
+        finally:
+            spark.conf.set("spark.sql.mapKeyDedupPolicy", old)
+
     def test_discard_when_separator_not_found(self, text_df_factory):
         df = text_df_factory(["a=1&orphan&b=2"])
         proc = SplitKeyValue(

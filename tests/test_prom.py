@@ -151,6 +151,26 @@ class TestPromRelabel:
         ).collect()[0]
         assert set(kept.labels) == {"__name__", "code"}
 
+    def test_labelmap_collision_last_win_under_exception_policy(self, spark):
+        """ADVICE r2: labelmap targets colliding with existing labels (or
+        with each other) must not throw under the EXCEPTION dedup policy;
+        the mapped value wins."""
+        old = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        try:
+            out = self._one(
+                spark, {"__name__": "m", "code": "200", "copy_de": "old"},
+                [{"action": "labelmap", "regex": "co(.*)",
+                  "replacement": "copy_$1"}],
+            ).collect()[0]
+            # 'code' → 'copy_de' overwrites the pre-existing 'copy_de';
+            # 'copy_de' itself also matches and maps to 'copy_py_de'
+            assert out.labels["copy_de"] == "200"
+            assert out.labels["copy_py_de"] == "old"
+            assert out.labels["code"] == "200"
+        finally:
+            spark.conf.set("spark.sql.mapKeyDedupPolicy", old)
+
     def test_lower_upper_dropmetric(self, spark):
         out = self._one(
             spark, {"__name__": "m", "env": "Prod"},

@@ -320,6 +320,37 @@ class TestMetadataGroupBounded:
         assert all(s <= 4 for s in sizes)  # event bound holds
         assert chunks[("g2", 0)] in (0, 1)  # single oversized record: one chunk
 
+    def test_skewed_sizes_joint_bounds(self, spark):
+        """ADVICE r2: with BOTH bounds set and skewed record sizes, the
+        old greatest()-of-ordinals pooled 6 events into a 4-event chunk.
+        The event ordinal now nests inside the byte chunk."""
+        from collections import Counter
+
+        from loongcollector_spark.aggregators import metadata_group_bounded
+
+        sizes = [30, 30, 1, 1, 1, 1, 1, 1]
+        rows = [("g", i, "x" * n) for i, n in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "meta string, off int, text string")
+        out = metadata_group_bounded(
+            df, ["meta"], "off", max_events=4, max_bytes=35, bytes_col="text"
+        )
+        seqs = [r.group_seq for r in out.orderBy("off").collect()]
+        # byte chunks: [30,30] | [1]*6; event bound 4 splits the second
+        assert seqs == [0, 0, 1, 1, 1, 1, 2, 2]
+        assert all(c <= 4 for c in Counter(seqs).values())
+
+    def test_byte_bound_only_skewed(self, spark):
+        from loongcollector_spark.aggregators import metadata_group_bounded
+
+        sizes = [30, 30, 1, 1, 1, 1, 1, 1]
+        rows = [("g", i, "x" * n) for i, n in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "meta string, off int, text string")
+        out = metadata_group_bounded(
+            df, ["meta"], "off", max_bytes=35, bytes_col="text"
+        )
+        seqs = [r.group_seq for r in out.orderBy("off").collect()]
+        assert seqs == [0, 0, 1, 1, 1, 1, 1, 1]
+
     def test_pairs_with_serializer(self, spark):
         """(group, chunk) feeds serialize_log_groups as the LogGroup id."""
         from loongcollector_spark.aggregators import metadata_group_bounded

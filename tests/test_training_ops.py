@@ -356,6 +356,43 @@ class TestDedupClusters:
 
 
 class TestBatchedResume:
+    def test_stale_uncommitted_partition_not_counted(self, spark, tmp_path):
+        """ADVICE r2: a readable-but-uncommitted partition left by an
+        interrupted earlier run, for a unit ABSENT from this run's input,
+        must not be counted/committed under the new run_id."""
+        from loongcollector_spark.checkpoint import (
+            BatchedResumableRunner,
+            CheckpointTable,
+        )
+
+        sink_dir = tmp_path / "out" / "s1"
+        # simulate the interrupted run: partition u9 written, never committed
+        stale = spark.createDataFrame(
+            [("convX", 0, "u9", "stale", "deadrun:u9:0")],
+            "conv_id string, turn_idx int, unit string, text string, __lineage__ string",
+        )
+        stale.write.partitionBy("unit").parquet(str(sink_dir))
+
+        df = spark.createDataFrame(
+            [("conv1", 1, "u1", "t")],
+            "conv_id string, turn_idx int, unit string, text string",
+        )
+        cp = CheckpointTable(spark, str(tmp_path / "cp"))
+        runner = BatchedResumableRunner(spark, cp, str(tmp_path / "out"))
+        first = runner.run(df, transform=lambda d: {"s1": d})
+        assert first == {"s1": ["u1"]}  # u9 not counted
+        committed = {r.unit for r in cp.lineage().collect()}
+        assert committed == {"u1"}
+        # a later run that DOES carry u9 re-processes it from scratch
+        df2 = spark.createDataFrame(
+            [("conv2", 2, "u9", "fresh")],
+            "conv_id string, turn_idx int, unit string, text string",
+        )
+        second = runner.run(df2, transform=lambda d: {"s1": d})
+        assert second == {"s1": ["u9"]}
+        back = spark.read.parquet(str(sink_dir)).filter("unit='u9'")
+        assert [r.text for r in back.collect()] == ["fresh"]  # overwritten
+
     def test_batched_skip_committed(self, spark, tmp_path):
         from loongcollector_spark.checkpoint import (
             BatchedResumableRunner,
