@@ -129,6 +129,37 @@ class TestGrokProcessor:
             assert r["a"] == "hello" and r["b"] == "world", eng
             assert r["whole"] is None, eng
 
+    def test_wide_pattern_single_extract(self, text_df_factory):
+        """VERDICT r2 #3: multi-alias full-match patterns take the
+        single-execution regexp_replace+split path. Parity across: the
+        9-alias wide line, a source containing the \\x01 separator byte
+        (per-row fallback to per-group extracts), a non-participating
+        optional group (''), and the python engine."""
+        wide = (
+            "%{IPV4:ip} %{WORD:meth} %{URIPATH:path} %{INT:code} %{INT:size} "
+            "%{QUOTEDSTRING:ref} %{QUOTEDSTRING:ua} %{NUMBER:rt}"
+            "(?: %{WORD:proto})?"
+        )
+        lines = [
+            '10.0.0.1 GET /x/y 200 123 "r" "u" 1.5 http',
+            '10.0.0.2 POST /z 500 0 "a\x01b" "u2" 0.25 https',  # sep byte
+            '10.0.0.3 PUT /q 204 7 "rr" "uu" 9.75',  # optional group absent
+            "garbage",
+        ]
+        kw = dict(SourceKey="content", Match=[wide], IgnoreParseFailure=True)
+        jvm = rows_as_dicts(Grok(Engine="jvm", **kw)(text_df_factory(lines)))
+        assert jvm[0]["ip"] == "10.0.0.1" and jvm[0]["proto"] == "http"
+        assert jvm[0]["ref"] == '"r"' and jvm[0]["rt"] == "1.5"
+        assert jvm[1]["ref"] == '"a\x01b"'  # fallback path sliced correctly
+        assert jvm[1]["proto"] == "https" and jvm[1]["code"] == "500"
+        assert jvm[2]["proto"] == ""  # non-participating group → ''
+        assert jvm[2]["rt"] == "9.75"
+        assert jvm[3]["ip"] is None
+        py = rows_as_dicts(Grok(Engine="python", **kw)(text_df_factory(lines)))
+        for a, b in zip(jvm, py):
+            for key in ("ip", "meth", "path", "code", "size", "ref", "ua", "rt"):
+                assert a[key] == b[key], (key, a, b)
+
     def test_python_optional_first_group(self, text_df_factory):
         """Pattern whose FIRST aliased group is optional: the row still
         counts as matched even when group 1 is empty/absent."""
