@@ -212,6 +212,19 @@ class MergeMultilineLog(Processor):
         self.unmatched = UnmatchedContentTreatment
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        if df.isStreaming:
+            # The batch merge needs a total per-group order; a streaming
+            # source's _offset_ is only ordered within a micro-batch, so
+            # the window/FSM here would interleave one file's lines
+            # across triggers (VERDICT r2 #4). Fail loud with the right
+            # tool instead of Spark's generic unsupported-window error.
+            raise ValueError(
+                "MergeMultilineLog is a batch operator; for streams use "
+                "loongcollector_spark.streaming.pipeline."
+                "stateful_multiline_merge (stateful, trigger-safe), or run "
+                "this operator inside foreachBatch after "
+                "sources.files.per_file_line_offsets"
+            )
         if self.continue_pattern or self.end_pattern:
             return self._call_fsm(df)
         return self._call_start_only(df)

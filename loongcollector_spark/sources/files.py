@@ -36,10 +36,17 @@ def read_text_files(
 
     ``_offset_`` is the line's ordinal within its file — computed with a
     per-file window in batch mode (one shuffle on file path; files are
-    the natural partition so this is skew-bounded by file size). In
-    streaming mode Spark doesn't expose intra-file order cheaply, so
-    ``_offset_`` is a monotonic per-micro-batch id and downstream merges
-    should key on event-time instead.
+    the natural partition so this is skew-bounded by file size).
+
+    In streaming mode ``_offset_`` is a raw ``monotonically_increasing_id``
+    — order-preserving WITHIN a micro-batch (the file source reads whole
+    files per trigger, so one file never spans triggers) but NOT a dense
+    line ordinal and NOT comparable across triggers. Streaming consumers
+    that need the true per-file line number must re-derive it per batch:
+    apply :func:`per_file_line_offsets` inside ``foreachBatch`` (where the
+    frame is a plain batch DataFrame), or use
+    ``streaming.stateful_multiline_merge`` which only needs within-batch
+    order. Feeding this column to the batch ``MergeMultilineLog`` raises.
     """
     reader = spark.readStream if stream else spark.read
     opts = {"recursiveFileLookup": str(recursive).lower()}
@@ -52,8 +59,18 @@ def read_text_files(
     )
     if stream:
         return df.withColumn("_offset_", F.monotonically_increasing_id())
-    w = Window.partitionBy("_file_").orderBy(F.monotonically_increasing_id())
-    return df.withColumn("_offset_", F.row_number().over(w).cast("long") - 1)
+    return per_file_line_offsets(df)
+
+
+def per_file_line_offsets(
+    df: DataFrame, file_col: str = "_file_", out_col: str = "_offset_"
+) -> DataFrame:
+    """Dense 0-based line ordinal per file. Batch DataFrames only (window
+    over the file column); for streams call this inside ``foreachBatch``
+    — each micro-batch holds whole files, so the ordinal it derives there
+    is the true per-file line number (VERDICT r2 #4)."""
+    w = Window.partitionBy(file_col).orderBy(F.monotonically_increasing_id())
+    return df.withColumn(out_col, F.row_number().over(w).cast("long") - 1)
 
 
 def container_stdout_lines(

@@ -541,6 +541,63 @@ class TestFileSources:
         assert s.isStreaming
         assert set(s.columns) == {"content", "_file_", "_offset_"}
 
+    def test_streaming_merge_guard_and_foreachbatch_offsets(self, spark, tmp_path):
+        """VERDICT r2 #4: the batch multiline merge must reject streaming
+        input loudly; the supported path (per_file_line_offsets inside
+        foreachBatch + MergeMultilineLog per batch) yields correct merges
+        even when files arrive across separate triggers."""
+        import os
+
+        import pytest as _pytest
+
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+        from loongcollector_spark.sources.files import (
+            per_file_line_offsets,
+            read_text_files,
+        )
+
+        d = tmp_path / "mlogs"
+        os.makedirs(d)
+        (d / "a.log").write_text("START one\ncont a\nSTART two\n")
+        (d / "b.log").write_text("START three\ncont b\ncont c\n")
+
+        s = read_text_files(spark, str(d), stream=True)
+        merger = MergeMultilineLog(
+            SourceKey="content", GroupKey="_file_", OrderKey="_offset_",
+            StartPattern=r"^START",
+        )
+        with _pytest.raises(ValueError, match="stateful_multiline_merge"):
+            merger(s)
+
+        # supported path: re-derive dense offsets per micro-batch, merge
+        # per batch — maxFilesPerTrigger=1 forces the files into separate
+        # triggers
+        results = []
+
+        def handle(batch_df, _bid):
+            merged = merger(per_file_line_offsets(batch_df.drop("_offset_")))
+            results.extend(
+                (os.path.basename(r["_file_"]), r["content"]) for r in merged.collect()
+            )
+
+        src = (
+            spark.readStream.option("maxFilesPerTrigger", "1")
+            .text(str(d))
+            .select(
+                F.col("value").alias("content"),
+                F.input_file_name().alias("_file_"),
+            )
+        )
+        q = src.writeStream.foreachBatch(handle).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(120)
+        got = set(results)
+        assert ("a.log", "START one\ncont a") in got
+        assert ("a.log", "START two") in got
+        assert ("b.log", "START three\ncont b\ncont c") in got
+        assert len(got) == 3
+
 
 def _pb_varint(n: int) -> bytes:
     out = b""
