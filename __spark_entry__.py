@@ -1241,6 +1241,69 @@ def q_salted_agg(spark, sf_dir):
     return out.select("conv_id", "n_rows", F.col("max_turn").cast("int").alias("max_turn"))
 
 
+def _with_synthetic_contents(t):
+    """Deterministic ordered contents array for the signal-router
+    aggregators: n = 1 + (turn_idx*7 + len(text)) % 23 kv structs, so all
+    three OTel count classes (≤5 / 6..18 / ≥19) occur."""
+    n = F.lit(1) + F.pmod(
+        F.col("turn_idx").cast("long") * 7 + F.length("text"), F.lit(23)
+    )
+    contents = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.concat(F.lit("k"), i.cast("string")).alias("key"),
+            F.lit("v").alias("value"),
+        ),
+    )
+    return t.withColumn("contents", contents)
+
+
+def q_otel_aggregator_route(spark, sf_dir):
+    """aggregator_opentelemetry: content-count signal routing + bounded
+    LogGroup chunks (plugins/aggregator/opentelemetry/
+    aggregator_opentelemetry.go:92-106)."""
+    from loongcollector_spark.aggregators import (
+        metadata_group_bounded,
+        otel_signal_route,
+    )
+
+    t = _with_synthetic_contents(_transcripts(spark, sf_dir))
+    routed = otel_signal_route(t)
+    routed = routed.withColumn(
+        "__ok__", F.struct(F.col("conv_id"), F.col("turn_idx"))
+    )
+    chunked = metadata_group_bounded(
+        routed, ["logstore"], "__ok__", max_events=256
+    )
+    return chunked.select("conv_id", "turn_idx", "logstore", "group_seq")
+
+
+def q_skywalking_aggregator_route(spark, sf_dir):
+    """aggregator_skywalking: first-content-key signal routing
+    (plugins/aggregator/skywalking/aggregator_skywalking.go:92-111)."""
+    from loongcollector_spark.aggregators import skywalking_signal_route
+
+    t = _transcripts(spark, sf_dir)
+    first_key = F.element_at(
+        F.array(
+            F.lit("__name__"), F.lit("links"), F.lit("otlp.name"), F.lit("custom")
+        ),
+        (F.pmod(F.col("turn_idx"), F.lit(4)) + 1).cast("int"),
+    )
+    t = t.withColumn(
+        "contents",
+        F.array(
+            F.struct(first_key.alias("key"), F.lit("v").alias("value")),
+            F.struct(F.lit("extra").alias("key"), F.lit("e").alias("value")),
+        ),
+    )
+    out = skywalking_signal_route(t)
+    return out.select(
+        "conv_id", "turn_idx", "logstore",
+        F.col("__sw_unrecognized__").alias("unrecognized"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1262,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_multicast_exploded": q_multicast_exploded,
         "salted_agg_skew": q_salted_agg,
         # -- block 2: new in round 3 ---------------------------------------
+        "otel_aggregator_route": q_otel_aggregator_route,
+        "skywalking_aggregator_route": q_skywalking_aggregator_route,
         # -- block 3: last driver row is r01 -------------------------------
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1707,6 +1772,33 @@ FROM transcripts"""
     sql["salted_agg_skew"] = _T + """
 SELECT conv_id, count(*) AS n_rows, CAST(max(turn_idx) AS INT) AS max_turn
 FROM transcripts GROUP BY conv_id"""
+
+    sql["otel_aggregator_route"] = _T + """
+, classed AS (
+  SELECT conv_id, turn_idx,
+         1 + ((turn_idx * 7 + length(text)) % 23) AS n
+  FROM transcripts
+), routed AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN n <= 5 THEN 'otlp-metrics'
+              WHEN n >= 19 THEN 'otlp-traces'
+              ELSE 'otlp-logs' END AS logstore
+  FROM classed
+)
+SELECT conv_id, turn_idx, logstore,
+       CAST(floor((row_number() OVER (PARTITION BY logstore
+                     ORDER BY conv_id, turn_idx) - 1) / 256) AS INT)
+         AS group_seq
+FROM routed"""
+
+    sql["skywalking_aggregator_route"] = _T + """
+SELECT conv_id, turn_idx,
+       CASE (turn_idx % 4)
+            WHEN 0 THEN 'skywalking-metrics'
+            WHEN 1 THEN 'skywalking-traces'
+            ELSE 'skywalking-logs' END AS logstore,
+       (turn_idx % 4) = 3 AS unrecognized
+FROM transcripts"""
 
     sql["streaming_parse_enrich"] = (
         tp.oracle_enriched_sql()

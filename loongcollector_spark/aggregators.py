@@ -204,6 +204,62 @@ def sink_metrics_flat(
     )
 
 
+def otel_signal_route(
+    df: DataFrame,
+    contents_col: str = "contents",
+    metrics_logstore: str = "otlp-metrics",
+    trace_logstore: str = "otlp-traces",
+    log_logstore: str = "otlp-logs",
+    out_col: str = "logstore",
+) -> DataFrame:
+    """aggregator_opentelemetry: route each event to a per-signal
+    logstore by CONTENT COUNT — ≤5 contents → metrics, ≥19 → traces,
+    else logs; events with no contents are dropped
+    (plugins/aggregator/opentelemetry/aggregator_opentelemetry.go:92-106,
+    thresholds from the OTel reshape column counts: metric datapoints
+    carry ≤5 kvs, the 19-field trace shape ≥19). Downstream bounded
+    LogGroup packing is :func:`metadata_group_bounded` on ``out_col``
+    (MaxLogCount=1024, MaxLogGroupSize=3MiB in the reference). Pure
+    narrow projection — the routing adds no shuffle."""
+    n = F.size(F.col(contents_col))
+    route = (
+        F.when(n <= 5, F.lit(metrics_logstore))
+        .when(n >= 19, F.lit(trace_logstore))
+        .otherwise(F.lit(log_logstore))
+    )
+    return df.filter(n > 0).withColumn(out_col, route)
+
+
+def skywalking_signal_route(
+    df: DataFrame,
+    contents_col: str = "contents",
+    metrics_logstore: str = "skywalking-metrics",
+    trace_logstore: str = "skywalking-traces",
+    log_logstore: str = "skywalking-logs",
+    out_col: str = "logstore",
+) -> DataFrame:
+    """aggregator_skywalking: route by the FIRST content's key —
+    '__name__' → metrics, 'links' → traces, 'otlp.name' → logs,
+    anything else → logs with a warning counter
+    (plugins/aggregator/skywalking/aggregator_skywalking.go:92-111).
+    ``contents_col`` is an ordered array<struct<key,value>> (first
+    content is meaningful, so a map type would be wrong here). Adds
+    ``__sw_unrecognized__`` (the self-monitor warning analogue) alongside
+    the route."""
+    first_key = F.col(contents_col)[0]["key"]
+    known = first_key.isin("__name__", "links", "otlp.name")
+    route = (
+        F.when(first_key == "__name__", F.lit(metrics_logstore))
+        .when(first_key == "links", F.lit(trace_logstore))
+        .otherwise(F.lit(log_logstore))
+    )
+    return (
+        df.filter(F.size(F.col(contents_col)) > 0)
+        .withColumn(out_col, route)
+        .withColumn("__sw_unrecognized__", ~known)
+    )
+
+
 def metadata_group_bounded(
     df: DataFrame,
     group_keys: list[str],

@@ -298,6 +298,50 @@ class TestStatefulMultilineMerge:
         assert any(k[0] == "f3" for k in got)  # orphans emitted as singles
 
 
+class TestSignalRouterAggregators:
+    def test_otel_route_by_content_count(self, spark):
+        """aggregator_opentelemetry.go:92-106: ≤5 contents → metrics,
+        ≥19 → traces, else logs; empty contents dropped."""
+        from loongcollector_spark.aggregators import otel_signal_route
+
+        def kvs(n):
+            return [(f"k{i}", "v") for i in range(n)]
+
+        df = spark.createDataFrame(
+            [(1, kvs(3)), (2, kvs(5)), (3, kvs(6)), (4, kvs(18)),
+             (5, kvs(19)), (6, kvs(25)), (7, kvs(0))],
+            "id long, contents array<struct<key:string,value:string>>",
+        )
+        got = {r.id: r.logstore for r in otel_signal_route(df).collect()}
+        assert got == {
+            1: "otlp-metrics", 2: "otlp-metrics",
+            3: "otlp-logs", 4: "otlp-logs",
+            5: "otlp-traces", 6: "otlp-traces",
+        }  # id 7 dropped
+
+    def test_skywalking_route_by_first_key(self, spark):
+        """aggregator_skywalking.go:92-111: first content key routes;
+        unknown keys land in logs and are flagged."""
+        from loongcollector_spark.aggregators import skywalking_signal_route
+
+        def c(first):
+            return [(first, "v"), ("other", "x")]
+
+        df = spark.createDataFrame(
+            [(1, c("__name__")), (2, c("links")), (3, c("otlp.name")),
+             (4, c("mystery")), (5, [])],
+            "id long, contents array<struct<key:string,value:string>>",
+        )
+        rows = {r.id: r for r in skywalking_signal_route(df).collect()}
+        assert rows[1].logstore == "skywalking-metrics"
+        assert rows[2].logstore == "skywalking-traces"
+        assert rows[3].logstore == "skywalking-logs"
+        assert rows[4].logstore == "skywalking-logs"
+        assert rows[4]["__sw_unrecognized__"]
+        assert not rows[1]["__sw_unrecognized__"]
+        assert 5 not in rows  # empty contents dropped
+
+
 class TestMetadataGroupBounded:
     def test_event_and_byte_bounds(self, spark):
         """GroupMaxEventLength/ByteLength (aggregator_metadatagroup v2):
