@@ -122,6 +122,44 @@ def main() -> None:
         lambda: noop_write(shardhash_repartition(corpus, ["conv_id"], 32)),
     )
 
+    # --- pandas-UDF + wide-regex hot paths (VERDICT r2 #8) ----------------
+    # wide grok: 7-alias full-match pattern over the apsara-style grammar;
+    # the JVM engine's replace+split single-extract vs the python engine's
+    # Arrow-batched Series.str.extract (the applyInPandas-adjacent path)
+    from loongcollector_spark.operators.grok import Grok
+    from loongcollector_spark.operators.splits import MergeMultilineLog
+
+    wide_match = [
+        "\\[%{INT:ts}\\]\t\\[%{LOGLEVEL:lvl}\\]\t\\[%{INT:n}\\]\t"
+        "\\[%{UNIXPATH:src}:%{INT:line}\\]\tuser:%{USERNAME:usr}\t"
+        "etype:%{WORD:etype}"
+    ]
+    timed(
+        "grok_jvm_wide",
+        lambda: noop_write(
+            Grok(SourceKey="text", Match=wide_match, IgnoreParseFailure=True)(corpus)
+        ),
+    )
+    timed(
+        "grok_python_dispatch",
+        lambda: noop_write(
+            Grok(
+                SourceKey="text", Match=wide_match, Engine="python",
+                IgnoreParseFailure=True,
+            )(corpus)
+        ),
+    )
+    # Continue/End multiline: the per-group pandas FSM (flags JVM-side)
+    timed(
+        "multiline_fsm",
+        lambda: noop_write(
+            MergeMultilineLog(
+                SourceKey="text", GroupKey="conv_id", OrderKey="turn_idx",
+                StartPattern=r"^\{", EndPattern=r"\|",
+            )(corpus)
+        ),
+    )
+
     # --- operator queries over the sf-dir tables -------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(
