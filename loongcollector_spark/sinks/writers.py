@@ -21,7 +21,7 @@ Spark batch engine every sink is a table write. What carries over:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,6 +84,104 @@ def topic_fmtstr(template: str) -> Column:
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
     return F.concat(*parts) if parts else F.lit(template)
+
+
+def flusher_http_requests(
+    df: DataFrame,
+    remote_url: str,
+    query: dict[str, str] | None = None,
+    headers: dict[str, str] | None = None,
+    time_col: str = "ts",
+    tag_cols: list[str] | None = None,
+    content_cols: list[str] | None = None,
+    max_events_per_request: int = 1024,
+) -> DataFrame:
+    """flusher_http modeled as a REQUEST TABLE — one row per POST the
+    reference would issue (plugins/flusher/http/flusher_http.go:74-95).
+
+    Reference semantics reproduced:
+    * ``%{content.x}`` / ``%{tag.x}`` templates in Query/Headers values
+      become varKeys (buildVarKeys, :599-620); the converter groups
+      events by those selected fields so every request body has uniform
+      var values (ToByteStreamWithSelectedFields, :422), substituted into
+      the query/header values (flush, :529-560).
+    * body = newline-separated JSON events (the custom_single converter
+      protocol), deterministic (time, payload) order, bounded by
+      ``max_events_per_request`` chunks (the converter's batch split).
+
+    The POST itself is an external side effect: at cluster scale a
+    ``foreachPartition`` HTTP sender drains this table (retry/backoff/
+    compression are sender concerns); the request set IS the verifiable
+    output, so correctness is testable without a network."""
+    import re as _re
+
+    query = query or {}
+    headers = headers or {}
+    rx = r"%\{(?:content|tag)\.([\w.]+)\}"
+    var_fields = sorted(
+        {
+            m
+            for tmpl in list(query.values()) + list(headers.values())
+            for m in _re.findall(rx, tmpl)
+        }
+    )
+    tag_cols = tag_cols or []
+    content_cols = content_cols or [
+        c
+        for c in df.columns
+        if c != time_col and c not in tag_cols and c not in var_fields
+    ]
+    event = F.to_json(
+        F.struct(
+            F.unix_timestamp(F.col(time_col)).alias("__time__"),
+            *[F.col(c) for c in tag_cols],
+            *[F.col(c) for c in content_cols],
+        )
+    )
+    out = df.withColumn("__event__", event).withColumn(
+        "__ord__", F.struct(F.col(time_col), F.col("__event__"))
+    )
+    from loongcollector_spark.aggregators import metadata_group_bounded
+
+    if var_fields:
+        chunked = metadata_group_bounded(
+            out, var_fields, "__ord__", max_events=max_events_per_request
+        )
+        group_cols = [*var_fields, "group_seq"]
+    else:
+        w_all = F.floor(
+            (F.row_number().over(Window.orderBy("__ord__")) - 1)
+            / F.lit(max_events_per_request)
+        )
+        chunked = out.withColumn("group_seq", w_all.cast("int"))
+        group_cols = ["group_seq"]
+    agg = chunked.groupBy(*group_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ord__", "__event__"))),
+                lambda e: e["__event__"],
+            ),
+            "\n",
+        ).alias("payload"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def resolved(tmpls: dict[str, str]) -> Column:
+        if not tmpls:
+            return F.create_map().cast("map<string,string>")
+        pairs: list[Column] = []
+        for k, v in tmpls.items():
+            pairs += [F.lit(k), topic_fmtstr(v)]
+        return F.create_map(*pairs)
+
+    return agg.select(
+        F.lit(remote_url).alias("url"),
+        resolved(query).alias("query"),
+        resolved(headers).alias("headers"),
+        "payload",
+        "n_events",
+        *var_fields,
+    )
 
 
 class FileSink:

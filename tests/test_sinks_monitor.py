@@ -298,6 +298,54 @@ class TestStatefulMultilineMerge:
         assert any(k[0] == "f3" for k in got)  # orphans emitted as singles
 
 
+class TestFlusherHttp:
+    def test_request_table_var_substitution(self, spark):
+        """flusher_http.go:74-95,599-620: %{content.x} templates in
+        Query/Headers become varKeys; events group by those fields so
+        every request body has uniform var values; bodies are bounded
+        JSON-lines chunks."""
+        import json as _json
+
+        from loongcollector_spark.sinks.writers import flusher_http_requests
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:0%d" % i, role, f"m{i}")
+             for i, role in enumerate(["user", "user", "user", "bot"])],
+            "ts_s string, role string, text string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        out = flusher_http_requests(
+            df, "https://collector.example/v1/logs",
+            query={"store": "logs-%{content.role}"},
+            headers={"X-Static": "fixed", "X-Role": "%{content.role}"},
+            max_events_per_request=2,
+        ).collect()
+        assert len(out) == 3  # user: 2+1, bot: 1
+        by_role = {}
+        for r in out:
+            by_role.setdefault(r.role, []).append(r)
+            assert r.url == "https://collector.example/v1/logs"
+            assert r.query["store"] == f"logs-{r.role}"
+            assert r.headers == {"X-Static": "fixed", "X-Role": r.role}
+            events = [_json.loads(line) for line in r.payload.split("\n")]
+            assert len(events) == r.n_events
+            assert all("__time__" in e and e["text"].startswith("m") for e in events)
+        assert sorted(len(r.payload.split("\n")) for r in by_role["user"]) == [1, 2]
+        assert len(by_role["bot"]) == 1
+
+    def test_no_templates_single_stream_chunks(self, spark):
+        from loongcollector_spark.sinks.writers import flusher_http_requests
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00", f"m{i}") for i in range(5)],
+            "ts_s string, text string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        out = flusher_http_requests(
+            df, "https://x/", max_events_per_request=2
+        ).collect()
+        assert sorted(r.n_events for r in out) == [1, 2, 2]
+        assert all(r.query == {} and r.headers == {} for r in out)
+
+
 class TestSignalRouterAggregators:
     def test_otel_route_by_content_count(self, spark):
         """aggregator_opentelemetry.go:92-106: ≤5 contents → metrics,
