@@ -1304,6 +1304,32 @@ def q_skywalking_aggregator_route(spark, sf_dir):
     )
 
 
+def q_embedding_pair_sim(spark, sf_dir):
+    """Exact embedding-cosine pair similarity (the near-dup verify math
+    of functions/similarity.py) — top-200 pairs, ranked on the ROUNDED
+    value with id tiebreaks for cross-engine float stability."""
+    from pyspark.sql import Window as W
+
+    from loongcollector_spark.functions.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_r", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    )
+    w = W.orderBy(F.desc("sim_r"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 200)
+        .select("id_a", "id_b", "sim_r", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1327,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 2: new in round 3 ---------------------------------------
         "otel_aggregator_route": q_otel_aggregator_route,
         "skywalking_aggregator_route": q_skywalking_aggregator_route,
+        "embedding_pair_sim_topk": q_embedding_pair_sim,
         # -- block 3: last driver row is r01 -------------------------------
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1799,6 +1826,20 @@ SELECT conv_id, turn_idx,
             ELSE 'skywalking-logs' END AS logstore,
        (turn_idx % 4) = 3 AS unrecognized
 FROM transcripts"""
+
+    sql["embedding_pair_sim_topk"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS sim_r
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim_r,
+       CAST(row_number() OVER (ORDER BY sim_r DESC, id_a, id_b) AS INT)
+         AS rank
+FROM p
+QUALIFY rank <= 200"""
 
     sql["streaming_parse_enrich"] = (
         tp.oracle_enriched_sql()

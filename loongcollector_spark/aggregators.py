@@ -220,7 +220,14 @@ def otel_signal_route(
     carry ≤5 kvs, the 19-field trace shape ≥19). Downstream bounded
     LogGroup packing is :func:`metadata_group_bounded` on ``out_col``
     (MaxLogCount=1024, MaxLogGroupSize=3MiB in the reference). Pure
-    narrow projection — the routing adds no shuffle."""
+    narrow projection — the routing adds no shuffle.
+
+    Scale note: ``out_col`` has only 3 distinct values, so chunking
+    partitioned by it ALONE serializes into 3 tasks at 10^12 rows. The
+    reference packs per agent instance, not globally — the faithful
+    scale path is ``metadata_group_bounded(df, [out_col, shard], ...)``
+    with a shard column (e.g. ``pmod(xxhash64(conv_id), n_shards)``),
+    each shard being the analogue of one agent's pack sequence."""
     n = F.size(F.col(contents_col))
     route = (
         F.when(n <= 5, F.lit(metrics_logstore))

@@ -7,8 +7,10 @@ detection over a built-in pattern library).
 
 Spark-first design: the grok → regex compilation happens ONCE on the
 driver (pure Python, below); execution is either
-* ``Engine='jvm'`` — ``F.regexp_extract`` per alias over the compiled
-  pattern (whole-stage codegen), or
+* ``Engine='jvm'`` — whole-stage codegen. Multi-alias FULL-MATCH
+  patterns run the regex ONCE per claiming row (``regexp_replace`` with a
+  ``$1\\x01$2…`` template + split); single-alias or non-anchored
+  patterns use ``F.regexp_extract`` per alias, or
 * ``Engine='python'`` — one Arrow-batch pandas UDF doing
   ``Series.str.extract`` (needed when the compiled regex uses named groups
   with duplicate names or Perl-isms Java rejects).

@@ -320,6 +320,30 @@ class TestCheckpointResume:
         lineage = cp.lineage().collect()
         assert {(r.unit, r.rows_out) for r in lineage} == {("u1", 3), ("u2", 3)}
 
+    def test_ivf_full_probe_equals_brute_force(self, spark, embeddings):
+        """With n_probe == n_clusters IVF degenerates to exact search —
+        its top-k must EQUAL brute force exactly (value anchor for the
+        otherwise rows-only ivf_ann_topk query)."""
+        from loongcollector_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        queries = embeddings.limit(4).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        exact = {
+            (r.qid, r.rank): (r.nid, round(r.cosine_sim, 6))
+            for r in brute_force_topk(embeddings, queries, k=5).collect()
+        }
+        ivf = {
+            (r.qid, r.rank): (r.nid, round(r.cosine_sim, 6))
+            for r in ivf_topk(
+                embeddings, queries, k=5, n_clusters=6, n_probe=6
+            ).collect()
+        }
+        assert ivf == exact
+
     def test_ivf_topk_self_recall(self, spark, embeddings):
         from loongcollector_spark.functions.similarity import ivf_topk
 
