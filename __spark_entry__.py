@@ -1330,6 +1330,30 @@ def q_embedding_pair_sim(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition family: dup-line fractions + top-bigram char
+    coverage, distributed explode+groupBy (functions/textclean.py)."""
+    from loongcollector_spark.functions.textclean import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs, ngram_n=2).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac", "top_ngram_char_frac"
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: docs sharing any 5-gram with the
+    deterministic benchmark slice (doc_id % 97 == 0) are flagged."""
+    from loongcollector_spark.functions.textclean import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0)
+    out = decontaminate(docs, bench, n=5)
+    return out.select(
+        "doc_id", F.col("n_hits").cast("int").alias("n_hits"), "contaminated"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1354,6 +1378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otel_aggregator_route": q_otel_aggregator_route,
         "skywalking_aggregator_route": q_skywalking_aggregator_route,
         "embedding_pair_sim_topk": q_embedding_pair_sim,
+        "text_repetition_signals": q_text_repetition,
+        "decontaminate_5gram": q_decontaminate,
         # -- block 3: last driver row is r01 -------------------------------
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1826,6 +1852,64 @@ SELECT conv_id, turn_idx,
             ELSE 'skywalking-logs' END AS logstore,
        (turn_idx % 4) = 3 AS unrecognized
 FROM transcripts"""
+
+    sql["text_repetition_signals"] = r"""
+WITH w AS (
+  SELECT doc_id, length(text) AS nc,
+         string_split(text, chr(10)) AS lines,
+         regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+), lc AS (
+  SELECT doc_id, any_value(nc) AS nc, line, count(*) AS cnt
+  FROM (SELECT doc_id, nc, UNNEST(lines) AS line FROM w)
+  GROUP BY doc_id, line
+), ls AS (
+  SELECT doc_id,
+         round((CAST(sum(cnt) AS DOUBLE) - count(*)) / greatest(sum(cnt), 1), 6)
+           AS dup_line_frac,
+         round(CAST(sum((cnt - 1) * length(line)) AS DOUBLE)
+               / greatest(any_value(nc), 1), 6) AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+), g AS (
+  SELECT doc_id, nc, array_to_string(ws[i:i+1], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+), gc AS (
+  SELECT doc_id, any_value(nc) AS nc, gram, count(*) AS cnt
+  FROM g GROUP BY doc_id, gram
+), gs AS (
+  SELECT doc_id,
+         round(CAST(max(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)
+               AS DOUBLE) / greatest(any_value(nc), 1), 6)
+           AS top_ngram_char_frac
+  FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(gs.top_ngram_char_frac, 0.0) AS top_ngram_char_frac
+FROM documents d
+LEFT JOIN ls ON d.doc_id = ls.doc_id
+LEFT JOIN gs ON d.doc_id = gs.doc_id"""
+
+    sql["decontaminate_5gram"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+  FROM documents
+), bg AS (
+  SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+  WHERE doc_id % 97 = 0
+), dg AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+), h AS (
+  SELECT doc_id, count(DISTINCT dg.gram) AS n_hits
+  FROM dg JOIN bg ON dg.gram = bg.gram
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
+       h.doc_id IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
 
     sql["embedding_pair_sim_topk"] = """
 WITH e AS (

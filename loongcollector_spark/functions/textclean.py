@@ -123,3 +123,147 @@ def quality_filter(
     return out.withColumn(
         "keep", gopher_verdict(F.col("gopher"), **thresholds)
     )
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams as strings; EMPTY array when the doc has < n words
+    (no short-doc fallback gram — keeps parity with generate_series
+    oracles)."""
+    words = F.split(F.trim(text), r"\s+", -1)
+    size = F.size(words)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher/RefinedWeb repetition signals (Rae et al. 2021 table A1
+    "repetition" family), DISTRIBUTED — explode + groupBy, never a
+    per-row O(n²) loop:
+
+    * ``dup_line_frac``       — duplicate lines / total lines
+    * ``dup_line_char_frac``  — chars of repeated line occurrences
+                                (beyond each line's first) / total chars
+    * ``top_ngram_char_frac`` — chars covered by the most-repeated word
+                                n-gram: max over grams with count ≥ 2 of
+                                ``count × len(gram)``, / total chars
+                                (0 when nothing repeats)
+
+    Plan shape: two (id, token) shuffles (lines, grams) reduced to
+    per-doc scalars, joined back by id — at 100 TB both aggregations are
+    map-side-combinable and the join keys are the doc ids, so this
+    pipelines with the rest of the corpus pass."""
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        F.length(F.col(text_col)).alias("__nc__"),
+        F.split(F.col(text_col), r"\n", -1).alias("__lines__"),
+        _word_ngrams(F.col(text_col), ngram_n).alias("__grams__"),
+    )
+    line_stats = (
+        base.select("__id__", "__nc__", F.explode("__lines__").alias("line"))
+        .groupBy("__id__", F.col("__nc__"), F.col("line"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("__id__")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum((F.col("cnt") - 1) * F.length("line")).alias("dup_chars"),
+            F.first("__nc__").alias("__nc__"),
+        )
+        .select(
+            "__id__",
+            F.round(
+                (F.col("n_lines") - F.col("n_distinct"))
+                / F.greatest(F.col("n_lines"), F.lit(1)),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.col("dup_chars") / F.greatest(F.col("__nc__"), F.lit(1)), 6
+            ).alias("dup_line_char_frac"),
+        )
+    )
+    gram_stats = (
+        base.select("__id__", "__nc__", F.explode("__grams__").alias("gram"))
+        .groupBy("__id__", F.col("__nc__"), F.col("gram"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("__id__")
+        .agg(
+            F.max(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("gram"))
+                .otherwise(F.lit(0))
+            ).alias("rep_chars"),
+            F.first("__nc__").alias("__nc__"),
+        )
+        .select(
+            "__id__",
+            F.round(
+                F.col("rep_chars") / F.greatest(F.col("__nc__"), F.lit(1)), 6
+            ).alias("top_ngram_char_frac"),
+        )
+    )
+    return (
+        df.join(line_stats, df[id_col] == line_stats["__id__"], "left")
+        .drop("__id__")
+        .join(gram_stats, df[id_col] == gram_stats["__id__"], "left")
+        .drop("__id__")
+        .fillna(
+            {
+                "dup_line_frac": 0.0,
+                "dup_line_char_frac": 0.0,
+                "top_ngram_char_frac": 0.0,
+            }
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing ANY word
+    n-gram with a benchmark/eval set (the standard 8-gram/13-gram overlap
+    rule from GPT-3 appx C / PaLM / Llama eval hygiene).
+
+    Plan shape: benchmark → distinct n-grams (small) → BROADCAST; docs →
+    explode n-grams (narrow) → broadcast hash join → per-doc hit count →
+    left join back. The 100 TB side (docs) never shuffles on grams.
+    Grams join as strings here so the result is oracle-checkable; at
+    scale hash them (``xxhash64``) to shrink the broadcast — identical
+    semantics modulo 64-bit collisions.
+
+    Returns docs + ``n_hits`` (distinct matched grams) + ``contaminated``.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(_word_ngrams(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("__id__")
+        .agg(F.count_distinct(F.col("gram")).alias("n_hits"))
+    )
+    return (
+        docs.join(hits, docs[id_col] == hits["__id__"], "left")
+        .drop("__id__")
+        .fillna({"n_hits": 0})
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

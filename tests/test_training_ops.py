@@ -739,6 +739,61 @@ def _encode_gif(indices, palette):
     return bytes(out)
 
 
+class TestRepetitionDecontam:
+    def test_repetition_signals_values(self, spark):
+        from loongcollector_spark.functions.textclean import repetition_signals
+
+        rows = [
+            # 3 lines, one duplicated: dup_line_frac=1/3; "ab cd" bigram ×2
+            (1, "ab cd ab cd\nxx yy\nab cd ab cd"),
+            (2, "all unique words here now"),
+            (3, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in repetition_signals(df).collect()}
+        r1 = out[1]
+        assert abs(r1.dup_line_frac - 1 / 3) < 1e-6
+        # duplicated line "ab cd ab cd" (11 chars) counted once beyond
+        # its first occurrence; total chars = 29
+        assert abs(r1.dup_line_char_frac - 11 / 29) < 1e-6
+        # bigram "ab cd" occurs 4x (2 per dup line), "cd ab" 2x — top =
+        # 4*5 = 20 chars / 29
+        assert abs(r1.top_ngram_char_frac - 20 / 29) < 1e-6
+        assert out[2].dup_line_frac == 0.0
+        assert out[2].top_ngram_char_frac == 0.0
+        assert out[3].top_ngram_char_frac == 0.0
+
+    def test_decontaminate_flags_overlap(self, spark):
+        from loongcollector_spark.functions.textclean import decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+                (2, "completely different content with no overlap at all whatsoever"),
+                (3, "short doc"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in decontaminate(docs, bench, n=8).collect()}
+        assert out[1].contaminated and out[1].n_hits >= 1
+        assert not out[2].contaminated and out[2].n_hits == 0
+        assert not out[3].contaminated  # < n words → no grams, no flag
+
+    def test_decontaminate_plan_broadcasts_benchmark(self, spark):
+        from loongcollector_spark.functions.textclean import decontaminate
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} " * 10) for i in range(20)], "doc_id long, text string"
+        )
+        bench = docs.limit(2)
+        plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
 class TestPngGifDecode:
     """PNG (zlib + unfiltering) and GIF (LZW) decode are REAL stdlib
     paths now — roundtrip against the independent encoders above."""
