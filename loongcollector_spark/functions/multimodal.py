@@ -5,13 +5,14 @@ struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas UDFs over ``mapInPandas``. Decode is REAL for the
 formats that need no codec libraries — PCM WAV (RIFF chunk walk), 24-bit
 BMP and binary PPM (header math + numpy frombuffer), 8-bit PNG (stdlib
-zlib inflate + Sub/Up/Average/Paeth scanline unfiltering, RFC 2083) and
-GIF87a/89a first frame (pure-Python LZW) — plus a nearest-neighbor
-``resize_image``. Codec-dependent formats (JPEG/MP4) fall back to a
-clearly-marked deterministic fake (or raise when
-``deterministic_fake=False``): those decoders genuinely require
-PIL/av, absent from this container. Corrupt payloads of real formats are
-data, not errors: ``decode_ok=false``.
+zlib inflate + Sub/Up/Average/Paeth scanline unfiltering, RFC 2083),
+GIF87a/89a first frame (pure-Python LZW) and baseline sequential JPEG
+(canonical huffman entropy decode, dequant, numpy IDCT, 4:2:0 upsample,
+DRI/RSTn restarts) — plus a nearest-neighbor ``resize_image``. Only
+video (MP4) falls back to a clearly-marked deterministic fake (or raises
+when ``deterministic_fake=False``): a video decoder genuinely requires
+av/ffmpeg, absent from this container. Corrupt payloads of real formats
+are data, not errors: ``decode_ok=false``.
 
 Schema convention:
     payload: binary, media_type: string ('image/png', 'audio/wav', ...),
@@ -349,6 +350,259 @@ def _gif_lzw(data: bytes, min_code_size: int, expect: int) -> list[int]:
     return out[:expect]
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    byte-unstuffing; stops at any real marker (caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: caller consumes via sync()
+                else:
+                    break  # real marker (EOI/next segment): pad with 0s
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        while self.nbits <= 24:
+            self.acc = (self.acc << 8) | 0
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG huffman code")
+
+    def sync_restart(self):
+        """Drop buffered bits and consume one RSTn marker."""
+        self.acc = self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG huffman table → {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """REAL decode of baseline sequential JPEG (SOF0, 8-bit, JFIF) →
+    numpy (H, W, 3) uint8 RGB (or (H, W, 1) grayscale).
+
+    Pure stdlib + numpy: marker walk, canonical huffman entropy decode
+    (with 0xFF00 unstuffing and DRI/RSTn restart handling), dequantize,
+    inverse zigzag, 8×8 IDCT as two numpy matrix products, sampling-
+    factor upsample, JFIF YCbCr→RGB. Progressive (SOF2) / arithmetic /
+    12-bit raise ValueError — treated as unsupported data upstream."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq:
+                    tbl = np.frombuffer(body, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                else:
+                    tbl = np.frombuffer(body, "u1", 64, i).astype(np.int32)
+                    i += 64
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = body[i + 1 : i + 17]
+                n = sum(counts)
+                syms = body[i + 17 : i + 17 + n]
+                huff[(tc, th)] = _jpeg_huff_table(counts, syms)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("12-bit JPEG unsupported")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s], body[2 + 2 * s]
+                scan[cs] = (tables >> 4, tables & 0xF)
+            return _jpeg_decode_scan(
+                payload, pos + 2 + seglen, frame, scan, qt, huff,
+                restart_interval,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG without scan data")
+
+
+def _jpeg_decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # IDCT basis: block = C.T @ coef @ C
+    u = np.arange(8)
+    C = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * 0.5
+    C[0, :] *= 1 / np.sqrt(2)
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float32)
+        for c in comps
+    ]
+    rdr = _JpegBitReader(payload, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rdr.sync_restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan[c["id"]]
+                dch = huff[(0, dc_t)]
+                ach = huff[(1, ac_t)]
+                q = qt[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, np.int32)
+                        t = rdr.huff(dch)
+                        pred[ci] += _jpeg_extend(rdr.bits(t), t)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.huff(ach)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC overflow")
+                            coef[k] = _jpeg_extend(rdr.bits(s), s)
+                            k += 1
+                        block = np.zeros(64, np.float32)
+                        block[zz] = (coef * q).astype(np.float32)
+                        px = C.T @ block.reshape(8, 8) @ C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    # upsample each component to full MCU-grid resolution, crop, combine
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
 def decode_wav(payload: bytes):
     """REAL decode of PCM WAV (RIFF/WAVE, 8/16-bit) → (samples float32
     in [-1, 1] mixed to mono, sample_rate, n_channels). RIFF chunk walk
@@ -441,11 +695,12 @@ def _to_rgb(arr):
 
 
 def _decode_one(payload: bytes, media_type: str, deterministic_fake: bool):
-    """Decode one payload. WAV/BMP/PPM/PNG/GIF decode is REAL (pure
-    stdlib + numpy, above — PNG is zlib + scanline unfiltering, GIF is
-    LZW); JPEG/MP4 genuinely need codec libs absent from this container —
-    those fall back to the deterministic fake (stable 8-dim hash feature)
-    when allowed, else raise."""
+    """Decode one payload. WAV/BMP/PPM/PNG/GIF/baseline-JPEG decode is
+    REAL (pure stdlib + numpy, above — PNG is zlib + scanline
+    unfiltering, GIF is LZW, JPEG is huffman + dequant + IDCT). Only
+    video (MP4) genuinely needs a codec library absent from this
+    container — it falls back to the deterministic fake (stable 8-dim
+    hash feature) when allowed, else raises."""
     if payload:
         if payload[:4] == b"RIFF":
             return _audio_features(*decode_wav(payload))
@@ -457,11 +712,13 @@ def _decode_one(payload: bytes, media_type: str, deterministic_fake: bool):
             return _image_features(_to_rgb(decode_png(payload)))
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return _image_features(decode_gif(payload))
+        if payload[:2] == b"\xff\xd8":
+            return _image_features(_to_rgb(decode_jpeg(payload)))
     if not deterministic_fake:
         raise NotImplementedError(
-            f"decode of {media_type!r} requires codec libs (PIL/av) — not "
-            "available; WAV/BMP/PPM/PNG/GIF decode natively, or run with "
-            "deterministic_fake=True for the plumbing path"
+            f"decode of {media_type!r} requires codec libs (av/ffmpeg) — "
+            "not available; WAV/BMP/PPM/PNG/GIF/JPEG decode natively, or "
+            "run with deterministic_fake=True for the plumbing path"
         )
     h = hashlib.sha256(payload or b"").digest()
     return [float(b) / 255.0 for b in h[:8]]

@@ -632,7 +632,8 @@ class TestRealMediaDecode:
         from loongcollector_spark.functions import multimodal as mm
 
         df = spark.createDataFrame(
-            [(1, bytearray(b"\xff\xd8\xff\xe0 jpeg"), "image/jpeg", None)],
+            [(1, bytearray(b"\x00\x00\x00\x20ftypisom mp4 payload"),
+              "video/mp4", None)],
             mm.MEDIA_SCHEMA,
         )
         with _pytest.raises(Exception, match="NotImplementedError|codec"):
@@ -792,6 +793,260 @@ class TestRepetitionDecontam:
         bench = docs.limit(2)
         plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+def _encode_jpeg(arr, subsample=False, quant=4, restart_interval=0):
+    """Independent spec-following baseline JPEG writer (forward DCT +
+    flat quant + single-length huffman tables) so decode_jpeg isn't
+    tested against itself. `arr` is (H, W, 3) RGB uint8 or (H, W) gray.
+    JPEG is lossy: roundtrip asserts tolerance, not equality."""
+    import struct
+
+    import numpy as np
+
+    from loongcollector_spark.functions.multimodal import _JPEG_ZIGZAG
+
+    u = np.arange(8)
+    C = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) * 0.5
+    C[0, :] *= 1 / np.sqrt(2)
+
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        f = arr.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        if subsample:  # 4:2:0 — chroma = 2x2 mean
+            H2, W2 = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            def pad(p, hh, ww):
+                return np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                              mode="edge")
+            cbs = pad(cb, H2, W2).reshape(H2 // 2, 2, W2 // 2, 2).mean((1, 3))
+            crs = pad(cr, H2, W2).reshape(H2 // 2, 2, W2 // 2, 2).mean((1, 3))
+            planes = [y, cbs, crs]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(
+            np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        )
+
+    # single-length(8) canonical tables: DC syms 0..11, AC all (r,s) + EOB/ZRL
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    def canon(syms):
+        return {sym: (8, i) for i, sym in enumerate(syms)}
+    dc_code, ac_code = canon(dc_syms), canon(ac_syms)
+
+    out = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def put(code, length):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << length) | code
+        bitcnt += length
+        while bitcnt >= 8:
+            byte = (bitbuf >> (bitcnt - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            bitcnt -= 8
+            bitbuf &= (1 << bitcnt) - 1
+
+    def flushbits():
+        nonlocal bitbuf, bitcnt
+        if bitcnt:
+            pad = 8 - bitcnt
+            byte = ((bitbuf << pad) | ((1 << pad) - 1)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            bitbuf = bitcnt = 0
+
+    def magnitude(v):
+        t = 0
+        a = abs(v)
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    def put_val(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    zz = _JPEG_ZIGZAG
+    pred = [0] * len(planes)
+
+    def encode_block(plane, ci, y0, x0):
+        blk = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = C @ blk @ C.T
+        q = np.rint(coef / quant).astype(int)
+        seq = [q.flat[zz[i]] for i in range(64)]
+        diff = seq[0] - pred[ci]
+        pred[ci] = seq[0]
+        t = magnitude(diff)
+        put(*(lambda c: (c[1], c[0]))(dc_code[t]))
+        put_val(diff, t)
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if seq[k]:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            if seq[k] == 0:
+                run += 1
+                continue
+            while run >= 16:
+                l, c = ac_code[0xF0]
+                put(c, l)
+                run -= 16
+            s = magnitude(seq[k])
+            l, c = ac_code[(run << 4) | s]
+            put(c, l)
+            put_val(seq[k], s)
+            run = 0
+        if last_nz < 63:
+            l, c = ac_code[0x00]
+            put(c, l)
+
+    # headers
+    hdr = bytearray(b"\xff\xd8")
+    qtab = bytes([quant] * 64)
+    hdr += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab
+    nc = len(planes)
+    hdr += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, (sh, sv) in enumerate(samps):
+        hdr += bytes([ci + 1, (sh << 4) | sv, 0])
+    def dht(tc, syms):
+        counts = [0] * 16
+        counts[7] = len(syms)
+        return (b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
+                + bytes([tc << 4]) + bytes(counts) + bytes(syms))
+    hdr += dht(0, dc_syms) + dht(1, ac_syms)
+    if restart_interval:
+        hdr += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    hdr += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        hdr += bytes([ci + 1, 0x00])
+    hdr += b"\x00\x3f\x00"
+
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                flushbits()
+                out.append(0xFF)
+                out.append(0xD0 + (rst & 7))
+                rst += 1
+                for i in range(len(pred)):
+                    pred[i] = 0
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        encode_block(
+                            p, ci, (my * sv + by) * 8, (mx * sh + bx) * 8
+                        )
+            mcu_count += 1
+    flushbits()
+    return bytes(hdr) + bytes(out) + b"\xff\xd9"
+
+
+class TestJpegDecode:
+    """Baseline JPEG decode is REAL (huffman + dequant + IDCT in numpy).
+    Roundtrip against the independent encoder above — tolerance, not
+    equality, because JPEG is lossy."""
+
+    @staticmethod
+    def _gradient(h, w):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = ((xx + yy) * 255 // max(h + w - 2, 1)).astype(np.uint8)
+        return np.stack([r, g, b], axis=2)
+
+    def test_uniform_color_exact_dc(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_jpeg
+
+        arr = np.full((16, 16, 3), (90, 160, 40), np.uint8)
+        out = decode_jpeg(_encode_jpeg(arr))
+        assert out.shape == (16, 16, 3)
+        assert np.abs(out.astype(int) - arr.astype(int)).max() <= 3
+
+    def test_gradient_roundtrip_444(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_jpeg
+
+        arr = self._gradient(24, 17)  # non-multiple-of-8 width
+        out = decode_jpeg(_encode_jpeg(arr, quant=2))
+        assert out.shape == arr.shape
+        diff = np.abs(out.astype(int) - arr.astype(int))
+        assert diff.mean() < 3 and diff.max() <= 32
+
+    def test_gradient_roundtrip_420_subsampled(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_jpeg
+
+        arr = self._gradient(32, 24)
+        out = decode_jpeg(_encode_jpeg(arr, subsample=True, quant=2))
+        assert out.shape == arr.shape
+        diff = np.abs(out.astype(int) - arr.astype(int))
+        assert diff.mean() < 6 and diff.max() <= 64
+
+    def test_grayscale(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_jpeg
+
+        arr = self._gradient(16, 16)[:, :, 0]
+        out = decode_jpeg(_encode_jpeg(arr, quant=2))
+        assert out.shape == (16, 16, 1)
+        diff = np.abs(out[:, :, 0].astype(int) - arr.astype(int))
+        assert diff.mean() < 3
+
+    def test_restart_markers(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import decode_jpeg
+
+        arr = self._gradient(32, 32)
+        out = decode_jpeg(_encode_jpeg(arr, quant=2, restart_interval=2))
+        diff = np.abs(out.astype(int) - arr.astype(int))
+        assert diff.mean() < 3 and diff.max() <= 32
+
+    def test_progressive_rejected(self):
+        import pytest as _pytest
+
+        from loongcollector_spark.functions.multimodal import decode_jpeg
+
+        payload = _encode_jpeg(self._gradient(8, 8))
+        # flip SOF0 (0xC0) to SOF2 (0xC2, progressive)
+        i = payload.index(b"\xff\xc0")
+        bad = payload[:i] + b"\xff\xc2" + payload[i + 2:]
+        with _pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bad)
 
 
 class TestPngGifDecode:
