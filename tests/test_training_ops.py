@@ -631,9 +631,10 @@ class TestRealMediaDecode:
 
         from loongcollector_spark.functions import multimodal as mm
 
+        # webm/mkv: no native decoder and no container parser here
         df = spark.createDataFrame(
-            [(1, bytearray(b"\x00\x00\x00\x20ftypisom mp4 payload"),
-              "video/mp4", None)],
+            [(1, bytearray(b"\x1a\x45\xdf\xa3 webm payload"),
+              "video/webm", None)],
             mm.MEDIA_SCHEMA,
         )
         with _pytest.raises(Exception, match="NotImplementedError|codec"):
@@ -1047,6 +1048,80 @@ class TestJpegDecode:
         bad = payload[:i] + b"\xff\xc2" + payload[i + 2:]
         with _pytest.raises(ValueError, match="non-baseline"):
             decode_jpeg(bad)
+
+
+def _encode_mp4(duration_ms=12_000, timescale=1000, video=(640, 360),
+                audio=True):
+    """Independent minimal ISO BMFF writer (ftyp + moov/mvhd + traks
+    with tkhd/mdia/hdlr/minf/stbl/stsd) for parse_mp4_meta tests."""
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def full(btype, ver, flags, payload):
+        return box(btype, struct.pack(">B3s", ver, flags.to_bytes(3, "big")) + payload)
+
+    mvhd = full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration_ms * timescale // 1000
+    ) + b"\x00" * 80)
+
+    def trak(handler, codec, w=0, h=0):
+        tkhd = full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0)
+                    + b"\x00" * 52
+                    + struct.pack(">II", w << 16, h << 16))
+        hdlr = full(b"hdlr", 0, 0, struct.pack(">I4s4s", 0, handler, b"\x00" * 4)
+                    + b"\x00" * 9)
+        entry = struct.pack(">I4s", 16, codec) + b"\x00" * 8
+        stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", hdlr + minf)
+        return box(b"trak", tkhd + mdia)
+
+    traks = trak(b"vide", b"avc1", *video)
+    if audio:
+        traks += trak(b"soun", b"mp4a")
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+class TestMp4ContainerParse:
+    def test_box_walk_metadata(self):
+        from loongcollector_spark.functions.multimodal import parse_mp4_meta
+
+        meta = parse_mp4_meta(_encode_mp4(duration_ms=45_000, video=(1280, 720)))
+        assert meta["brand"] == "isom"
+        assert meta["duration_ms"] == 45_000
+        assert meta["n_tracks"] == 2
+        assert meta["width"] == 1280 and meta["height"] == 720
+        assert "vide" in meta["handlers"] and "soun" in meta["handlers"]
+        assert "avc1" in meta["codecs"] and "mp4a" in meta["codecs"]
+
+    def test_video_features_through_spark(self, spark):
+        from loongcollector_spark.functions import multimodal as mm
+
+        mp4 = _encode_mp4(duration_ms=60_000, video=(640, 360), audio=False)
+        df = spark.createDataFrame(
+            [(1, bytearray(mp4), "video/mp4", None),
+             (2, bytearray(b"\x00\x00\x00\x08ftyp"), "video/mp4", None)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = {r.media_id: r for r in mm.extract_features(df).collect()}
+        assert out[1].decode_ok
+        assert abs(out[1].feature[0] - 1.0) < 1e-6  # 60s = 1 minute
+        assert abs(out[1].feature[2] - 640 / 4096) < 1e-6
+        assert out[1].feature[4] == 1.0 and out[1].feature[5] == 0.0
+        # truncated ftyp-only box: still parses (brand only)
+        assert out[2].decode_ok
+
+    def test_corrupt_box_is_data(self):
+        import pytest as _pytest
+
+        from loongcollector_spark.functions.multimodal import parse_mp4_meta
+
+        with _pytest.raises(ValueError):
+            parse_mp4_meta(b"\x00\x00\x00\xffftyp")  # size beyond payload
 
 
 class TestPngGifDecode:
