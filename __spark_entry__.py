@@ -1354,6 +1354,41 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Value-anchors the REAL media decoders (decode_bmp / decode_wav /
+    decode_png, multimodal.py) end-to-end: synthesize a valid
+    BMP/WAV/PNG payload per doc_id (constant color / amplitude, so the
+    decoded float32 means integerize exactly), run the production
+    mapInPandas decode (`extract_features`, deterministic_fake=False →
+    any dispatch miss raises), and emit integer stats the SQL oracle
+    reproduces in closed form. s1..s5: image → (w, h, r, g, b) from the
+    decoded pixels; audio → (n_samples, rate, |amp|, channels, 0) from
+    the decoded waveform."""
+    from loongcollector_spark.functions import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = multimodal.synth_doc_media(docs)
+    feats = multimodal.extract_features(media, deterministic_fake=False)
+    is_audio = F.col("media_type") == "audio/wav"
+
+    def e(i):
+        return F.element_at(F.col("feature"), i).cast("double")
+
+    def r0(c):
+        return F.round(c, 0).cast("long")
+
+    return feats.select(
+        "media_id",
+        "media_type",
+        "decode_ok",
+        F.when(is_audio, r0(e(1) * 60 * 8000)).otherwise(r0(e(1) * 4096)).alias("s1"),
+        F.when(is_audio, r0(e(2) * 48000)).otherwise(r0(e(2) * 4096)).alias("s2"),
+        F.when(is_audio, r0(e(5) * 32768)).otherwise(r0(e(3) * 255)).alias("s3"),
+        F.when(is_audio, r0(e(7) * 8)).otherwise(r0(e(4) * 255)).alias("s4"),
+        F.when(is_audio, F.lit(0).cast("long")).otherwise(r0(e(5) * 255)).alias("s5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1380,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pair_sim_topk": q_embedding_pair_sim,
         "text_repetition_signals": q_text_repetition,
         "decontaminate_5gram": q_decontaminate,
+        "multimodal_decode_stats": q_multimodal_decode,
         # -- block 3: last driver row is r01 -------------------------------
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1910,6 +1946,26 @@ WITH w AS (
 SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
        h.doc_id IS NOT NULL AS contaminated
 FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
+
+    # Closed-form twin of synth_doc_media → extract_features: the media
+    # params are pure id arithmetic, so the decoded stats are too.
+    sql["multimodal_decode_stats"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'image/png' END AS media_type,
+       TRUE AS decode_ok,
+       CASE WHEN doc_id % 3 = 1 THEN 50 + doc_id % 100
+            ELSE 4 + doc_id % 13 END AS s1,
+       CASE WHEN doc_id % 3 = 1 THEN 8000
+            ELSE 3 + doc_id % 7 END AS s2,
+       CASE WHEN doc_id % 3 = 1 THEN abs((doc_id * 37) % 60001 - 30000)
+            ELSE (doc_id * 3 + 7) % 256 END AS s3,
+       CASE WHEN doc_id % 3 = 1 THEN 1
+            ELSE (doc_id * 5 + 11) % 256 END AS s4,
+       CASE WHEN doc_id % 3 = 1 THEN 0
+            ELSE (doc_id * 7 + 13) % 256 END AS s5
+FROM documents"""
 
     sql["embedding_pair_sim_topk"] = """
 WITH e AS (

@@ -75,6 +75,136 @@ def synthetic_media(spark, n: int, payload_bytes: int = 256) -> DataFrame:
     )
 
 
+def encode_bmp_rgb(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up, 4-byte row padding). Synthetic-
+    data generator — the inverse of :func:`decode_bmp`, used to
+    value-anchor the decode path against closed-form oracles."""
+    import struct
+
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    bgr = arr[:, :, ::-1]
+    img = b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return header + info + img
+
+
+def encode_wav_pcm16(samples, rate: int, channels: int = 1) -> bytes:
+    """Encode int16 samples as a PCM WAV (RIFF/WAVE) payload. Inverse
+    of :func:`decode_wav` for synthetic-data generation."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = (
+        b"WAVEfmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_png_rgb(arr) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit color-type-2 PNG
+    (filter 0 scanlines, single IDAT). Inverse of :func:`decode_png`."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+SYNTH_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+    ]
+)
+
+
+def synth_doc_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-format media table derived from an id column.
+
+    Each id yields a VALID payload whose decoded statistics are
+    closed-form functions of the id — so a plain SQL oracle can
+    value-check the real decoders end-to-end with no media library:
+
+      kind = id % 3: 0 → 24-bit BMP, 1 → 16-bit PCM WAV, 2 → 8-bit PNG
+      BMP/PNG: w = 4 + id%13, h = 3 + id%7, constant color
+               (r,g,b) = ((3id+7)%256, (5id+11)%256, (7id+13)%256)
+               → decoded channel means are exactly r/g/b.
+      WAV:     n = 50 + id%100 samples at 8000 Hz mono, constant
+               amplitude v = (37id)%60001 - 30000
+               → decoded mean|x|·32768 is exactly |v|.
+
+    Constant payloads make the float32 feature means exact after
+    integer rounding, which is what the oracle compares."""
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads, mts = [], []
+            for raw_id in ids:
+                i = int(raw_id)
+                k = i % 3
+                if k == 1:
+                    n = 50 + i % 100
+                    v = (i * 37) % 60001 - 30000
+                    payloads.append(
+                        encode_wav_pcm16(np.full(n, v, dtype="<i2"), 8000, 1)
+                    )
+                    mts.append("audio/wav")
+                else:
+                    w, h = 4 + i % 13, 3 + i % 7
+                    arr = np.zeros((h, w, 3), dtype=np.uint8)
+                    arr[:, :] = (
+                        (i * 3 + 7) % 256,
+                        (i * 5 + 11) % 256,
+                        (i * 7 + 13) % 256,
+                    )
+                    if k == 0:
+                        payloads.append(encode_bmp_rgb(arr))
+                        mts.append("image/bmp")
+                    else:
+                        payloads.append(encode_png_rgb(arr))
+                        mts.append("image/png")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "media_type": mts}
+            )
+
+    return df.mapInPandas(synth, SYNTH_MEDIA_SCHEMA)
+
+
 def decode_bmp(payload: bytes):
     """REAL decode of uncompressed 24-bit BMP (BITMAPINFOHEADER) →
     numpy (H, W, 3) uint8 RGB. Pure header math + frombuffer — no

@@ -1267,3 +1267,67 @@ class TestTextClean:
         assert s.stop_word_hits == 1  # 'the'
         assert s.symbol_ratio > 0
         assert s.bullet_line_ratio == 0.5
+
+
+class TestSynthMediaOracle:
+    """synth_doc_media → extract_features closed-form anchoring: the
+    production encoders (encode_bmp_rgb / encode_wav_pcm16 /
+    encode_png_rgb) produce valid payloads whose decoded integer stats
+    equal pure id arithmetic — the same contract the driver oracle
+    checks at scale (multimodal_decode_stats)."""
+
+    def test_decoded_stats_match_closed_form(self, spark):
+        from loongcollector_spark.functions.multimodal import (
+            extract_features,
+            synth_doc_media,
+        )
+
+        # 133786 % 3 == 1 and 133786*37 % 60001 == 30000 → WAV with
+        # amplitude exactly 0 (edge); 1 mod 3 → wav; 0 → bmp; 2 → png,
+        # and the id sweep varies w*3 % 4 so every BMP pad width occurs
+        ids = [0, 1, 2, 3, 4, 5, 6, 7, 8, 12, 97, 133786, 810811]
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        feats = extract_features(synth_doc_media(df), deterministic_fake=False)
+        rows = {r.media_id: r for r in feats.collect()}
+        assert all(r.decode_ok for r in rows.values())
+        for i in ids:
+            f = rows[i].feature
+            if i % 3 == 1:
+                n, v = 50 + i % 100, (i * 37) % 60001 - 30000
+                assert round(f[0] * 60 * 8000) == n
+                assert round(f[1] * 48000) == 8000
+                assert round(f[4] * 32768) == abs(v), i
+                assert round(f[6] * 8) == 1
+            else:
+                assert rows[i].media_type == (
+                    "image/bmp" if i % 3 == 0 else "image/png"
+                )
+                assert round(f[0] * 4096) == 4 + i % 13
+                assert round(f[1] * 4096) == 3 + i % 7
+                assert round(f[2] * 255) == (i * 3 + 7) % 256, i
+                assert round(f[3] * 255) == (i * 5 + 11) % 256
+                assert round(f[4] * 255) == (i * 7 + 13) % 256
+
+    def test_encoders_roundtrip_nonconstant(self):
+        """Gradient payloads through the production encoders decode
+        byte-exactly — catches channel-order bugs a constant color
+        cannot (BGR↔RGB twice would cancel in the oracle)."""
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import (
+            decode_bmp,
+            decode_png,
+            decode_wav,
+            encode_bmp_rgb,
+            encode_png_rgb,
+            encode_wav_pcm16,
+        )
+
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp_rgb(arr)) == arr).all()
+        assert (decode_png(encode_png_rgb(arr)) == arr).all()
+        samples = rng.integers(-32768, 32767, size=321, dtype=np.int16)
+        mono, rate, ch = decode_wav(encode_wav_pcm16(samples, 44100, 1))
+        assert rate == 44100 and ch == 1
+        assert np.allclose(mono, samples.astype(np.float32) / 32768.0)
