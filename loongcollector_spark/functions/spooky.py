@@ -7,6 +7,14 @@ seed 0, result as big-endian VARBINARY of 4 / 8 bytes).
 Transcribed from the published SpookyV2 specification (short path for
 inputs < 192 bytes, 12-lane mix for longer); no third-party code copied —
 the rotation schedules and mixing order are the algorithm itself.
+
+Cross-checked against an INDEPENDENT unrolled transcription
+(tests/spooky_ref.py) over lengths spanning every tail case and the
+192-byte short/long boundary. Published known-answer vectors are not
+available in this offline container, so absolute values remain
+unanchored to an external implementation — the disclaimer stands, but
+transcription typos (tables, rotation schedules, lane order) are now
+covered.
 """
 
 from __future__ import annotations
@@ -85,7 +93,10 @@ def _short(data: bytes, seed1: int, seed2: int) -> tuple[int, int]:
         else:
             for i in range(remainder):
                 c = (c + (tail[i] << (8 * i))) & _MASK
-    a, b, c, d = _short_mix(a, b, c, d)
+    # The published Short() runs ShortEnd directly after the 0..15-byte
+    # tail injection — ShortMix only runs per 16/32-byte block. (An
+    # earlier transcription inserted a spurious ShortMix here, which
+    # diverged on every input < 192 bytes.)
     a, b, c, d = _short_end(a, b, c, d)
     return a, b
 

@@ -137,3 +137,44 @@ class TestMinhashGolden:
             for i in range(num_hashes)
         ]
         assert got == expected
+
+
+class TestSpookyCrossCheck:
+    """Production spooky.py (table-driven loops) vs tests/spooky_ref.py
+    (independent statement-for-statement unrolled transcription). A
+    typo in either rotation schedule, lane order, or tail case breaks
+    the match. Covers every short-path tail case (length % 32 in
+    0..31), the 16+ remainder branch, the 192-byte short/long boundary,
+    and multi-block long inputs."""
+
+    @staticmethod
+    def _msg(n: int) -> bytes:
+        return bytes((i * 31 + 7 * (i >> 4) + 3) % 256 for i in range(n))
+
+    def test_all_lengths_and_boundary(self):
+        from loongcollector_spark.functions import spooky
+        from tests import spooky_ref
+
+        lengths = list(range(0, 64)) + [95, 96, 97, 127, 128, 159, 160,
+                                        190, 191, 192, 193, 287, 288,
+                                        289, 384, 401]
+        for n in lengths:
+            m = self._msg(n)
+            assert spooky.hash128(m, 0, 0) == spooky_ref.hash128(m, 0, 0), n
+            assert spooky.hash128(m, 0xABCDEF0123456789, 0x42) == \
+                spooky_ref.hash128(m, 0xABCDEF0123456789, 0x42), n
+
+    def test_wrappers_and_width_relation(self):
+        import struct
+
+        from loongcollector_spark.functions import spooky
+        from tests import spooky_ref
+
+        for n in (0, 1, 13, 40, 200):
+            m = self._msg(n)
+            h64 = spooky.spooky_hash_v2_64(m)
+            h32 = spooky.spooky_hash_v2_32(m)
+            assert h64 == struct.pack(">Q", spooky_ref.hash64(m, 0))
+            assert h32 == struct.pack(">I", spooky_ref.hash32(m, 0))
+            # Hash32 is the low 32 bits of Hash64 by construction
+            assert h32 == struct.pack(">I", struct.unpack(">Q", h64)[0] & 0xFFFFFFFF)
