@@ -156,6 +156,250 @@ class SplitLogRegex(Processor):
         )
 
 
+def _scan_open_state(u, v, p0: bool):
+    """Vectorized boolean scan of the recurrence p' = (p & u) | (~p & v).
+
+    Every multiline mode's open/closed state is of this form, so the
+    whole per-group FSM reduces to: each line is a SET (u==v, to value
+    u), a TOGGLE (u=0, v=1), or IDENTITY (u=1, v=0); the state after
+    line i is the value at the last SET xor the parity of TOGGLEs since
+    it. cummax + cumsum — no per-row Python. Returns the state BEFORE
+    each line."""
+    import numpy as np
+
+    n = len(u)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    is_set = u == v
+    toggle = ~u & v
+    idx = np.arange(n)
+    last_set = np.maximum.accumulate(np.where(is_set, idx, -1))
+    tog = np.cumsum(toggle)
+    safe = np.clip(last_set, 0, None)
+    base = np.where(last_set >= 0, u[safe], p0)
+    parity = (tog - np.where(last_set >= 0, tog[safe], 0)) % 2
+    p_after = base.astype(bool) ^ parity.astype(bool)
+    out = np.empty(n, dtype=bool)
+    out[0] = p0
+    out[1:] = p_after[:-1]
+    return out
+
+
+def _merge_block_vectorized(g, o, v_series, s, c, e, has_s, has_c, has_e,
+                            single_line):
+    """Vectorized engine for the multiline merge FSM over a block of
+    COMPLETE groups sorted by (group, order) — same semantics as
+    :func:`_merge_rows_python` (the reference transcription of
+    ProcessorMergeMultilineLogNative.cpp:161-345, kept for differential
+    tests), but O(lines) numpy: open/closed state via
+    :func:`_scan_open_state` (per-group reset by forcing the last line
+    of each group to a SET-closed transition — its own state is already
+    computed, only successors see the reset), event ids via cumsum of
+    boundary flags, completeness via a per-event close mark, and one
+    join call per EVENT (not per line). Processing whole sorted
+    partitions instead of one pandas call per tiny group is what makes
+    the pandas path cheap at 10^12-turn scale.
+
+    Returns (groups, texts, orders, n_merged) lists."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(o)
+    if n == 0:
+        return [], [], [], []
+    start = np.empty(n, dtype=bool)
+    start[0] = True
+    start[1:] = g[1:] != g[:-1]
+    last = np.empty(n, dtype=bool)
+    last[-1] = True
+    last[:-1] = start[1:]
+    standalone = np.zeros(n, dtype=bool)
+    close_ok = None
+
+    def scan(u, v):
+        # force SET-closed on each group's final line so the next
+        # group's first line reads the initial (closed) state
+        u = u & ~last
+        v = v & ~last
+        return _scan_open_state(u, v, False)
+
+    if has_e and not has_s and not has_c:
+        # only-End: always inside; events split after each end line
+        p = np.ones(n, dtype=bool)
+        member = p
+        boundary = start | np.concatenate(([False], e[:-1]))
+        close_ok = e
+    elif has_s and has_e and not has_c:
+        # Start+End: open at start, close (after appending) at end
+        p = scan(~e, s)
+        member = p | s
+        boundary = ~p & s
+        close_ok = p & e
+    elif has_s and has_c and not has_e:
+        # Start+Continue: run of continues; a non-continue start line
+        # both closes the run and opens a new event
+        p = scan(c | s, s)
+        member = s | (p & c)
+        boundary = s & (~p | ~c)
+    elif has_s and has_c and has_e:
+        # Start+Continue+End: continues extend, any non-continue closes
+        # (end decides matched/unmatched)
+        p = scan(c, s)
+        member = p | s
+        boundary = ~p & s
+        close_ok = p & ~c & e
+    elif has_c and has_e:
+        # Continue+End: open at continue; first non-continue line closes
+        # (end decides); a lone end line outside is a complete event
+        p = np.concatenate(([False], c[:-1])) & ~start
+        member = p | c
+        boundary = ~p & c
+        close_ok = p & ~c & e
+        standalone = ~p & ~c & e
+    else:
+        # Start-only (the JVM fast path normally handles this)
+        p = scan(np.ones(n, dtype=bool), s)
+        member = p | s
+        boundary = s
+    evt = np.cumsum(boundary)
+    if close_ok is None:
+        complete_line = member
+    else:
+        comp = np.zeros(int(evt[-1]) + 1, dtype=bool)
+        comp[evt[close_ok]] = True
+        complete_line = comp[evt]
+    merged_mask = member & complete_line
+    # dangling/broken events with an End pattern are unmatched per line
+    unmatched = (~member & ~standalone) | (member & ~complete_line)
+    v_obj = v_series.to_numpy(dtype=object)
+    groups: list = []
+    texts: list = []
+    orders: list = []
+    ns: list = []
+    if merged_mask.any():
+        # event runs are contiguous in the sorted block: one C-level
+        # slice + join per EVENT (pandas groupby-agg here costs ~3x the
+        # whole python FSM at 1M+ events)
+        vm = v_obj[merged_mask]
+        nulls = pd.isna(vm)
+        if nulls.any():
+            vm = vm.copy()
+            vm[nulls] = ""
+        em = evt[merged_mask]
+        starts = np.flatnonzero(np.concatenate(([True], em[1:] != em[:-1])))
+        ends = np.concatenate((starts[1:], [len(em)]))
+        vl = vm.tolist()
+        texts += [
+            "\n".join(vl[a:b]) for a, b in zip(starts.tolist(), ends.tolist())
+        ]
+        groups += g[merged_mask][starts].tolist()
+        orders += o[merged_mask][starts].tolist()
+        ns += (ends - starts).tolist()
+    keep = standalone | (unmatched if single_line else standalone)
+    if keep.any():
+        groups += list(g[keep])
+        texts += list(v_obj[keep])
+        orders += o[keep].tolist()
+        ns += [1] * int(keep.sum())
+    return groups, texts, orders, ns
+
+
+def _merge_rows_vectorized(o, v_series, s, c, e, has_s, has_c, has_e,
+                           single_line):
+    """Single-group wrapper of :func:`_merge_block_vectorized` (used by
+    the engine-parity tests); returns (texts, orders, n_merged)."""
+    import numpy as np
+
+    _, texts, orders, ns = _merge_block_vectorized(
+        np.zeros(len(o), dtype=np.int64), o, v_series, s, c, e,
+        has_s, has_c, has_e, single_line,
+    )
+    return texts, orders, ns
+
+
+def _merge_rows_python(rows, has_s, has_c, has_e, single_line):
+    """Reference per-row transcription of the two-state FSM
+    (ProcessorMergeMultilineLogNative.cpp:161-345). Retained verbatim for
+    differential testing of :func:`_merge_rows_vectorized`; production
+    uses the vectorized engine. rows: (order, text, s, c, e) sorted."""
+    out: list[tuple] = []
+    events: list[tuple] = []  # (order, text)
+
+    def emit_merge():
+        if events:
+            out.append(
+                (
+                    "\n".join("" if t is None else t for _, t in events),
+                    events[0][0],
+                    len(events),
+                )
+            )
+            events.clear()
+
+    def unmatch(batch):
+        if single_line:
+            for o, t in batch:
+                out.append((t, o, 1))
+
+    # only-End sticks to the partial state (.cpp:176-180)
+    partial = not has_s and not has_c and has_e
+    for o, t, s, c, e in rows:
+        if not partial:
+            primary = s if has_s else c
+            if primary:
+                events.append((o, t))
+                partial = True
+            elif has_e and not has_s and has_c and e:
+                # continue+end: an end line outside a partial is a
+                # complete single event (.cpp:230-238)
+                out.append((t, o, 1))
+            else:
+                unmatch([(o, t)])
+        else:
+            if has_c and c:
+                events.append((o, t))
+                continue
+            if has_e:
+                events.append((o, t))
+                if has_c:
+                    # end pattern decides (.cpp:253-264)
+                    if e:
+                        emit_merge()
+                    else:
+                        unmatch(events)
+                        events.clear()
+                    partial = False
+                else:
+                    if e:
+                        emit_merge()
+                        if has_s:
+                            partial = False
+                        # only-end: stay partial, next log starts
+                    # not end → wait for the next line
+            else:
+                if not has_c:
+                    # start only (fast path handles this normally)
+                    if not s:
+                        events.append((o, t))
+                    else:
+                        emit_merge()
+                        events.append((o, t))
+                else:
+                    # start+continue: current line broke the run
+                    emit_merge()
+                    if not s:
+                        unmatch([(o, t)])
+                        partial = False
+                    else:
+                        events.append((o, t))
+    if partial and events:
+        if not has_e:
+            emit_merge()
+        else:
+            unmatch(events)  # dangling partial with End → unmatched
+    return out
+
+
 @register("processor_merge_multiline_log_native")
 class MergeMultilineLog(Processor):
     """Merge continuation rows into one logical event
@@ -265,95 +509,59 @@ class MergeMultilineLog(Processor):
             ]
         )
 
-        def fsm(pdf):
+        # One shuffle on GroupKey (hash repartition + in-partition sort),
+        # then mapInPandas over WHOLE partitions: the vectorized engine
+        # handles every group in a partition in one numpy pass — one
+        # Python call per Arrow batch, not one per group. Groups split
+        # across Arrow batches are carried to the next batch; only a
+        # single group's rows are ever buffered beyond one batch.
+        parts = flagged.repartition(F.col(group_key)).sortWithinPartitions(
+            group_key, order_key
+        )
+
+        def run(batches):
+            import numpy as np
             import pandas as pd
 
-            pdf = pdf.sort_values(order_key)
-            gval = pdf[group_key].iloc[0]
-            rows = list(
-                zip(pdf[order_key], pdf["__v__"], pdf["__s__"], pdf["__c__"], pdf["__e__"])
-            )
-            out: list[tuple] = []
-            events: list[tuple] = []  # (order, text)
+            def process(pdf):
+                groups, texts, orders, ns = _merge_block_vectorized(
+                    pdf[group_key].to_numpy(),
+                    pdf[order_key].to_numpy(),
+                    pdf["__v__"],
+                    pdf["__s__"].to_numpy(dtype=bool),
+                    pdf["__c__"].to_numpy(dtype=bool),
+                    pdf["__e__"].to_numpy(dtype=bool),
+                    has_s, has_c, has_e, single_line,
+                )
+                return pd.DataFrame(
+                    {
+                        group_key: groups,
+                        source_key: texts,
+                        order_key: orders,
+                        "n_merged": ns,
+                    }
+                )
 
-            def emit_merge():
-                if events:
-                    out.append(
-                        (
-                            gval,
-                            "\n".join("" if t is None else t for _, t in events),
-                            events[0][0],
-                            len(events),
-                        )
-                    )
-                    events.clear()
-
-            def unmatch(batch):
-                if single_line:
-                    for o, t in batch:
-                        out.append((gval, t, o, 1))
-
-            # only-End sticks to the partial state (.cpp:176-180)
-            partial = not has_s and not has_c and has_e
-            for o, t, s, c, e in rows:
-                if not partial:
-                    primary = s if has_s else c
-                    if primary:
-                        events.append((o, t))
-                        partial = True
-                    elif has_e and not has_s and has_c and e:
-                        # continue+end: an end line outside a partial is a
-                        # complete single event (.cpp:230-238)
-                        out.append((gval, t, o, 1))
-                    else:
-                        unmatch([(o, t)])
+            carry = None
+            for pdf in batches:
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                if len(pdf) == 0:
+                    continue
+                gcol = pdf[group_key].to_numpy()
+                # hold back the trailing group — it may continue in the
+                # next Arrow batch of this sorted partition
+                first_of_last = int(np.argmax(gcol == gcol[-1]))
+                if first_of_last == 0:
+                    carry = pdf
                 else:
-                    if has_c and c:
-                        events.append((o, t))
-                        continue
-                    if has_e:
-                        events.append((o, t))
-                        if has_c:
-                            # end pattern decides (.cpp:253-264)
-                            if e:
-                                emit_merge()
-                            else:
-                                unmatch(events)
-                                events.clear()
-                            partial = False
-                        else:
-                            if e:
-                                emit_merge()
-                                if has_s:
-                                    partial = False
-                                # only-end: stay partial, next log starts
-                            # not end → wait for the next line
-                    else:
-                        if not has_c:
-                            # start only (fast path handles this normally)
-                            if not s:
-                                events.append((o, t))
-                            else:
-                                emit_merge()
-                                events.append((o, t))
-                        else:
-                            # start+continue: current line broke the run
-                            emit_merge()
-                            if not s:
-                                unmatch([(o, t)])
-                                partial = False
-                            else:
-                                events.append((o, t))
-            if partial and events:
-                if not has_e:
-                    emit_merge()
-                else:
-                    unmatch(events)  # dangling partial with End → unmatched
-            return pd.DataFrame(
-                out, columns=[group_key, source_key, order_key, "n_merged"]
-            )
+                    carry = pdf.iloc[first_of_last:]
+                    yield process(pdf.iloc[:first_of_last])
+            if carry is not None and len(carry) > 0:
+                yield process(carry)
 
-        return flagged.groupBy(group_key).applyInPandas(fsm, schema=out_schema)
+        return parts.mapInPandas(run, out_schema)
 
     def _call_start_only(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)

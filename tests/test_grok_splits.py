@@ -449,3 +449,106 @@ class TestMergeMultilineMatrix:
             # only — f2's Continue/End lines are unmatched singles
             ("f2", _C), ("f2", _E),
         ]
+
+
+class TestMultilineEngineParity:
+    """The production vectorized multiline engine (_merge_rows_vectorized:
+    boolean-scan state, cumsum event ids) must agree with the reference
+    per-row FSM transcription (_merge_rows_python) on every pattern mode
+    x treatment x random flag sequence — including dangling partials,
+    same-line start+end toggles, and None texts."""
+
+    MODES = [
+        (True, False, False),   # start only
+        (True, True, False),    # start+continue
+        (True, False, True),    # start+end
+        (False, True, True),    # continue+end
+        (False, False, True),   # end only
+        (True, True, True),     # start+continue+end
+    ]
+
+    def test_differential_random(self):
+        import random
+
+        import numpy as np
+        import pandas as pd
+
+        from loongcollector_spark.operators.splits import (
+            _merge_rows_python,
+            _merge_rows_vectorized,
+        )
+
+        rng = random.Random(20260816)
+        for trial in range(300):
+            n = rng.randrange(0, 40)
+            s = [rng.random() < 0.3 for _ in range(n)]
+            c = [rng.random() < 0.4 for _ in range(n)]
+            e = [rng.random() < 0.3 for _ in range(n)]
+            texts = [
+                None if rng.random() < 0.1 else f"l{i}" for i in range(n)
+            ]
+            orders = list(range(n))
+            for has_s, has_c, has_e in self.MODES:
+                for single_line in (True, False):
+                    ref = _merge_rows_python(
+                        list(zip(orders, texts, s, c, e)),
+                        has_s, has_c, has_e, single_line,
+                    )
+                    t2, o2, n2 = _merge_rows_vectorized(
+                        np.asarray(orders, dtype=np.int64),
+                        pd.Series(texts, dtype=object),
+                        np.asarray(s), np.asarray(c), np.asarray(e),
+                        has_s, has_c, has_e, single_line,
+                    )
+                    got = sorted(
+                        zip(t2, o2, n2),
+                        key=lambda r: (r[1], str(r[0])),
+                    )
+                    want = sorted(ref, key=lambda r: (r[1], str(r[0])))
+                    assert [
+                        (t, int(o), int(m)) for t, o, m in got
+                    ] == [
+                        (t, int(o), int(m)) for t, o, m in want
+                    ], (trial, has_s, has_c, has_e, single_line)
+
+    def test_group_split_across_arrow_batches(self, spark):
+        """With tiny Arrow batches, one group's lines span many
+        mapInPandas batches — the carry logic must reassemble them
+        before merging (results identical to the reference FSM)."""
+        import numpy as np
+        import pandas as pd
+
+        from loongcollector_spark.operators.splits import (
+            MergeMultilineLog,
+            _merge_rows_python,
+        )
+
+        rows = []
+        for gi in range(5):
+            for i in range(23):
+                txt = "{open" if i % 7 == 0 else ("mid|" if i % 7 == 3 else "mid")
+                rows.append((f"g{gi}", i, txt))
+        df = spark.createDataFrame(rows, "src string, off int, content string")
+        proc = MergeMultilineLog(
+            SourceKey="content", GroupKey="src", OrderKey="off",
+            StartPattern=r"^\{", EndPattern=r"\|",
+        )
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        try:
+            got = sorted(
+                (r.src, r.content, r.off, r.n_merged)
+                for r in proc(df).collect()
+            )
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        want = []
+        for gi in range(5):
+            grp = [(o, t, bool(t.startswith("{")), False, "|" in t)
+                   for (g, o, t) in rows if g == f"g{gi}"]
+            for t, o, n in _merge_rows_python(grp, True, False, True, True):
+                want.append((f"g{gi}", t, o, n))
+        assert got == sorted(want)

@@ -106,9 +106,11 @@ class TestRound2PlanShapes:
         assert "Exchange" not in plan
 
     def test_merge_fsm_single_shuffle_jvm_flags(self, spark):
-        """Continue+End FSM: exactly one Exchange (the group-key shuffle
-        into applyInPandas); regex flags computed BEFORE the shuffle so
-        pandas sees only booleans."""
+        """Continue+End FSM: exactly one Exchange (the group-key
+        repartition), an in-partition sort, then partition-level
+        MapInPandas (one Python call per Arrow batch, not per group);
+        regex flags computed BEFORE the shuffle so pandas sees only
+        booleans."""
         from loongcollector_spark.operators.splits import MergeMultilineLog
 
         df = spark.createDataFrame(
@@ -120,9 +122,11 @@ class TestRound2PlanShapes:
         )
         plan = proc(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
-        # the rlike flag projection sits below FlatMapGroupsInPandas
-        fmap = plan.find("FlatMapGroupsInPandas")
+        # the rlike flag projection sits below the partition-level
+        # MapInPandas and its in-partition sort
+        fmap = plan.find("MapInPandas")
         assert fmap != -1 and "rlike" in plan[fmap:].lower()
+        assert plan.find("Sort [") > fmap
 
     def test_container_parse_narrow(self, spark):
         """Container-log parse is a pure projection — no Exchange."""
