@@ -33,8 +33,13 @@ class DictMap(Processor):
     * source key missing (NULL value here) + ``HandleMissing`` →
       dest = ``Missing`` (default "Unknown"), same fill/overwrite rules
 
-    Physical plan: ``F.broadcast`` left join — the dict is ≤ MaxDictSize
-    rows, so the join is a map-side hash probe with zero shuffle.
+    Physical plan, size-dispatched: a dict of ≤ ``InlineThreshold``
+    entries becomes a LITERAL map expression (``try_element_at`` on a
+    ``create_map`` of constants) — a pure projection, zero exchanges,
+    inside whole-stage codegen; larger dicts use an ``F.broadcast`` left
+    join (map-side hash probe, still zero shuffle). Both shapes are
+    value-equivalent; the inline path just removes the broadcast
+    exchange + join node for the common tiny-enum case.
     """
 
     def __init__(
@@ -47,6 +52,7 @@ class DictMap(Processor):
         Missing: str = "Unknown",
         Mode: str = "overwrite",
         MaxDictSize: int = 1000,
+        InlineThreshold: int = 64,
     ) -> None:
         if not MapDict and not DictFilePath:
             raise ValueError("at least one of MapDict / DictFilePath required")
@@ -59,6 +65,7 @@ class DictMap(Processor):
         self.missing = Missing
         self.mode = Mode
         self.map_dict = dict(MapDict or {})
+        self.inline_threshold = InlineThreshold
         if DictFilePath:
             self._load_csv(DictFilePath, MaxDictSize)
         if len(self.map_dict) > MaxDictSize:
@@ -76,15 +83,28 @@ class DictMap(Processor):
                 self.map_dict[row[0]] = row[1]
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        spark = df.sparkSession
-        dict_df = spark.createDataFrame(
-            list(self.map_dict.items()), ["__lc_dict_k__", "__lc_dict_v__"]
-        )
         src = F.col(self.source_key)
-        joined = df.join(
-            F.broadcast(dict_df), src == F.col("__lc_dict_k__"), "left"
-        )
-        mapped = F.col("__lc_dict_v__")
+        inline = len(self.map_dict) <= self.inline_threshold
+        if inline:
+            # literal map projection — no join node, no exchange;
+            # try_element_at (not element_at / map[key]) so a dict miss
+            # is NULL under ANSI mode too
+            if self.map_dict:
+                entries: list = []
+                for k, v in self.map_dict.items():
+                    entries += [F.lit(k), F.lit(v)]
+                mapped = F.try_element_at(F.create_map(*entries), src)
+            else:
+                mapped = F.lit(None).cast("string")
+            joined = df
+        else:
+            dict_df = df.sparkSession.createDataFrame(
+                list(self.map_dict.items()), ["__lc_dict_k__", "__lc_dict_v__"]
+            )
+            joined = df.join(
+                F.broadcast(dict_df), src == F.col("__lc_dict_k__"), "left"
+            )
+            mapped = F.col("__lc_dict_v__")
 
         if self.in_place:
             value = F.coalesce(mapped, src)  # dict miss → unchanged

@@ -62,8 +62,11 @@ def main() -> None:
         "enrich (dict-map lookups)",
         p,
         [
-            ("both lookups are BroadcastHashJoin", p.count("BroadcastHashJoin") >= 2),
+            ("tiny enum dicts fold to literal-map projections — NO join "
+             "node at all (round 3; ≤64-entry dicts inline, larger ones "
+             "stay BroadcastHashJoin)", "Join" not in p),
             ("no SortMergeJoin", "SortMergeJoin" not in p),
+            ("no codegen fallback", "CodegenFallback" not in p),
         ],
     ))
 

@@ -120,9 +120,19 @@ class TestPlanShape:
         plan = self._plan(q)
         assert "ReadSchema: struct<event_id:bigint,event_type:string>" in plan
 
-    def test_dict_map_is_broadcast_join(self, spark, transcripts):
+    def test_dict_map_small_dict_is_inline_projection(self, spark, transcripts):
+        # tiny enum dicts fold to a literal-map projection: no join node
+        # at all, no exchange, whole-stage codegen
         pipe = TranscriptPipeline()
         plan = self._plan(pipe.enrich(pipe.parse(transcripts)))
+        assert "Join" not in plan  # no BroadcastHashJoin, no SMJ — nothing
+
+    def test_dict_map_large_dict_is_broadcast_join(self, spark, transcripts):
+        from loongcollector_spark.operators.enrich import DictMap
+
+        big = {f"tool{i}": f"class{i % 7}" for i in range(200)}
+        op = DictMap(SourceKey="tool", DestKey="tool_class", MapDict=big)
+        plan = self._plan(op(transcripts))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
