@@ -159,3 +159,56 @@ class TestSplitKeyValueParity:
         got = proc(df).collect()[0]["kv"]
         want = _kv_reference(content, discard_no_sep=discard)
         assert dict(got) == want, (content, discard)
+
+
+class TestMultilineFsmParity:
+    """Hypothesis fuzz: the vectorized boolean-scan multiline engine must
+    equal the reference per-row FSM on arbitrary flag sequences for every
+    pattern mode and both unmatched treatments. Pure Python — no Spark.
+    Complements the 300-seed random differential in test_grok_splits."""
+
+    FLAGS = st.lists(
+        st.tuples(st.booleans(), st.booleans(), st.booleans(),
+                  st.booleans()),  # (s, c, e, text-is-None)
+        min_size=0, max_size=60,
+    )
+    MODES = st.sampled_from([
+        (True, False, False), (True, True, False), (True, False, True),
+        (False, True, True), (False, False, True), (True, True, True),
+    ])
+
+    @given(flags=FLAGS, mode=MODES, single_line=st.booleans())
+    @settings(max_examples=400, deadline=None)
+    def test_engines_agree(self, flags, mode, single_line):
+        import numpy as np
+        import pandas as pd
+
+        from loongcollector_spark.operators.splits import (
+            _merge_rows_python,
+            _merge_rows_vectorized,
+        )
+
+        has_s, has_c, has_e = mode
+        n = len(flags)
+        s = np.array([f[0] for f in flags], dtype=bool)
+        c = np.array([f[1] for f in flags], dtype=bool)
+        e = np.array([f[2] for f in flags], dtype=bool)
+        texts = [None if f[3] else f"t{i}" for i, f in enumerate(flags)]
+        o = np.arange(n, dtype=np.int64)
+        ref = _merge_rows_python(
+            list(zip(o.tolist(), texts, s, c, e)),
+            has_s, has_c, has_e, single_line,
+        )
+        t2, o2, n2 = _merge_rows_vectorized(
+            o, pd.Series(texts, dtype=object), s, c, e,
+            has_s, has_c, has_e, single_line,
+        )
+        got = sorted(
+            ((t, int(oo), int(m)) for t, oo, m in zip(t2, o2, n2)),
+            key=lambda r: (r[1], str(r[0])),
+        )
+        want = sorted(
+            ((t, int(oo), int(m)) for t, oo, m in ref),
+            key=lambda r: (r[1], str(r[0])),
+        )
+        assert got == want
