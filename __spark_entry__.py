@@ -1354,6 +1354,39 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_spl_let_multiparse(spark, sf_dir):
+    """SPL .let/$ref program (SplUnittest.cpp TestMultiParse shape):
+    bindings, $ref pipeline source, parse-regexp alias extraction,
+    Presto-expression translation (length), projection."""
+    from loongcollector_spark.functions.spl import run_spl
+
+    t = _transcripts(spark, sf_dir)
+    outs = run_spl(
+        t,
+        ".let src = * | where role = 'assistant' OR role = 'tool';\n"
+        ".let rex = $src | parse-regexp text, '^(\\w+)\t(\\w+)' as f1, f2;\n"
+        "$rex | where f1 != '' | extend fl = length(f1) "
+        "| project conv_id, turn_idx, f1, f2, fl;",
+    )
+    return outs[0]
+
+
+def q_spl_parse_csv_pipeline(spark, sf_dir):
+    """SPL parse-csv (custom delimiter) + where + project-rename +
+    project-away + extend over the delimiter-grammar rows."""
+    from loongcollector_spark.functions.spl import run_spl
+
+    t = _transcripts(spark, sf_dir).filter(F.col("text").rlike(PAT_DELIM))
+    return run_spl(
+        t,
+        "* | parse-csv -delim='|' text as ip, method, status "
+        "| where status = '200' "
+        "| project-rename client=ip "
+        "| project-away text, role, tool, ts "
+        "| extend m = lower(method)",
+    )[0]
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Value-anchors the REAL media decoders (decode_bmp / decode_wav /
     decode_png, multimodal.py) end-to-end: synthesize a valid
@@ -1416,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_signals": q_text_repetition,
         "decontaminate_5gram": q_decontaminate,
         "multimodal_decode_stats": q_multimodal_decode,
+        "spl_let_multiparse": q_spl_let_multiparse,
+        "spl_parse_csv_pipeline": q_spl_parse_csv_pipeline,
         # -- block 3: last driver row is r01 -------------------------------
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1946,6 +1981,25 @@ WITH w AS (
 SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
        h.doc_id IS NOT NULL AS contaminated
 FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
+
+    sql["spl_let_multiparse"] = _T + """
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '^(\\w+)\t(\\w+)', 1) AS f1,
+       regexp_extract(text, '^(\\w+)\t(\\w+)', 2) AS f2,
+       CAST(length(regexp_extract(text, '^(\\w+)\t(\\w+)', 1)) AS INT) AS fl
+FROM transcripts
+WHERE (role = 'assistant' OR role = 'tool')
+  AND regexp_extract(text, '^(\\w+)\t(\\w+)', 1) <> ''"""
+
+    sql["spl_parse_csv_pipeline"] = _T + f"""
+SELECT conv_id, turn_idx,
+       string_split(text, '|')[1] AS client,
+       string_split(text, '|')[2] AS method,
+       string_split(text, '|')[3] AS status,
+       lower(string_split(text, '|')[2]) AS m
+FROM transcripts
+WHERE regexp_matches(text, '{PAT_DELIM}')
+  AND string_split(text, '|')[3] = '200'"""
 
     # Closed-form twin of synth_doc_media → extract_features: the media
     # params are pure id arithmetic, so the decoded stats are too.

@@ -634,9 +634,11 @@ class SplProgram:
             spark.udf.register(f"hmac_{alg}", make(alg))
 
         # SpookyHash V2 (corpus spl.txt:77-78) — pure-Python transcription
-        # of the published public-domain algorithm (functions/spooky.py);
-        # deterministic, Presto VARBINARY shape. Offline container: values
-        # not cross-checked against a Presto instance.
+        # of the published public-domain algorithm (functions/spooky.py),
+        # cross-checked against an independent unrolled transcription
+        # (tests/spooky_ref.py) across all tail cases + the 192-byte
+        # short/long boundary. Offline container: no external KATs, so
+        # absolute values remain unanchored to a Presto instance.
         from loongcollector_spark.functions import spooky as spooky_mod
 
         def make_spooky(width):
