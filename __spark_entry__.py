@@ -1387,6 +1387,36 @@ def q_spl_parse_csv_pipeline(spark, sf_dir):
     )[0]
 
 
+def q_grok_apache_combined(spark, sf_dir):
+    """COMBINEDAPACHELOG through the full grok library (all 78 standard
+    patterns now in DEFAULT_PATTERNS, processor_grok_default_patterns.go
+    parity): apache lines are synthesized from transcript columns, so
+    the oracle recomputes every extracted field in closed form — a
+    value anchor for the compile + JVM extraction path."""
+    from loongcollector_spark.operators.grok import Grok
+
+    t = _transcripts(spark, sf_dir)
+    line = F.format_string(
+        '10.0.%d.7 - user%d [10/Oct/2000:13:55:36 -0700] '
+        '"GET /c/%s HTTP/1.0" %d %d "-" "agent/%d"',
+        F.pmod(F.col("turn_idx"), F.lit(200)),
+        F.pmod(F.col("turn_idx"), F.lit(50)),
+        F.col("conv_id"),
+        (F.pmod(F.col("turn_idx"), F.lit(3)) * 100 + 200),
+        F.octet_length("text"),
+        F.pmod(F.col("turn_idx"), F.lit(9)),
+    )
+    df = t.select("conv_id", "turn_idx", line.alias("apache_line"))
+    out = Grok(
+        Match=["%{COMBINEDAPACHELOG}"], SourceKey="apache_line",
+        FullMatch=True,
+    )(df)
+    return out.select(
+        "conv_id", "turn_idx", "clientip", "auth", "request",
+        "httpversion", "response", "bytes", "agent",
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Value-anchors the REAL media decoders (decode_bmp / decode_wav /
     decode_png, multimodal.py) end-to-end: synthesize a valid
@@ -1451,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": q_multimodal_decode,
         "spl_let_multiparse": q_spl_let_multiparse,
         "spl_parse_csv_pipeline": q_spl_parse_csv_pipeline,
+        "grok_apache_combined": q_grok_apache_combined,
         # -- block 3: last driver row is r01 -------------------------------
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -1981,6 +2012,19 @@ WITH w AS (
 SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INT) AS n_hits,
        h.doc_id IS NOT NULL AS contaminated
 FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
+
+    # Closed-form twin of the synthesized apache line — every grok field
+    # recomputed from the source columns (grok returns strings).
+    sql["grok_apache_combined"] = _T + """
+SELECT conv_id, turn_idx,
+       '10.0.' || (turn_idx % 200) || '.7' AS clientip,
+       'user' || (turn_idx % 50) AS auth,
+       '/c/' || conv_id AS request,
+       '1.0' AS httpversion,
+       CAST(200 + 100 * (turn_idx % 3) AS VARCHAR) AS response,
+       CAST(octet_length(CAST(text AS BLOB)) AS VARCHAR) AS bytes,
+       '"agent/' || (turn_idx % 9) || '"' AS agent
+FROM transcripts"""
 
     sql["spl_let_multiparse"] = _T + """
 SELECT conv_id, turn_idx,

@@ -552,3 +552,72 @@ class TestMultilineEngineParity:
             for t, o, n in _merge_rows_python(grp, True, False, True, True):
                 want.append((f"g{gi}", t, o, n))
         assert got == sorted(want)
+
+
+class TestGrokFullLibrary:
+    """The full 78-entry standard pattern set
+    (processor_grok_default_patterns.go parity, re-derived for Python
+    re): every entry compiles, composites extract correctly, and the
+    JVM and python engines agree on COMBINEDAPACHELOG."""
+
+    def test_all_patterns_compile_and_names_match_reference_set(self):
+        import re as _re
+
+        from loongcollector_spark.operators.grok import (
+            DEFAULT_PATTERNS,
+            denormalize_pattern,
+        )
+
+        assert len(DEFAULT_PATTERNS) == 78
+        for name in DEFAULT_PATTERNS:
+            rx, _ = denormalize_pattern("%{" + name + "}", DEFAULT_PATTERNS)
+            _re.compile(rx)
+
+    def test_syslogbase_nested_aliases(self):
+        import re as _re
+
+        from loongcollector_spark.operators.grok import (
+            DEFAULT_PATTERNS,
+            denormalize_pattern,
+        )
+
+        rx, aliases = denormalize_pattern(
+            "%{SYSLOGBASE} %{GREEDYDATA:msg}", DEFAULT_PATTERNS
+        )
+        m = _re.match(rx, "Oct 11 22:14:15 myhost sshd[1234]: Failed password")
+        got = dict(zip(aliases, m.groups()))
+        assert got["timestamp"] == "Oct 11 22:14:15"
+        assert got["logsource"] == "myhost"
+        assert got["program"] == "sshd" and got["pid"] == "1234"
+        assert got["msg"] == "Failed password"
+
+    def test_apache_combined_both_engines_agree(self, spark):
+        from loongcollector_spark.operators.grok import Grok
+
+        lines = [
+            '1.2.3.4 - alice [10/Oct/2000:13:55:36 -0700] '
+            '"GET /x?q=1 HTTP/1.1" 200 1234 "http://r/" "UA/1"',
+            '10.0.0.9 - - [01/Jan/2024:00:00:01 +0000] '
+            '"POST /api HTTP/1.0" 500 - "-" "curl/8"',
+            "not an apache line",
+            None,
+        ]
+        df = spark.createDataFrame([(i, l) for i, l in enumerate(lines)],
+                                   "idx int, content string")
+        cols = ["idx", "clientip", "auth", "verb", "request", "response",
+                "bytes", "referrer", "agent"]
+        outs = {}
+        for engine in ("jvm", "python"):
+            g = Grok(Match=["%{COMBINEDAPACHELOG}"], Engine=engine,
+                     IgnoreParseFailure=True)
+            outs[engine] = sorted(
+                tuple(r[c] for c in cols)
+                for r in g(df).select(*cols).collect()
+            )
+        assert outs["jvm"] == outs["python"]
+        byidx = {r[0]: r for r in outs["jvm"]}
+        assert byidx[0][1] == "1.2.3.4" and byidx[0][5] == "200"
+        # '-' bytes: the alternative matched, the bytes group did not
+        # participate → '' (both engines normalize to empty string)
+        assert byidx[1][3] == "POST" and byidx[1][6] == ""
+        assert byidx[2][1] is None and byidx[3][1] is None
