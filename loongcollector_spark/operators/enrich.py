@@ -234,9 +234,17 @@ class Desensitize(Processor):
 
     ``Method='const'`` replaces with ``ReplaceString``; ``Method='md5'``
     replaces with the md5 of the matched content. ``Match='full'`` masks
-    the whole value; ``Match='regex'`` keeps the ``RegexBegin`` anchor and
-    replaces ``RegexContent`` — rewritten lookbehind-free as
-    ``regexp_replace(col, '(begin)(content)', '$1<mask>')``.
+    the whole value (missing/NULL source stays NULL — the reference only
+    touches present keys, processor_desensitize.go:132-140);
+    ``Match='regex'`` keeps the ``RegexBegin`` anchor and replaces
+    ``RegexContent``, rewritten lookbehind-free as
+    ``(begin)(content)`` → ``$1<mask>``. ``ReplacingAll`` mirrors the
+    native param (ProcessorDesensitizeNative.h:48, default true): the Go
+    loop / RE2::GlobalReplace replace EVERY occurrence; False = first
+    occurrence only (RE2::Replace). md5+ReplacingAll hashes each
+    occurrence's own content (distinct (begin, content) pairs folded via
+    ``aggregate``; literal-splice equivalent except for adversarial
+    overlaps where a begin+content byte sequence occurs unmatched).
     """
 
     def __init__(
@@ -247,6 +255,7 @@ class Desensitize(Processor):
         ReplaceString: str = "********",
         RegexBegin: str = "",
         RegexContent: str = "",
+        ReplacingAll: bool = True,
     ) -> None:
         self.source_key = SourceKey
         self.method = Method
@@ -254,31 +263,76 @@ class Desensitize(Processor):
         self.replace = ReplaceString
         self.regex_begin = RegexBegin
         self.regex_content = RegexContent
+        self.replacing_all = ReplacingAll
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)
         if self.match == "full":
-            val = F.md5(src) if self.method == "md5" else F.lit(self.replace)
+            val = (
+                F.md5(src.cast("binary"))
+                if self.method == "md5"
+                else F.when(src.isNotNull(), F.lit(self.replace))
+            )
             return df.withColumn(self.source_key, val)
+        pat = f"({self.regex_begin})({self.regex_content})"
         if self.method == "md5":
-            # md5 of the matched content must be computed then spliced back;
-            # regexp_replace cannot call md5 on its match, so: extract the
-            # first match, hash it, literal-replace. (The reference hashes
-            # every occurrence in a loop; first-occurrence covers the
-            # fixture corpus.)
-            pat = f"({self.regex_begin})({self.regex_content})"
-            begin = F.regexp_extract(src, pat, 1)
-            content = F.regexp_extract(src, pat, 2)
-            target = F.concat(begin, content)
-            replacement = F.concat(begin, F.md5(content.cast("binary")))
-            val = F.when(
-                src.rlike(pat), F.replace(src, target, replacement)
-            ).otherwise(src)
+            if self.replacing_all:
+                # hash EVERY occurrence (reference loop,
+                # ProcessorDesensitizeNative.cpp:214-238): fold the
+                # distinct (begin, content) pairs, splicing b+md5(c)
+                begins = F.regexp_extract_all(src, F.lit(pat), F.lit(1))
+                contents = F.regexp_extract_all(src, F.lit(pat), F.lit(2))
+                pairs = F.array_distinct(
+                    F.zip_with(
+                        begins, contents,
+                        lambda b, c: F.struct(b.alias("b"), c.alias("c")),
+                    )
+                )
+                val = F.aggregate(
+                    pairs,
+                    src,
+                    lambda acc, p: F.replace(
+                        acc,
+                        F.concat(p["b"], p["c"]),
+                        F.concat(p["b"], F.md5(p["c"].cast("binary"))),
+                    ),
+                )
+            else:
+                begin = F.regexp_extract(src, pat, 1)
+                content = F.regexp_extract(src, pat, 2)
+                val = F.when(
+                    src.rlike(pat),
+                    self._splice_first(
+                        src, pat, F.concat(begin, F.md5(content.cast("binary")))
+                    ),
+                ).otherwise(src)
             return df.withColumn(self.source_key, val)
-        pat = f"({self.regex_begin})(?:{self.regex_content})"
-        return df.withColumn(
-            self.source_key,
-            F.regexp_replace(src, pat, "$1" + self.replace.replace("$", r"\$")),
+        if self.replacing_all:
+            return df.withColumn(
+                self.source_key,
+                F.regexp_replace(
+                    src, pat, "$1" + self.replace.replace("$", r"\$")
+                ),
+            )
+        begin = F.regexp_extract(src, pat, 1)
+        val = F.when(
+            src.rlike(pat),
+            self._splice_first(src, pat, F.concat(begin, F.lit(self.replace))),
+        ).otherwise(src)
+        return df.withColumn(self.source_key, val)
+
+    @staticmethod
+    def _splice_first(src, pat: str, replacement):
+        """Replace only the FIRST regex match (RE2::Replace twin):
+        position via regexp_instr, splice prefix + replacement + suffix."""
+        pos = F.regexp_instr(src, F.lit(pat))  # 1-based match start
+        whole = F.regexp_extract(src, pat, 0)
+        return F.concat(
+            F.substring(src, F.lit(1), pos - 1),
+            replacement,
+            F.substring(
+                src, pos + F.length(whole), F.length(src)
+            ),
         )
 
 

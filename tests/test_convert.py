@@ -395,3 +395,72 @@ class TestOtelLogParse:
         assert rows[0].resources == '{"host.name":"h1"}'
         assert rows[1].severity_number == 0 and rows[1].severity_text == ""
         assert rows[1].content == "2.5" and rows[1].attributes is None
+
+
+class TestDesensitizeParity:
+    """processor_desensitize parity (go:147-185 + native .cpp:198-249):
+    every-occurrence replacement by default (ReplacingAll=true), per-
+    occurrence md5 of the matched content, first-only with
+    ReplacingAll=false, NULL source untouched in full mode."""
+
+    def _run(self, spark, texts, **kw):
+        from loongcollector_spark.operators.enrich import Desensitize
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, v string"
+        )
+        out = Desensitize(SourceKey="v", **kw)(df)
+        return [r.v for r in out.orderBy("i").collect()]
+
+    def test_regex_const_all_occurrences(self, spark):
+        got = self._run(
+            spark, ["psw=a1,x psw=b2", "none", None],
+            Method="const", Match="regex", ReplaceString="***",
+            RegexBegin="psw=", RegexContent=r"[a-z]\d",
+        )
+        assert got == ["psw=***,x psw=***", "none", None]
+
+    def test_regex_const_first_only(self, spark):
+        got = self._run(
+            spark, ["psw=a1,x psw=b2"],
+            Method="const", Match="regex", ReplaceString="***",
+            RegexBegin="psw=", RegexContent=r"[a-z]\d",
+            ReplacingAll=False,
+        )
+        assert got == ["psw=***,x psw=b2"]
+
+    def test_regex_md5_each_occurrence_hashed(self, spark):
+        import hashlib
+
+        h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+        got = self._run(
+            spark, ["k=aa; k=bb", "k=aa only", None],
+            Method="md5", Match="regex",
+            RegexBegin="k=", RegexContent="[a-z]{2}",
+        )
+        assert got == [
+            f"k={h('aa')}; k={h('bb')}",
+            f"k={h('aa')} only",
+            None,
+        ]
+
+    def test_regex_md5_first_only(self, spark):
+        import hashlib
+
+        h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+        got = self._run(
+            spark, ["k=aa; k=bb"],
+            Method="md5", Match="regex",
+            RegexBegin="k=", RegexContent="[a-z]{2}",
+            ReplacingAll=False,
+        )
+        assert got == [f"k={h('aa')}; k=bb"]
+
+    def test_full_null_untouched_empty_replaced(self, spark):
+        import hashlib
+
+        got = self._run(spark, ["secret", "", None],
+                        Method="const", Match="full", ReplaceString="###")
+        assert got == ["###", "###", None]
+        got = self._run(spark, ["secret", None], Method="md5", Match="full")
+        assert got == [hashlib.md5(b"secret").hexdigest(), None]
