@@ -195,10 +195,72 @@ class Appender(Processor):
         )
 
 
+def _go_unquote_value(s: str) -> str:
+    """Twin of the reference's unquote branch
+    (processor_string_replace.go:116-121): a fully ``"``-quoted value
+    goes through ``strconv.Unquote`` verbatim (quotes stripped, escapes
+    decoded, bare interior quotes / raw newlines are errors); any other
+    value is wrapped with its quotes pre-escaped as ``\\x22`` — escapes
+    decode, literal quotes survive. Raises ValueError exactly where Go
+    errors (caller keeps the original value, go:124-128). One divergence:
+    ``\\xhh``/``\\ooo`` ≥ 0x80 decode to the codepoint, not a raw byte —
+    Spark strings cannot hold invalid UTF-8."""
+    quoted = len(s) >= 2 and s.startswith('"') and s.endswith('"')
+    body = s[1:-1] if quoted else s.replace('"', "\\x22")
+    simple = {"a": "\a", "b": "\b", "f": "\f", "n": "\n", "r": "\r",
+              "t": "\t", "v": "\v", "\\": "\\", '"': '"'}
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\n":
+            raise ValueError("raw newline in quoted string")
+        if c == '"':
+            raise ValueError("unescaped quote")
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("trailing backslash")
+        e = body[i + 1]
+        i += 2
+        if e in simple:
+            out.append(simple[e])
+        elif e == "x":
+            out.append(chr(int(body[i : i + 2], 16)))
+            i += 2
+        elif e == "u":
+            v = int(body[i : i + 4], 16)
+            if 0xD800 <= v <= 0xDFFF:
+                raise ValueError("surrogate")
+            out.append(chr(v))
+            i += 4
+        elif e == "U":
+            v = int(body[i : i + 8], 16)
+            if v > 0x10FFFF or 0xD800 <= v <= 0xDFFF:
+                raise ValueError("bad rune")
+            out.append(chr(v))
+            i += 8
+        elif e in "01234567":
+            v = int(body[i - 1 : i + 2], 8)
+            if v > 255 or i + 2 > n:
+                raise ValueError("bad octal")
+            out.append(chr(v))
+            i += 2
+        else:
+            raise ValueError(f"invalid escape \\{e}")
+    return "".join(out)
+
+
 @register("processor_string_replace")
 class StringReplace(Processor):
     """Regex / const substring / unquote replacement
-    (plugins/processor/stringreplace/processor_string_replace.go:41-54)."""
+    (plugins/processor/stringreplace/processor_string_replace.go:41-54,
+    :100-138). regex/const stay JVM-side (all occurrences, go:111-114);
+    unquote decodes Go escape sequences via an Arrow-batched pandas UDF
+    (``strconv.Unquote`` twin — a regexp can't express it), keeping the
+    original value where Go errors. ``DestKey`` appends, else in-place."""
 
     def __init__(
         self,
@@ -221,7 +283,21 @@ class StringReplace(Processor):
         elif self.method == "const":
             val = F.replace(src, F.lit(self.match), F.lit(self.replace))
         elif self.method == "unquote":
-            val = F.regexp_replace(src, r'^"(.*)"$', "$1")
+            @F.pandas_udf("string")
+            def unq(col):  # noqa: ANN001
+                import pandas as pd
+
+                def one(v):
+                    if v is None:
+                        return None
+                    try:
+                        return _go_unquote_value(v)
+                    except ValueError:
+                        return v  # Go keeps the original on error
+
+                return pd.Series([one(v) for v in col])
+
+            val = unq(src)
         else:
             raise ValueError(f"unknown Method {self.method!r}")
         return df.withColumn(self.dest_key, val)

@@ -464,3 +464,52 @@ class TestDesensitizeParity:
         assert got == ["###", "###", None]
         got = self._run(spark, ["secret", None], Method="md5", Match="full")
         assert got == [hashlib.md5(b"secret").hexdigest(), None]
+
+
+class TestStringReplaceUnquote:
+    """unquote = strconv.Unquote twin (processor_string_replace.go:116-128):
+    quoted values strip + decode; unquoted values decode escapes with
+    literal quotes preserved; Go error cases keep the original."""
+
+    def _run(self, spark, texts):
+        from loongcollector_spark.operators.enrich import StringReplace
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, v string"
+        )
+        out = StringReplace(SourceKey="v", Method="unquote")(df)
+        return [r.v for r in out.orderBy("i").collect()]
+
+    def test_unquote_matrix(self, spark):
+        got = self._run(spark, [
+            '"hello"',            # quoted → stripped
+            r'"a\tb\n"',          # quoted + escapes decoded
+            r'say "hi"\t!',       # unquoted: escapes decode, quotes stay
+            r'"bad \q escape"',   # invalid escape → original kept
+            '"a"b"',              # bare interior quote → original kept
+            r'é\x41',        # unquoted escape decode
+            "plain",              # nothing to do
+            None,
+        ])
+        assert got == [
+            "hello",
+            "a\tb\n",
+            'say "hi"\t!',
+            r'"bad \q escape"',
+            '"a"b"',
+            "éA",
+            "plain",
+            None,
+        ]
+
+    def test_pure_decoder_matches_go_table(self):
+        from loongcollector_spark.operators.enrich import _go_unquote_value
+
+        assert _go_unquote_value(r'"\x41\102C"') == "ABC"
+        assert _go_unquote_value(r'"\U0001F600"') == "\U0001F600"
+        for bad in ['"a\nb"', r'"\8"', '"tail\\"', r'"\ud800"']:
+            try:
+                _go_unquote_value(bad)
+                raise AssertionError(f"{bad!r} should error")
+            except ValueError:
+                pass
