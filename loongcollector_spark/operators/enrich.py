@@ -168,31 +168,70 @@ class Rename(Processor):
 
 @register("processor_appender")
 class Appender(Processor):
-    """Append ``Value`` to an existing key, expanding ``{{env.X}}``
-    templates driver-side (plugins/processor/appender/processor_appender.go:31-42)."""
+    """Append ``Value`` to ``Key``, reference semantics
+    (plugins/processor/appender/processor_appender.go:76-140):
 
-    def __init__(self, Key: str, Value: str, Delimiter: str = ""):
+    * ``{{var}}`` templates expand driver-side with ParseVariableValue
+      rules — ``{{$NAME}}`` = env var, ``{{__ip__}}`` = local address,
+      ``{{__host__}}`` = hostname, anything else stays as-is (go:122-140;
+      ``{{env.X}}``/``{{meta.hostname}}`` kept as engine aliases)
+    * a missing / NULL ``Key`` is created empty then appended (go:76-84)
+    * ``SortLabels`` re-sorts the resulting ``|``-joined ``k#$#v`` label
+      string by key (MetricLabels.String twin, go:93-104)
+    * ``Delimiter`` is an engine extension (the reference appends
+      directly: ``c.Value += r``); default '' matches the reference.
+    """
+
+    def __init__(self, Key: str, Value: str, Delimiter: str = "",
+                 SortLabels: bool = False):
         import os
         import re as _re
         import socket
 
         def expand(m):
-            kind, name = m.group(1), m.group(2)
-            if kind == "env":
-                return os.environ.get(name, "")
-            if kind == "meta" and name == "hostname":
+            inner = m.group(1)
+            if inner.startswith("$"):
+                return os.environ.get(inner[1:], "")
+            if inner == "__ip__":
+                try:
+                    return socket.gethostbyname(socket.gethostname())
+                except OSError:
+                    return ""
+            if inner in ("__host__", "meta.hostname"):
                 return socket.gethostname()
-            return ""
+            if inner.startswith("env."):
+                return os.environ.get(inner[4:], "")
+            return inner  # unknown variables pass through (go:140)
 
         self.key = Key
-        self.value = _re.sub(r"\{\{(env|meta)\.([^}]+)\}\}", expand, Value)
+        self.value = _re.sub(r"\{\{([^}]+)\}\}", expand, Value)
         self.delim = Delimiter
+        self.sort_labels = SortLabels
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            self.key,
-            F.concat_ws(self.delim, F.col(self.key), F.lit(self.value)),
-        )
+        base = F.col(self.key) if self.key in df.columns else F.lit(None)
+        appended = F.concat_ws(self.delim, base, F.lit(self.value))
+        if self.sort_labels:
+            from loongcollector_spark.operators.convert import _labels_string
+
+            # SplitN(label, '#$#', 2): entries without the separator are
+            # dropped; empty values survive (go:95-100)
+            entries = F.transform(
+                F.filter(
+                    F.split(appended, r"\|"),
+                    lambda s: F.instr(s, "#$#") > 0,
+                ),
+                lambda s: F.struct(
+                    F.substring(s, F.lit(1), F.instr(s, "#$#") - 1).alias("k"),
+                    F.substring(
+                        s, F.instr(s, "#$#") + 3, F.length(s)
+                    ).alias("v"),
+                ),
+            )
+            appended = F.when(
+                F.size(entries) > 0, _labels_string(entries)
+            ).otherwise(appended)
+        return df.withColumn(self.key, appended)
 
 
 def _go_unquote_value(s: str) -> str:

@@ -513,3 +513,33 @@ class TestStringReplaceUnquote:
                 raise AssertionError(f"{bad!r} should error")
             except ValueError:
                 pass
+
+
+class TestAppenderParity:
+    """processor_appender.go:76-140: {{$ENV}}/{{__host__}} templates,
+    unknown vars pass through, missing key created, SortLabels re-sort."""
+
+    def test_template_and_missing_key(self, spark, monkeypatch):
+        import socket
+
+        from loongcollector_spark.operators.enrich import Appender
+
+        monkeypatch.setenv("LC_TEST_SUFFIX", "fromenv")
+        df = spark.createDataFrame([("x",)], "other string")
+        out = Appender(Key="lbl", Value="a-{{$LC_TEST_SUFFIX}}-{{nope}}")(df)
+        assert out.collect()[0]["lbl"] == "a-fromenv-nope"
+        out2 = Appender(Key="lbl", Value="|host={{__host__}}")(
+            spark.createDataFrame([("v",)], "lbl string")
+        )
+        assert out2.collect()[0]["lbl"] == f"v|host={socket.gethostname()}"
+
+    def test_sort_labels(self, spark):
+        from loongcollector_spark.operators.enrich import Appender
+
+        df = spark.createDataFrame([("z#$#1|a#$#2",)], "lbl string")
+        out = Appender(Key="lbl", Value="|m#$#3", SortLabels=True)(df)
+        assert out.collect()[0]["lbl"] == "a#$#2|m#$#3|z#$#1"
+        # entries without the separator are dropped; empty value kept
+        df2 = spark.createDataFrame([("b#$#|junk",)], "lbl string")
+        out2 = Appender(Key="lbl", Value="|a#$#1", SortLabels=True)(df2)
+        assert out2.collect()[0]["lbl"] == "a#$#1|b#$#"
