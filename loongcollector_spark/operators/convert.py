@@ -285,21 +285,25 @@ class Strptime(Processor):
 
 @register("processor_droplastkey")
 class DropLastKey(Processor):
-    """Drop ``DropKey`` iff all ``Include`` keys are present (non-null)
-    (processor_drop_last_key.go:26-34)."""
+    """Drop ``DropKey`` iff ANY ``Include`` key is present — the
+    reference sets dropFlag on the FIRST Include hit
+    (processor_drop_last_key.go:63-73), i.e. OR, not AND."""
 
     def __init__(self, DropKey: str, Include: list[str]):
+        if not Include:
+            raise ValueError("Invalid config, Include is empty")
         self.drop_key = DropKey
         self.include = Include
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.drop_key not in df.columns:
             return df
-        if not all(k in df.columns for k in self.include):
+        present = [k for k in self.include if k in df.columns]
+        if not present:
             return df
-        cond = F.lit(True)
-        for k in self.include:
-            cond = cond & F.col(k).isNotNull()
+        cond = F.lit(False)
+        for k in present:
+            cond = cond | F.col(k).isNotNull()
         return df.withColumn(
             self.drop_key, F.when(~cond, F.col(self.drop_key))
         )

@@ -510,7 +510,10 @@ class FieldsWithCondition(Processor):
 @register("processor_packjson")
 class PackJson(Processor):
     """Pack multiple keys into one JSON object field
-    (plugins/processor/packjson/processor_packjson.go)."""
+    (plugins/processor/packjson/processor_packjson.go:65-92). Keys are
+    emitted in SORTED order — Go's ``json.Marshal`` of a map sorts keys —
+    and NULL (missing) sources are omitted from the object, like keys
+    absent from packMap."""
 
     def __init__(self, SourceKeys: list[str], DestKey: str, KeepSource: bool = True,
                  AlarmIfIncomplete: bool = True):
@@ -521,7 +524,7 @@ class PackJson(Processor):
     def __call__(self, df: DataFrame) -> DataFrame:
         df = df.withColumn(
             self.dest_key,
-            F.to_json(F.struct(*[F.col(k) for k in self.source_keys])),
+            F.to_json(F.struct(*[F.col(k) for k in sorted(self.source_keys)])),
         )
         if not self.keep_source:
             df = df.drop(*self.source_keys)

@@ -104,18 +104,21 @@ class TestTimes:
 
 
 class TestDropLastKey:
-    def test_drops_only_when_all_present(self, spark):
+    def test_drops_when_any_include_present(self, spark):
+        # reference sets dropFlag on the FIRST Include hit (go:63-73):
+        # OR semantics — k1 missing but k2 present still drops
         df = spark.createDataFrame(
-            [("raw1", "a", "b"), ("raw2", None, "b")],
+            [("raw1", "a", "b"), ("raw2", None, "b"), ("raw3", None, None)],
             "raw string, k1 string, k2 string",
         )
         out = rows_as_dicts(
             DropLastKey(DropKey="raw", Include=["k1", "k2"])(df),
-            order_by=("k2",),
+            order_by=("raw",),
         )
-        vals = {r["k1"]: r["raw"] for r in out}
-        assert vals["a"] is None  # all include keys present → dropped
-        assert vals[None] == "raw2"  # k1 missing → kept
+        vals = {(r["k1"], r["k2"]): r["raw"] for r in out}
+        assert vals[("a", "b")] is None  # k1 present → dropped
+        assert vals[(None, "b")] is None  # k2 present → dropped
+        assert vals[(None, None)] == "raw3"  # no include key → kept
 
 
 class TestLogToMetric:
