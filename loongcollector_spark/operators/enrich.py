@@ -533,19 +533,10 @@ class PackJson(Processor):
 
 @register("processor_base64_encoding")
 class Base64Encode(Processor):
-    """(plugins/processor/base64/encoding)"""
-
-    def __init__(self, SourceKey: str, NewKey: str | None = None):
-        self.source_key = SourceKey
-        self.dest = NewKey or SourceKey
-
-    def __call__(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(self.dest, F.base64(F.col(self.source_key).cast("binary")))
-
-
-@register("processor_base64_decoding")
-class Base64Decode(Processor):
-    """(plugins/processor/base64/decoding)"""
+    """(plugins/processor/base64/encoding). Go's
+    ``base64.StdEncoding.EncodeToString`` emits ONE unwrapped line;
+    Spark's ``base64`` MIME-wraps at 76 chars — strip the ``\\r\\n``
+    continuations for byte-identical output."""
 
     def __init__(self, SourceKey: str, NewKey: str | None = None):
         self.source_key = SourceKey
@@ -553,7 +544,35 @@ class Base64Decode(Processor):
 
     def __call__(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
-            self.dest, F.unbase64(F.col(self.source_key)).cast("string")
+            self.dest,
+            F.regexp_replace(
+                F.base64(F.col(self.source_key).cast("binary")), "\r\n", ""
+            ),
+        )
+
+
+@register("processor_base64_decoding")
+class Base64Decode(Processor):
+    """(plugins/processor/base64/decoding/processor_base64_decoding.go:
+    44-68). Go's ``base64.StdEncoding`` is STRICT — invalid charset or
+    padding is an error and no decoded key is emitted (→ NULL here).
+    Spark's ``unbase64`` is lenient (and ANSI-throwing on garbage), so
+    the decode is gated on a standard-alphabet validity regex."""
+
+    _VALID = (
+        r"^(?:[A-Za-z0-9+/]{4})*"
+        r"(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+    )
+
+    def __init__(self, SourceKey: str, NewKey: str | None = None):
+        self.source_key = SourceKey
+        self.dest = NewKey or SourceKey
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        src = F.col(self.source_key)
+        return df.withColumn(
+            self.dest,
+            F.when(src.rlike(self._VALID), F.unbase64(src).cast("string")),
         )
 
 

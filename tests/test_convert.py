@@ -546,3 +546,21 @@ class TestAppenderParity:
         df2 = spark.createDataFrame([("b#$#|junk",)], "lbl string")
         out2 = Appender(Key="lbl", Value="|a#$#1", SortLabels=True)(df2)
         assert out2.collect()[0]["lbl"] == "a#$#1|b#$#"
+
+
+class TestBase64DecodeStrict:
+    def test_invalid_base64_yields_null(self, spark):
+        # Go base64.StdEncoding errors on bad charset/padding →
+        # no decoded key (processor_base64_decoding.go:50-58)
+        import base64
+
+        from loongcollector_spark.operators.enrich import Base64Decode
+
+        ok = base64.b64encode(b"hello").decode()
+        df = spark.createDataFrame(
+            [(0, ok), (1, "not!!base64"), (2, "QUJD="), (3, ""), (4, None)],
+            "i int, v string",
+        )
+        out = Base64Decode(SourceKey="v", NewKey="d")(df)
+        got = [r.d for r in out.orderBy("i").collect()]
+        assert got == ["hello", None, None, "", None]
