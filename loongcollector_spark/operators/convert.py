@@ -230,7 +230,20 @@ _GO_TIME_MAP = [
 @register("processor_gotime")
 class GoTime(Processor):
     """Parse a field with a Go reference-time layout and reformat
-    (processor_gotime.go:35-42). Layout translated driver-side."""
+    (processor_gotime.go:29-32, :84-103, :119-168). Layout translated
+    driver-side. Fixed patterns ``seconds`` / ``milliseconds`` /
+    ``microseconds`` / ``nanoseconds`` parse integer epochs (go:84-103).
+    ``SourceLocation`` / ``DestLocation`` are UTC hour offsets (int, the
+    reference's FixedZone model) applied as wall-time shifts — values are
+    NTZ wall-times here, so parse at source offset, format at dest.
+    ``KeepSource=False`` drops the source column (go:149-151)."""
+
+    _FIXED = {
+        "seconds": 1,
+        "milliseconds": 1_000,
+        "microseconds": 1_000_000,
+        "nanoseconds": 1_000_000_000,
+    }
 
     def __init__(
         self,
@@ -238,13 +251,19 @@ class GoTime(Processor):
         SourceFormat: str,
         DestKey: str,
         DestFormat: str,
-        SourceLocation: str = "UTC",
+        SourceLocation: int | str = 0,
+        DestLocation: int | str = 0,
+        KeepSource: bool = True,
     ) -> None:
         self.source_key = SourceKey
+        self.fixed_div = self._FIXED.get(SourceFormat)
         self.src_fmt = self._go_to_spark(SourceFormat)
         self.dest_key = DestKey
         self.dest_fmt = self._go_to_spark(DestFormat)
-        self.tz = SourceLocation
+        # legacy string form ('UTC') means offset 0
+        self.src_off = SourceLocation if isinstance(SourceLocation, int) else 0
+        self.dest_off = DestLocation if isinstance(DestLocation, int) else 0
+        self.keep_source = KeepSource
 
     @staticmethod
     def _go_to_spark(layout: str) -> str:
@@ -254,8 +273,22 @@ class GoTime(Processor):
         return out
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        ts = F.try_to_timestamp(F.col(self.source_key), F.lit(self.src_fmt))
-        return df.withColumn(self.dest_key, F.date_format(ts, self.dest_fmt))
+        src = F.col(self.source_key)
+        if self.fixed_div is not None:
+            # integer epoch: timezone-independent instant; render at the
+            # dest offset (epoch → UTC wall + dest hours)
+            epoch = src.try_cast("long")
+            ts = F.timestamp_seconds(
+                (epoch / self.fixed_div).cast("double")
+            ) + F.expr(f"INTERVAL {self.dest_off} HOURS")
+        else:
+            ts = F.try_to_timestamp(src, F.lit(self.src_fmt)) + F.expr(
+                f"INTERVAL {self.dest_off - self.src_off} HOURS"
+            )
+        out = df.withColumn(self.dest_key, F.date_format(ts, self.dest_fmt))
+        if not self.keep_source and self.source_key != self.dest_key:
+            out = out.drop(self.source_key)
+        return out
 
 
 @register("processor_strptime")

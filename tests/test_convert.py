@@ -564,3 +564,34 @@ class TestBase64DecodeStrict:
         out = Base64Decode(SourceKey="v", NewKey="d")(df)
         got = [r.d for r in out.orderBy("i").collect()]
         assert got == ["hello", None, None, "", None]
+
+
+class TestGoTimeParity:
+    """processor_gotime.go:84-103 fixed epoch patterns, :74-79 int-hour
+    FixedZone locations, :149-151 KeepSource."""
+
+    def test_fixed_epoch_patterns(self, spark):
+        df = spark.createDataFrame(
+            [("1704067200", "1704067200123", "1704067200123456")],
+            "s string, ms string, us string",
+        )
+        out = GoTime(SourceKey="s", SourceFormat="seconds",
+                     DestKey="o1", DestFormat="2006-01-02 15:04:05")(df)
+        out = GoTime(SourceKey="ms", SourceFormat="milliseconds",
+                     DestKey="o2", DestFormat="15:04:05")(out)
+        out = GoTime(SourceKey="us", SourceFormat="microseconds",
+                     DestKey="o3", DestFormat="15:04:05")(out)
+        r = out.collect()[0]
+        assert r.o1 == "2024-01-01 00:00:00"
+        assert r.o2 == "00:00:00" and r.o3 == "00:00:00"
+
+    def test_locations_and_keepsource(self, spark):
+        df = spark.createDataFrame([("2024-01-01 12:00:00",)], "t string")
+        out = GoTime(
+            SourceKey="t", SourceFormat="2006-01-02 15:04:05",
+            DestKey="beijing", DestFormat="2006-01-02 15:04:05",
+            SourceLocation=0, DestLocation=8, KeepSource=False,
+        )(df)
+        rows = out.collect()
+        assert rows[0].beijing == "2024-01-01 20:00:00"
+        assert "t" not in out.columns
