@@ -21,59 +21,200 @@ from pyspark.sql import functions as F
 from loongcollector_spark.operators.base import Processor, register
 
 
+def _split_char_quoted(value: str, sep: str, quote: str, keys: list[str],
+                       preserve: bool):
+    """Transcription of the QuoteFlag branch of splitValue
+    (split_char.go:81-146): a quote is only honored at field start, a
+    doubled quote escapes, and a closing quote must sit at EOL or before
+    a separator — anything else is a parse failure. Returns
+    (fields dict, preserve remainder | None, ok)."""
+    out: dict[str, str] = {}
+    key_idx, last, i, n = 0, 0, 0, len(value)
+    while key_idx < len(keys) and i < n:
+        c = value[i]
+        if c == sep:
+            out[keys[key_idx]] = ""
+            last = i + 1
+            i += 1
+            key_idx += 1
+        elif c == quote:
+            i += 1
+            buf: list[str] = []
+            closed = False
+            while i < n:
+                if value[i] == quote:
+                    if i == n - 1 or value[i + 1] == sep:
+                        i += 1
+                        out[keys[key_idx]] = "".join(buf)
+                        last = i + 1
+                        i += 1
+                        closed = True
+                        break
+                    if value[i + 1] == quote:
+                        i += 1
+                        buf.append(value[i])
+                    else:
+                        return out, None, False  # no continue quote
+                else:
+                    buf.append(value[i])
+                i += 1
+            if not closed and i >= n:
+                # unterminated quote: Go's inner loop just ends; the
+                # trailing-remainder rule below cannot apply (last
+                # unchanged, key not emitted) — treat like Go: fall out
+                break
+            key_idx += 1
+        else:
+            nxt = value.find(sep, i)
+            if nxt < 0:
+                break
+            out[keys[key_idx]] = value[i:nxt]
+            last = nxt + 1
+            i = last
+            key_idx += 1
+    rest = None
+    if key_idx >= len(keys) and last < n:
+        if preserve:
+            rest = value[last:]
+            last = n
+    if key_idx < len(keys) and last < n:
+        out[keys[key_idx]] = value[last:]
+        key_idx += 1
+    return out, rest, True
+
+
 @register("processor_split_char")
 class SplitChar(Processor):
-    """Single-char split into SplitKeys
-    (plugins/processor/split/char/split_char.go:35-46). ``PreserveOthers``
-    keeps the unsplit remainder under ``_split_preserve_``."""
+    """Single-char split into SplitKeys, reference semantics
+    (plugins/processor/split/char/split_char.go:70-191):
+
+    * fields pairwise; interior empties are ``''`` but a TRAILING empty
+      remainder leaves its key unset → NULL (go:149-152)
+    * ``PreserveOthers`` (reference default true) keeps the raw unsplit
+      remainder under ``_split_preserve_`` once keys are exhausted — not
+      emitted when the final separator ends the value (go:134-146)
+    * ``QuoteFlag``+``Quote``: the go:81-130 quote FSM (quote at field
+      start, doubled-quote escape, close only at sep/EOL; malformed →
+      parse failure) as an Arrow-batched pandas UDF — the quote path is
+      inherently sequential, the plain path stays JVM-side
+    * source column NULLed on success unless ``KeepSource``; kept on
+      quote-parse failure when ``KeepSourceIfParseError`` (go:179-181)
+    """
 
     def __init__(
         self,
         SourceKey: str,
-        SplitSep: str,
-        SplitKeys: list[str],
-        PreserveOthers: bool = False,
+        SplitSep: str = "\n",
+        SplitKeys: list[str] | None = None,
+        PreserveOthers: bool = True,
+        QuoteFlag: bool = False,
+        Quote: str = "",
+        KeepSource: bool = False,
+        KeepSourceIfParseError: bool = True,
     ) -> None:
         if len(SplitSep) != 1:
             raise ValueError("SplitSep must be a single char")
+        if QuoteFlag and len(Quote) != 1:
+            raise ValueError("Quote must be a single char when QuoteFlag set")
         self.source_key = SourceKey
         self.sep = SplitSep
-        self.keys = SplitKeys
+        self.keys = list(SplitKeys or [])
         self.preserve_others = PreserveOthers
+        self.quote = Quote if QuoteFlag else ""
+        self.keep_source = KeepSource
+        self.keep_source_if_err = KeepSourceIfParseError
+
+    def _finish_source(self, df: DataFrame, ok) -> DataFrame:
+        if self.keep_source:
+            return df
+        src = F.col(self.source_key)
+        kept = F.when(~ok, src) if self.keep_source_if_err else F.lit(None)
+        return df.withColumn(self.source_key, kept.cast("string"))
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)
+        nk = len(self.keys)
+        if self.quote:
+            return self._call_quoted(df)
+        if nk == 0:
+            if self.preserve_others:
+                df = df.withColumn("_split_preserve_", src)
+            return self._finish_source(df, F.lit(True))
         arr = F.split(src, re.escape(self.sep), -1)
+        n = F.size(arr)
         for i, k in enumerate(self.keys):
-            df = df.withColumn(k, F.try_element_at(arr, F.lit(i + 1)))
+            fld = F.try_element_at(arr, F.lit(i + 1))
+            # trailing empty remainder leaves the key unset (go:149-152)
+            df = df.withColumn(
+                k, F.when((F.lit(i + 1) < n) | (fld != ""), fld)
+            )
         if self.preserve_others:
-            nk = len(self.keys)
+            rest = F.array_join(F.slice(arr, nk + 1, 1_000_000), self.sep)
             df = df.withColumn(
                 "_split_preserve_",
-                F.when(
-                    F.size(arr) > nk,
-                    F.array_join(F.slice(arr, nk + 1, 1_000_000), self.sep),
-                ),
+                F.when((n > nk) & (rest != ""), rest),
             )
-        return df
+        return self._finish_source(df, F.lit(True))
+
+    def _call_quoted(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        keys, sep, quote = self.keys, self.sep, self.quote
+        preserve = self.preserve_others
+        fields = [T.StructField(k, T.StringType()) for k in keys]
+        fields.append(T.StructField("_split_preserve_", T.StringType()))
+        fields.append(T.StructField("__ok__", T.BooleanType()))
+        schema = T.StructType(fields)
+
+        @F.pandas_udf(schema)
+        def split_q(col):  # noqa: ANN001
+            import pandas as pd
+
+            rows = []
+            for v in col:
+                if v is None:
+                    rows.append({f.name: None for f in fields})
+                    continue
+                out, rest, ok = _split_char_quoted(v, sep, quote, keys, preserve)
+                rec = {k: out.get(k) for k in keys}
+                rec["_split_preserve_"] = rest
+                rec["__ok__"] = ok
+                rows.append(rec)
+            return pd.DataFrame(rows, columns=[f.name for f in fields])
+
+        df = df.withColumn("__sq__", split_q(F.col(self.source_key)))
+        for k in keys:
+            df = df.withColumn(k, F.col("__sq__")[k])
+        if preserve:
+            df = df.withColumn(
+                "_split_preserve_", F.col("__sq__")["_split_preserve_"]
+            )
+        ok = F.coalesce(F.col("__sq__")["__ok__"], F.lit(False))
+        return self._finish_source(df, ok).drop("__sq__")
 
 
 @register("processor_split_string")
 class SplitString(SplitChar):
     """Multi-char delimiter variant
-    (plugins/processor/split/string/split_string.go:34-46)."""
+    (plugins/processor/split/string/split_string.go:34-46; plain split
+    only — the string variant has no quote mode)."""
 
     def __init__(
         self,
         SourceKey: str,
-        SplitSep: str,
-        SplitKeys: list[str],
-        PreserveOthers: bool = False,
+        SplitSep: str = "\n",
+        SplitKeys: list[str] | None = None,
+        PreserveOthers: bool = True,
+        KeepSource: bool = False,
+        KeepSourceIfParseError: bool = True,
     ) -> None:
         self.source_key = SourceKey
         self.sep = SplitSep
-        self.keys = SplitKeys
+        self.keys = list(SplitKeys or [])
         self.preserve_others = PreserveOthers
+        self.quote = ""
+        self.keep_source = KeepSource
+        self.keep_source_if_err = KeepSourceIfParseError
 
 
 @register("processor_split_log_string")

@@ -621,3 +621,63 @@ class TestGrokFullLibrary:
         # participate → '' (both engines normalize to empty string)
         assert byidx[1][3] == "POST" and byidx[1][6] == ""
         assert byidx[2][1] is None and byidx[3][1] is None
+
+
+class TestSplitCharParity:
+    """split_char.go:70-191 semantics: trailing-empty key unset, raw
+    remainder preserve, quote FSM with doubled-quote escape, source
+    NULLed on success / kept on quote-parse failure."""
+
+    def test_trailing_empty_key_unset(self, spark):
+        from loongcollector_spark.operators.splits import SplitChar
+
+        df = spark.createDataFrame(
+            [(0, "a:"), (1, "a::b"), (2, "a")],
+            "i int, content string",
+        )
+        out = SplitChar(SourceKey="content", SplitSep=":",
+                        SplitKeys=["x", "y"])(df)
+        rows = {r.i: r for r in out.collect()}
+        assert rows[0].x == "a" and rows[0].y is None  # trailing empty
+        assert rows[1].x == "a" and rows[1].y == ""    # interior empty
+        assert rows[2].x == "a" and rows[2].y is None  # no separator
+        # source NULLed on success (KeepSource default false)
+        assert rows[0].content is None
+
+    def test_preserve_not_emitted_for_final_sep(self, spark):
+        from loongcollector_spark.operators.splits import SplitChar
+
+        df = spark.createDataFrame(
+            [(0, "a:b:rest:more"), (1, "a:b:")], "i int, content string"
+        )
+        out = SplitChar(SourceKey="content", SplitSep=":",
+                        SplitKeys=["x", "y"], PreserveOthers=True)(df)
+        rows = {r.i: r for r in out.collect()}
+        assert rows[0]._split_preserve_ == "rest:more"
+        assert rows[1]._split_preserve_ is None  # go:141 i == len-1
+
+    def test_quote_fsm(self, spark):
+        from loongcollector_spark.operators.splits import SplitChar
+
+        df = spark.createDataFrame(
+            [
+                (0, '"a,with,comma",plain,rest'),
+                (1, '"esc""aped",x'),
+                (2, '"broken"mid,x'),
+                (3, "no,quotes"),
+            ],
+            "i int, content string",
+        )
+        out = SplitChar(
+            SourceKey="content", SplitSep=",", SplitKeys=["x", "y"],
+            QuoteFlag=True, Quote='"', PreserveOthers=True,
+        )(df)
+        rows = {r.i: r for r in out.collect()}
+        assert rows[0].x == "a,with,comma" and rows[0].y == "plain"
+        assert rows[0]._split_preserve_ == "rest"
+        assert rows[1].x == 'esc"aped' and rows[1].y == "x"
+        # malformed quote → parse failure: keys unset, source kept
+        # (KeepSourceIfParseError default true)
+        assert rows[2].x is None and rows[2].content == '"broken"mid,x'
+        assert rows[3].x == "no" and rows[3].y == "quotes"
+        assert rows[3].content is None
