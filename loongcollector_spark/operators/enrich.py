@@ -465,7 +465,9 @@ class FieldsWithCondition(Processor):
 
     _OPS = {
         "equals": lambda c, v: c == F.lit(v),
-        "regexp": lambda c, v: c.rlike(f"^(?:{v})$"),
+        # Go regexp.MatchString is an UNANCHORED search (go:125-127),
+        # exactly rlike — not a full match
+        "regexp": lambda c, v: c.rlike(v),
         "contains": lambda c, v: c.contains(v),
         "startwith": lambda c, v: c.startswith(v),
     }

@@ -76,3 +76,22 @@ class TestRouter:
         )
         out = router(_df(spark))
         assert sorted(r.id for r in out.collect()) == ["r1", "r3"]
+
+
+class TestFieldsWithConditionRegexp:
+    def test_regexp_relation_is_search_not_fullmatch(self, spark):
+        # Go regexp.MatchString searches anywhere in the value
+        # (processor_fields_with_condition.go:125-127)
+        from loongcollector_spark.operators.enrich import FieldsWithCondition
+
+        df = spark.createDataFrame(
+            [("prefix-ERR-42-suffix",), ("clean",)], "msg string"
+        )
+        out = FieldsWithCondition(Switch=[{
+            "Case": {"RelationOperator": "regexp",
+                     "FieldConditions": {"msg": r"ERR-\d+"}},
+            "AddFields": {"sev": "error"},
+        }])(df)
+        got = {r.msg: r.sev for r in out.collect()}
+        assert got["prefix-ERR-42-suffix"] == "error"  # substring hit
+        assert got["clean"] is None
