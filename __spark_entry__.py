@@ -855,17 +855,23 @@ def q_prom_parse_relabel(spark, sf_dir):
 
 
 def q_filter_key_regex_tag(spark, sf_dir):
-    """Key-name projection (processor_filter_key_regex) + constant host
-    tags (processor_tag_native) — plan-time column ops, zero row cost."""
+    """processor_tag_native constant tags + processor_filter_key_regex
+    EVENT filter (go:69-97 "if key is unmatched, drop this log"): rows
+    whose Include key-name regexes have no present (non-NULL) field are
+    dropped — here only role='tool' turns carry the tool_key field."""
     from loongcollector_spark.operators.enrich import TagNative
     from loongcollector_spark.operators.filters import FilterKeyRegex
 
-    t = _transcripts(spark, sf_dir)
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx",
+        F.when(F.col("role") == "tool", F.col("tool")).alias("tool_key"),
+    )
     tagged = TagNative(
         Tags={"__hostname__": "host1", "__cloud_provider__": "none"}
     )(t)
-    out = FilterKeyRegex(Include=[r"conv_.*", "turn_idx", r"__.*"])(tagged)
-    return out
+    return FilterKeyRegex(
+        Include=[r"tool_k.*", r"__host.*"], Exclude=[r"legacy_.*"]
+    )(tagged)
 
 
 def q_droplastkey_times(spark, sf_dir):
@@ -1635,8 +1641,8 @@ WHERE regexp_matches(role, '^(?:user|assistant)$')
     sql["filter_include_exclude"] = _T + """
 SELECT conv_id, turn_idx, role, tool
 FROM transcripts
-WHERE regexp_matches(role, '^(?:tool|assistant)$')
-  AND NOT regexp_matches(tool, '^(?:db)$')"""
+WHERE regexp_matches(role, 'tool|assistant')
+  AND NOT regexp_matches(tool, 'db')"""
 
     sql["timestamp_filter"] = _T + """
 SELECT conv_id, turn_idx, ts
@@ -2119,8 +2125,9 @@ FROM events
 WHERE user_id % 2 = 0"""
 
     sql["filter_key_regex_tag"] = _T + """
-SELECT conv_id, turn_idx, 'host1' AS __hostname__, 'none' AS __cloud_provider__
-FROM transcripts"""
+SELECT conv_id, turn_idx, tool AS tool_key,
+       'host1' AS __hostname__, 'none' AS __cloud_provider__
+FROM transcripts WHERE role = 'tool'"""
 
     sql["droplastkey_times"] = """
 SELECT event_id,

@@ -100,7 +100,10 @@ class FilterNative(Processor):
 @register("processor_filter_regex")
 class FilterRegex(Processor):
     """Go variant: ``Include`` all-must-match AND NOT ``Exclude`` any-match
-    (plugins/processor/filter/regex/processor_filter_regex.go:33-41)."""
+    (plugins/processor/filter/regex/processor_filter_regex.go:77-110).
+    Go ``reg.MatchString`` is an UNANCHORED search (unlike the native
+    filter's BoostRegexMatch full match); a missing/NULL Include key
+    fails the include count, a missing Exclude key excludes nothing."""
 
     def __init__(
         self,
@@ -113,9 +116,9 @@ class FilterRegex(Processor):
     def __call__(self, df: DataFrame) -> DataFrame:
         cond = F.lit(True)
         for k, rx in self.include.items():
-            cond = cond & _full_match(k, rx)
+            cond = cond & F.coalesce(F.col(k).rlike(rx), F.lit(False))
         for k, rx in self.exclude.items():
-            cond = cond & ~_full_match(k, rx)
+            cond = cond & ~F.coalesce(F.col(k).rlike(rx), F.lit(False))
         return df.filter(cond)
 
 
@@ -178,35 +181,41 @@ class PickKey(Processor):
 
 @register("processor_filter_key_regex")
 class FilterKeyRegex(Processor):
-    """Include/exclude by *key name* regex
-    (plugins/processor/filter/keyregex/processor_filter_key_regex.go:28-36).
-    Operates on column names at plan time — zero runtime cost."""
+    """Drop whole EVENTS by key-name regexes — "if key is unmatched,
+    drop this log" (plugins/processor/filter/keyregex/
+    processor_filter_key_regex.go:69-97): a row survives iff every
+    ``Include`` regex matches the NAME of at least one present field,
+    and no present field's name matches any ``Exclude`` regex. In the
+    wide-column model "present" = non-NULL; name matching is plan-time
+    (Go ``MatchString`` = unanchored search), presence is a runtime null
+    check. Column PROJECTION by key name is ``processor_pick_key``, not
+    this plugin."""
 
     def __init__(
         self,
         Include: list[str] | None = None,
         Exclude: list[str] | None = None,
-        Protected: list[str] | None = None,
     ) -> None:
         import re as _re
 
-        self.include = [_re.compile(f"^(?:{p})$") for p in (Include or [])]
-        self.exclude = [_re.compile(f"^(?:{p})$") for p in (Exclude or [])]
-        # engine extension: lineage/id columns never dropped
-        self.protected = set(Protected or [])
+        self.include = [_re.compile(p) for p in (Include or [])]
+        self.exclude = [_re.compile(p) for p in (Exclude or [])]
 
     def __call__(self, df: DataFrame) -> DataFrame:
-        keep = []
-        for c in df.columns:
-            if c in self.protected:
-                keep.append(c)
-                continue
-            if self.include and not any(p.match(c) for p in self.include):
-                continue
-            if self.exclude and any(p.match(c) for p in self.exclude):
-                continue
-            keep.append(c)
-        return df.select(*keep)
+        cond = F.lit(True)
+        for rx in self.include:
+            cols = [c for c in df.columns if rx.search(c)]
+            if not cols:
+                return df.filter(F.lit(False))  # include key never present
+            present = F.lit(False)
+            for c in cols:
+                present = present | F.col(c).isNotNull()
+            cond = cond & present
+        for rx in self.exclude:
+            for c in df.columns:
+                if rx.search(c):
+                    cond = cond & F.col(c).isNull()
+        return df.filter(cond)
 
 
 @register("processor_rate_limit")

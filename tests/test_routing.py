@@ -95,3 +95,21 @@ class TestFieldsWithConditionRegexp:
         got = {r.msg: r.sev for r in out.collect()}
         assert got["prefix-ERR-42-suffix"] == "error"  # substring hit
         assert got["clean"] is None
+
+
+class TestFilterKeyRegexEventFilter:
+    def test_drops_logs_not_columns(self, spark):
+        # go:69-97 — "if key is unmatched, drop this log": whole-event
+        # semantics over present (non-NULL) field NAMES
+        from loongcollector_spark.operators.filters import FilterKeyRegex
+
+        df = spark.createDataFrame(
+            [(0, "v", None), (1, None, "x"), (2, "v", "x")],
+            "i int, wanted string, legacy_old string",
+        )
+        out = FilterKeyRegex(Include=["want"], Exclude=["legacy_"])(df)
+        rows = out.collect()
+        assert [r.i for r in rows] == [0]  # 1: include missing; 2: excluded
+        assert set(out.columns) == {"i", "wanted", "legacy_old"}  # no projection
+        # include regex matching no column name at all → empty
+        assert FilterKeyRegex(Include=["nope"])(df).count() == 0
