@@ -1889,7 +1889,8 @@ FROM transcripts WHERE regexp_matches(text, '{PAT_DELIM}')"""
 
     sql["anchor_extract"] = _T + r"""
 SELECT conv_id, turn_idx,
-       regexp_extract(text, 'etype=([^&]*)', 1) AS anchored_etype
+       CASE WHEN regexp_matches(text, 'etype=[^&]*&')
+            THEN regexp_extract(text, 'etype=([^&]*)&', 1) END AS anchored_etype
 FROM transcripts WHERE text LIKE 'user=%'"""
 
     sql["json_expand_flatten"] = _T + """

@@ -181,14 +181,73 @@ class CsvParse(Processor):
 @register("processor_anchor")
 class Anchor(Processor):
     """Substring extraction between Start/Stop literal anchors per field
-    spec (anchor.go:46-71). Each anchor: {Start, Stop, FieldName,
-    FieldType ('string'|'json')}; json fields get depth-1 expansion into
-    ``{FieldName}_{key}`` map entries."""
+    spec (anchor.go:46-71, ProcessAnchor :157-215). Each anchor:
+    {Start, Stop, FieldName, FieldType ('string'|'json'), ExpondJSON,
+    ExpondConnecter (default '_'), MaxExpondDepth (0 → 100),
+    IgnoreJSONError}. Reference parity notes:
+
+    * a missing Start OR a missing non-empty Stop skips the anchor
+      entirely (go:160-175) → NULL here, never the tail-to-EOL
+    * json fields expand into a ``map<string,string>`` keyed
+      ``FieldName<conn>path`` — nested objects recurse when ExpondJSON
+      (depth capped at MaxExpondDepth, go:131-155 ExpondJSONCallBack),
+      else depth-1 with raw JSON values; strings are unescaped, other
+      scalars keep their raw JSON text (the jsonparser behavior)
+    """
 
     def __init__(self, SourceKey: str, Anchors: list[dict], KeepSource: bool = True):
         self.source_key = SourceKey
         self.anchors = Anchors
         self.keep_source = KeepSource
+
+    @staticmethod
+    def _expand_json(name: str, conn: str, deep: bool, max_depth: int):
+        @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+        def expand(s):
+            import pandas as pd
+
+            def raw(v):
+                if isinstance(v, str):
+                    return v
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                if v is None:
+                    return "null"
+                if isinstance(v, (dict, list)):
+                    return json.dumps(v, separators=(",", ":"))
+                return json.dumps(v)
+
+            def walk(obj, pre, d, out):
+                for k, v in obj.items():
+                    key = pre + conn + str(k)
+                    # go:141 — at max depth or non-object: emit leaf
+                    if deep and isinstance(v, dict) and d + 1 != max_depth:
+                        walk(v, key, d + 1, out)
+                    else:
+                        out[key] = raw(v)
+
+            res = []
+            for v in s:
+                if v is None:
+                    res.append(None)
+                    continue
+                try:
+                    obj = json.loads(v)
+                    if not isinstance(obj, dict):
+                        raise ValueError("not an object")
+                except Exception:  # noqa: BLE001 — IgnoreJSONError path
+                    res.append(None)
+                    continue
+                out: dict[str, str] = {}
+                if deep:
+                    walk(obj, name, 0, out)
+                else:
+                    for k, v2 in obj.items():
+                        out[name + conn + str(k)] = raw(v2)
+                res.append(out)
+            return pd.Series(res)
+
+        return expand
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)
@@ -203,10 +262,21 @@ class Anchor(Processor):
                 )
             else:
                 after = src
-            val = F.substring_index(after, stop, 1) if stop else after
+            if stop:
+                # a non-empty Stop that never occurs skips the anchor
+                val = F.when(
+                    F.instr(after, stop) > 0, F.substring_index(after, stop, 1)
+                )
+            else:
+                val = after
             if a.get("FieldType") == "json":
+                conn = a.get("ExpondConnecter") or "_"
+                max_depth = a.get("MaxExpondDepth", 0)
+                deep = a.get("ExpondJSON", False) and max_depth != 1
+                if max_depth == 0:
+                    max_depth = 100
                 df = df.withColumn(
-                    name, F.from_json(val, T.MapType(T.StringType(), T.StringType()))
+                    name, self._expand_json(name, conn, deep, max_depth)(val)
                 )
             else:
                 df = df.withColumn(name, val)

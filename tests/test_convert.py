@@ -74,13 +74,38 @@ class TestAnchor:
         assert rows_as_dicts(proc(df))[0]["mid"] == "middle"
 
     def test_json_field(self, text_df_factory):
-        df = text_df_factory(['data={"k":"v"} end'])
+        # keys are FieldName<conn>key, jsonparser-style raw values
+        # (anchor.go ExpondJSONCallBack / depth-1 ObjectEach)
+        df = text_df_factory(['data={"k":"v","n":3,"o":{"x":1}} end'])
         proc = Anchor(
             SourceKey="content",
             Anchors=[{"Start": "data=", "Stop": " end", "FieldName": "j",
                       "FieldType": "json"}],
         )
-        assert rows_as_dicts(proc(df))[0]["j"] == {"k": "v"}
+        assert rows_as_dicts(proc(df))[0]["j"] == {
+            "j_k": "v", "j_n": "3", "j_o": '{"x":1}'
+        }
+
+    def test_json_expond_depth(self, text_df_factory):
+        df = text_df_factory(['d={"a":{"b":{"c":1}},"s":"x"};'])
+        proc = Anchor(
+            SourceKey="content",
+            Anchors=[{"Start": "d=", "Stop": ";", "FieldName": "j",
+                      "FieldType": "json", "ExpondJSON": True,
+                      "MaxExpondDepth": 2, "ExpondConnecter": "."}],
+        )
+        m = rows_as_dicts(proc(df))[0]["j"]
+        # depth cap 2: a.b emitted as raw json, not recursed to a.b.c
+        assert m == {"j.a.b": '{"c":1}', "j.s": "x"}
+
+    def test_missing_stop_skips_anchor(self, text_df_factory):
+        # go:166-175: a non-empty Stop that never occurs → anchor skipped
+        df = text_df_factory(["data=abc"])
+        proc = Anchor(
+            SourceKey="content",
+            Anchors=[{"Start": "data=", "Stop": "|", "FieldName": "m"}],
+        )
+        assert rows_as_dicts(proc(df))[0]["m"] is None
 
 
 class TestTimes:
