@@ -906,12 +906,15 @@ def q_encrypt_roundtrip(spark, sf_dir):
     from loongcollector_spark.operators.convert import Encrypt
 
     t = _transcripts(spark, sf_dir)
-    key = "0123456789abcdef"
-    enc = Encrypt(SourceKeys=["text"], EncryptionKey=key)(t)
+    key_hex = "00112233445566778899aabbccddeeff"  # hex config, go:175
+    enc = Encrypt(SourceKeys=["text"], EncryptionKey=key_hex)(t)
+    # default IV = 16 zero bytes, ciphertext NOT IV-prefixed (go:126-143)
+    # → re-prepend the IV for aes_decrypt
     dec = enc.withColumn(
         "text_rt",
         F.aes_decrypt(
-            F.unbase64(F.col("text")), F.lit(key).cast("binary"),
+            F.concat(F.lit(b"\x00" * 16), F.unhex(F.col("text"))),
+            F.lit(bytes.fromhex(key_hex)),
             F.lit("CBC"), F.lit("PKCS"),
         ).cast("string"),
     )

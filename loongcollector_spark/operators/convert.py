@@ -494,23 +494,50 @@ class OtelLogReshape(Processor):
 
 @register("processor_encrypt")
 class Encrypt(Processor):
-    """AES-CBC field encryption (plugins/processor/encrypt) via Spark's
-    built-in aes_encrypt (3.3+)."""
+    """AES-CBC field encryption (plugins/processor/encrypt/
+    processor_encrypt.go:95-144) via Spark's built-in aes_encrypt.
+    Reference semantics: ``Key``/``IV`` config strings are HEX (go:175,
+    :185-196; IV default = 16 zero bytes), output is lowercase hex
+    (go:113); with an explicit IV the ciphertext is NOT IV-prefixed
+    (go:126-143) — Spark always prepends the IV, so it is stripped;
+    an EMPTY IV selects random-IV mode where the IV IS prepended.
+    Raw (non-hex) 16/24/32-char keys are accepted as an engine
+    convenience."""
 
-    def __init__(self, SourceKeys: list[str], EncryptionKey: str, IV: str | None = None):
-        if len(EncryptionKey) not in (16, 24, 32):
-            raise ValueError("EncryptionKey must be 16/24/32 bytes")
+    def __init__(self, SourceKeys: list[str], EncryptionKey: str,
+                 IV: str | None = "0" * 32):
         self.source_keys = SourceKeys
-        self.key = EncryptionKey
-        self.iv = IV
+        self.key = self._decode(EncryptionKey, "EncryptionKey")
+        # None/'' → random-IV mode (prepended), like the Go empty IV
+        self.iv = self._decode(IV, "IV") if IV else None
+
+    @staticmethod
+    def _decode(s: str, what: str) -> bytes:
+        try:
+            b = bytes.fromhex(s)
+        except ValueError:
+            b = s.encode()
+        if what == "EncryptionKey" and len(b) not in (16, 24, 32):
+            raise ValueError(f"{what} must be 16/24/32 bytes (hex-encoded)")
+        if what == "IV" and len(b) != 16:
+            raise ValueError("IV must be 16 bytes (hex-encoded)")
+        return b
 
     def __call__(self, df: DataFrame) -> DataFrame:
         for k in self.source_keys:
-            args = [F.col(k).cast("binary"), F.lit(self.key).cast("binary"),
-                    F.lit("CBC"), F.lit("PKCS")]
-            if self.iv:
-                args.append(F.lit(self.iv).cast("binary"))
-            df = df.withColumn(k, F.base64(F.aes_encrypt(*args)))
+            if self.iv is not None:
+                full = F.aes_encrypt(
+                    F.col(k).cast("binary"), F.lit(self.key),
+                    F.lit("CBC"), F.lit("PKCS"), F.lit(self.iv),
+                )
+                # strip Spark's prepended IV: Go emits ciphertext only
+                ct = F.substring(full, F.lit(17), F.length(full))
+            else:
+                ct = F.aes_encrypt(
+                    F.col(k).cast("binary"), F.lit(self.key),
+                    F.lit("CBC"), F.lit("PKCS"),
+                )
+            df = df.withColumn(k, F.lower(F.hex(ct)))
         return df
 
 

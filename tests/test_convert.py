@@ -181,16 +181,33 @@ class TestEncrypt:
         df = text_df_factory(["secret payload"])
         proc = Encrypt(
             SourceKeys=["content"],
-            EncryptionKey="0123456789abcdef",
-            IV="fedcba9876543210",
+            EncryptionKey="00112233445566778899aabbccddeeff",
+            IV="ffeeddccbbaa99887766554433221100",
         )
         a = rows_as_dicts(proc(df))[0]["content"]
         b = rows_as_dicts(proc(df))[0]["content"]
         assert a == b and a != "secret payload"
+        # hex output, no IV prefix (go:113, :126-143)
+        assert set(a) <= set("0123456789abcdef") and len(a) == 32
 
     def test_key_length_validation(self):
         with pytest.raises(ValueError, match="16/24/32"):
             Encrypt(SourceKeys=["x"], EncryptionKey="short")
+
+    def test_nist_cbc_vector(self, spark):
+        """NIST SP 800-38A F.2.1 CBC-AES128.Encrypt: the first output
+        block for the published key/IV/plaintext — anchors the hex
+        key/IV decoding, IV stripping, and hex output end-to-end."""
+        pt = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+        df = spark.createDataFrame([(bytearray(pt),)], "v binary")
+        out = Encrypt(
+            SourceKeys=["v"],
+            EncryptionKey="2b7e151628aed2a6abf7158809cf4f3c",
+            IV="000102030405060708090a0b0c0d0e0f",
+        )(df)
+        got = out.collect()[0].v
+        assert got[:32] == "7649abac8119b246cee98e9b12e9197d"
+        assert len(got) == 64  # + one PKCS#7 padding block, no IV prefix
 
 
 class TestOtelReshape:
