@@ -414,44 +414,62 @@ class DropLastKey(Processor):
 
 @register("processor_log_to_sls_metric")
 class LogToMetric(Processor):
-    """Convert log rows to metric rows: labels from ``MetricLabelKeys``,
-    one output row per (name, value) pair in ``MetricValues``
-    (processor_log_to_sls_metric.go:32-43). Reshaping = select + explode;
+    """Convert log rows to metric rows: labels from ``MetricLabelKeys``
+    (+ constant ``CustomMetricLabels``), one output row per (name, value)
+    pair in ``MetricValues`` (processor_log_to_sls_metric.go:32-43).
+    Validation mirrors ProcessLogs (go:172-260) — the whole event is
+    dropped when any metric name fails ``^[a-zA-Z_:][a-zA-Z0-9_:]*$``,
+    any value is not float-parsable, or any label value contains the
+    SLS separators ``|`` / ``#$#``. Reshaping = select + explode;
     output schema (metric_name, labels map, value double, ts)."""
+
+    _NAME_RX = r"^[a-zA-Z_:][a-zA-Z0-9_:]*$"
 
     def __init__(
         self,
         MetricLabelKeys: list[str],
         MetricValues: dict[str, str],  # name_source_col -> value_source_col
         TimeKey: str = "ts",
+        CustomMetricLabels: dict[str, str] | None = None,
     ) -> None:
         self.label_keys = MetricLabelKeys
         self.metric_values = MetricValues
         self.time_key = TimeKey
+        self.custom_labels = CustomMetricLabels or {}
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        ok = F.lit(True)
+        for nk, vk in self.metric_values.items():
+            ok = ok & F.col(nk).cast("string").rlike(self._NAME_RX)
+            ok = ok & F.col(vk).cast("string").try_cast("double").isNotNull()
+        for lk in self.label_keys:
+            lv = F.col(lk).cast("string")
+            ok = ok & lv.isNotNull() & ~lv.contains("|") & ~lv.contains("#$#")
+        keys = list(self.label_keys) + list(self.custom_labels)
+        vals = [F.col(k).cast("string") for k in self.label_keys] + [
+            F.lit(v) for v in self.custom_labels.values()
+        ]
         labels = F.map_from_arrays(
-            F.array(*[F.lit(k) for k in self.label_keys]),
-            F.array(*[F.col(k).cast("string") for k in self.label_keys]),
+            F.array(*[F.lit(k) for k in keys]), F.array(*vals)
         )
         pairs = F.array(
             *[
                 F.struct(
                     F.col(nk).cast("string").alias("metric_name"),
-                    F.col(vk).cast("double").alias("value"),
+                    F.col(vk).cast("string").try_cast("double").alias("value"),
                 )
                 for nk, vk in self.metric_values.items()
             ]
         )
         return (
-            df.withColumn("labels", labels)
+            df.filter(ok)
+            .withColumn("labels", labels)
             .select(
                 F.col(self.time_key).alias("ts"),
                 "labels",
                 F.explode(pairs).alias("m"),
             )
             .select("m.metric_name", "labels", "m.value", "ts")
-            .filter(F.col("value").isNotNull())
         )
 
 

@@ -637,3 +637,25 @@ class TestGoTimeParity:
         rows = out.collect()
         assert rows[0].beijing == "2024-01-01 20:00:00"
         assert "t" not in out.columns
+
+
+class TestLogToMetricValidation:
+    def test_invalid_rows_dropped_custom_labels_added(self, spark):
+        # go:172-260: bad name regex / non-float value / separator in
+        # label value → whole event dropped; CustomMetricLabels constant
+        df = spark.createDataFrame(
+            [
+                ("cpu", "1.5", "h1"),
+                ("2bad", "1.0", "h1"),      # name fails ^[a-zA-Z_:]...
+                ("ok_name", "notnum", "h1"),  # value not float
+                ("mem", "2.0", "a|b"),      # label contains '|'
+            ],
+            "mname string, mval string, host string",
+        ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        out = LogToMetric(
+            MetricLabelKeys=["host"], MetricValues={"mname": "mval"},
+            CustomMetricLabels={"cluster": "c1"},
+        )(df)
+        rows = out.collect()
+        assert [(r.metric_name, r.value) for r in rows] == [("cpu", 1.5)]
+        assert rows[0].labels == {"host": "h1", "cluster": "c1"}
