@@ -1426,6 +1426,26 @@ def q_grok_apache_combined(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup_anchor(spark, sf_dir):
+    """cosine_near_dup_pairs exactness anchor: with n_planes=0 every
+    vector lands in ONE signature bucket, so the production LSH
+    bucket-self-join + cap + exact-cosine verify degenerates to the
+    exact all-pairs result, which DuckDB recomputes in closed form.
+    (Bucketed-recall behavior with n_planes>0 is pytest-covered; this
+    value-anchors the join/verify math end-to-end.) Filter on the
+    ROUNDED similarity for cross-engine float stability."""
+    from loongcollector_spark.functions.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_near_dup_pairs(emb, dim=64, threshold=0.35, n_planes=0)
+    return (
+        out.select(
+            "id_a", "id_b", F.round(F.col("cosine_sim"), 5).alias("sim_r")
+        )
+        .filter(F.col("sim_r") >= 0.4)
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Value-anchors the REAL media decoders (decode_bmp / decode_wav /
     decode_png, multimodal.py) end-to-end: synthesize a valid
@@ -1491,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spl_let_multiparse": q_spl_let_multiparse,
         "spl_parse_csv_pipeline": q_spl_parse_csv_pipeline,
         "grok_apache_combined": q_grok_apache_combined,
+        "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
         # -- block 3: last driver row is r01 -------------------------------
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -2035,6 +2056,16 @@ SELECT conv_id, turn_idx,
        CAST(octet_length(CAST(text AS BLOB)) AS VARCHAR) AS bytes,
        '"agent/' || (turn_idx % 9) || '"' AS agent
 FROM transcripts"""
+
+    sql["embedding_near_dup_anchor"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 5) AS sim_r
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim_r FROM p WHERE sim_r >= 0.4"""
 
     sql["spl_let_multiparse"] = _T + """
 SELECT conv_id, turn_idx,
