@@ -1436,7 +1436,10 @@ def q_embedding_near_dup_anchor(spark, sf_dir):
     ROUNDED similarity for cross-engine float stability."""
     from loongcollector_spark.functions.similarity import cosine_near_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        # double-precision cosine on both engines → identical rounding
+        "embedding", F.col("embedding").cast("array<double>")
+    )
     out = cosine_near_dup_pairs(emb, dim=64, threshold=0.35, n_planes=0)
     return (
         out.select(
