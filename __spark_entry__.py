@@ -1426,6 +1426,24 @@ def q_grok_apache_combined(spark, sf_dir):
     )
 
 
+def q_parse_regex_go(spark, sf_dir):
+    """The GO regex parser plugin (processor_regex, regex.go:105-129):
+    unanchored SEARCH extraction, keys from capture groups, source
+    NULLed on success / kept on parse failure."""
+    from loongcollector_spark.operators.parsers import ProcessorRegexGo
+
+    t = _transcripts(spark, sf_dir)
+    out = ProcessorRegexGo(
+        Regex=r"user:(\w+)\tetype:(\w+)",
+        Keys=["u_field", "e_field"],
+        SourceKey="text",
+    )(t)
+    return out.select(
+        "conv_id", "turn_idx", "u_field", "e_field",
+        F.col("text").alias("kept_source"),
+    )
+
+
 def q_embedding_near_dup_anchor(spark, sf_dir):
     """cosine_near_dup_pairs exactness anchor: with n_planes=0 every
     vector lands in ONE signature bucket, so the production LSH
@@ -1515,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spl_parse_csv_pipeline": q_spl_parse_csv_pipeline,
         "grok_apache_combined": q_grok_apache_combined,
         "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
+        "parse_regex_go_plugin": q_parse_regex_go,
         # -- block 3: last driver row is r01 -------------------------------
         "ivf_ann_topk": q_ivf_ann,
         "split_char_fields": q_split_char,
@@ -2058,6 +2077,16 @@ SELECT conv_id, turn_idx,
        CAST(200 + 100 * (turn_idx % 3) AS VARCHAR) AS response,
        CAST(octet_length(CAST(text AS BLOB)) AS VARCHAR) AS bytes,
        '"agent/' || (turn_idx % 9) || '"' AS agent
+FROM transcripts"""
+
+    sql["parse_regex_go_plugin"] = _T + r"""
+SELECT conv_id, turn_idx,
+       CASE WHEN regexp_matches(text, 'user:(\w+)	etype:(\w+)')
+            THEN regexp_extract(text, 'user:(\w+)	etype:(\w+)', 1) END AS u_field,
+       CASE WHEN regexp_matches(text, 'user:(\w+)	etype:(\w+)')
+            THEN regexp_extract(text, 'user:(\w+)	etype:(\w+)', 2) END AS e_field,
+       CASE WHEN NOT regexp_matches(text, 'user:(\w+)	etype:(\w+)')
+            THEN text END AS kept_source
 FROM transcripts"""
 
     sql["embedding_near_dup_anchor"] = """

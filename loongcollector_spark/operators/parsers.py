@@ -43,6 +43,88 @@ def _split_keys(keys) -> list[str]:
     return list(keys)
 
 
+@register("processor_regex")
+class ProcessorRegexGo(Processor):
+    """The GO regex parser plugin (plugins/processor/regex/regex.go:32-139)
+    — a distinct registered plugin from the C++
+    processor_parse_regex_native twin below. Reference semantics:
+
+    * SEARCH by default; ``FullMatch`` requires the first match to span
+      the whole value (go:107)
+    * capture group i → ``Keys[i]``; a NON-PARTICIPATING group emits no
+      key at all (go:121-127) — distinct from a participating empty
+      match, so extraction runs via Arrow ``Series.str.extract`` (NaN
+      marks non-participation; a JVM ``regexp_extract`` cannot tell the
+      two apart)
+    * fewer capture groups than Keys → every row is a parse failure
+      (go:115-120)
+    * source NULLed on success unless ``KeepSource``; kept on failure
+      when ``KeepSourceIfParseError`` (reference defaults)
+    """
+
+    def __init__(
+        self,
+        Regex: str,
+        Keys: list[str],
+        SourceKey: str = "content",
+        FullMatch: bool = False,
+        KeepSource: bool = False,
+        KeepSourceIfParseError: bool = True,
+        NoMatchError: bool = True,
+    ) -> None:
+        if not Keys:
+            raise ValueError("no regex key error")
+        self.regex = Regex
+        self.n_groups = re.compile(Regex).groups
+        self.keys = list(Keys)
+        self.source_key = SourceKey
+        self.full_match = FullMatch
+        self.keep_source = KeepSource
+        self.keep_source_if_err = KeepSourceIfParseError
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        rx, keys, full = self.regex, self.keys, self.full_match
+        structurally_ok = self.n_groups >= len(keys)
+        fields = [T.StructField(k, T.StringType()) for k in keys]
+        fields.append(T.StructField("__ok__", T.BooleanType()))
+        schema = T.StructType(fields)
+
+        @F.pandas_udf(schema)
+        def ext(s):  # noqa: ANN001
+            import pandas as pd
+
+            if not structurally_ok or len(s) == 0:
+                out = pd.DataFrame({k: [None] * len(s) for k in keys})
+                out["__ok__"] = [False if v is not None else None for v in s]
+                return out
+            pat = f"^(?:{rx})$" if full else rx
+            # outer group = whole match: one regex execution gives both
+            # the hit mask (group 0 participates iff matched) and the
+            # per-key groups (shifted by 1; NaN = non-participating)
+            ext_df = s.str.extract(f"({pat})", expand=True)
+            ok = ext_df.iloc[:, 0].notna()
+            out = pd.DataFrame(index=s.index)
+            for i, k in enumerate(keys):
+                col = ext_df.iloc[:, i + 1]
+                out[k] = col.where(col.notna(), None)
+            out["__ok__"] = [
+                None if v is None else bool(o) for v, o in zip(s, ok)
+            ]
+            return out
+
+        df = df.withColumn("__rx__", ext(F.col(self.source_key)))
+        for k in keys:
+            df = df.withColumn(k, F.col("__rx__")[k])
+        if not self.keep_source:
+            ok = F.coalesce(F.col("__rx__")["__ok__"], F.lit(False))
+            src = F.col(self.source_key)
+            kept = (
+                F.when(~ok, src) if self.keep_source_if_err else F.lit(None)
+            )
+            df = df.withColumn(self.source_key, kept.cast("string"))
+        return df.drop("__rx__")
+
+
 @register("processor_parse_regex_native")
 class ParseRegexNative(Processor):
     """Regex with capture groups → named string columns.

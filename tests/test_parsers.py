@@ -722,3 +722,46 @@ class TestPbRoundtrip:
         )
         assert got == sorted((c, t, x, ro) for c, t, x, ro in rows)
         assert all(r.source == "s1" for r in back.collect())
+
+
+class TestProcessorRegexGo:
+    """The Go regex plugin twin (plugins/processor/regex/regex.go:105-129):
+    search vs FullMatch, non-participating groups absent, group-count
+    shortfall fails all rows, source-drop semantics."""
+
+    def _run(self, spark, texts, **kw):
+        from loongcollector_spark.operators.parsers import ProcessorRegexGo
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i int, content string"
+        )
+        out = ProcessorRegexGo(SourceKey="content", **kw)(df)
+        return [r.asDict() for r in out.orderBy("i").collect()]
+
+    def test_search_and_nonparticipating(self, spark):
+        rows = self._run(
+            spark,
+            ["pre k=v post", "k=", "nothing here", None],
+            Regex=r"k=(\w*)(?: tag=(\w+))?", Keys=["val", "tag"],
+        )
+        assert rows[0]["val"] == "v" and rows[0]["tag"] is None
+        assert rows[0]["content"] is None  # source dropped on success
+        assert rows[1]["val"] == ""  # participating empty group
+        assert rows[2]["val"] is None
+        assert rows[2]["content"] == "nothing here"  # kept on parse error
+        assert rows[3]["val"] is None and rows[3]["content"] is None
+
+    def test_full_match(self, spark):
+        rows = self._run(
+            spark, ["k=v", "pre k=v"],
+            Regex=r"k=(\w+)", Keys=["val"], FullMatch=True,
+        )
+        assert rows[0]["val"] == "v"
+        assert rows[1]["val"] is None  # search hit but not full span
+
+    def test_group_shortfall_fails_all(self, spark):
+        rows = self._run(
+            spark, ["k=v"], Regex=r"k=(\w+)", Keys=["a", "b"],
+        )
+        assert rows[0]["a"] is None and rows[0]["b"] is None
+        assert rows[0]["content"] == "k=v"  # parse error → source kept
