@@ -9,6 +9,7 @@ the fact side, the idiomatic Spark enrichment at 100 TB scale.
 from __future__ import annotations
 
 import csv
+import json
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -606,6 +607,70 @@ class TagNative(Processor):
 
     def __call__(self, df: DataFrame) -> DataFrame:
         for k, v in self.tags.items():
+            df = df.withColumn(k, F.lit(v))
+        return df
+
+
+@register("processor_cloud_meta")
+class CloudMeta(Processor):
+    """Attach cloud-platform metadata columns
+    (plugins/processor/cloudmeta/cloud_meta.go:34-120; key flags
+    pkg/helper/platformmeta/interface.go:18-28). ``Platform`` providers:
+    ``mock`` = the reference's MockManager constants (mock.go:28-71,
+    used by its own tests — the only provider meaningful offline) and
+    ``host`` = local hostname/IP; real IMDS providers need the cloud
+    endpoint and are out of scope. ``Metadata`` selects flag keys,
+    ``RenameMetadata`` renames them, ``JSONPath`` packs the whole meta
+    dict as a JSON value under one key instead of flat columns."""
+
+    _MOCK = {
+        "__cloud_instance_id__": "id_xxx",
+        "__cloud_instance_name__": "name_xxx",
+        "__cloud_region__": "region_xxx",
+        "__cloud_zone__": "zone_xxx",
+        "__cloud_vpc_id__": "vpc_xxx",
+        "__cloud_vswitch_id__": "vswitch_xxx",
+        "__cloud_instance_type__": "type_xxx",
+        "__cloud_image_id__": "image_xxx",
+        "__cloud_instance_tags__": '{"tag_key":"tag_val"}',
+        "__cloud_max_ingress__": "0",
+        "__cloud_max_egress__": "0",
+    }
+
+    def __init__(
+        self,
+        Platform: str = "mock",
+        Metadata: list[str] | None = None,
+        RenameMetadata: dict[str, str] | None = None,
+        JSONPath: str = "",
+    ) -> None:
+        import socket
+
+        if Platform == "host":
+            try:
+                ip = socket.gethostbyname(socket.gethostname())
+            except OSError:
+                ip = ""
+            provider = {
+                "__cloud_instance_id__": socket.gethostname(),
+                "__cloud_instance_name__": socket.gethostname(),
+                "__cloud_region__": ip,
+            }
+        else:
+            provider = dict(self._MOCK)
+        wanted = Metadata or list(provider)
+        rename = RenameMetadata or {}
+        self.meta = {
+            rename.get(k, k): provider[k] for k in wanted if k in provider
+        }
+        self.json_path = JSONPath
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.json_path:
+            payload = json.dumps(self.meta, separators=(",", ":"), sort_keys=True)
+            key = self.json_path.split(".")[0]
+            return df.withColumn(key, F.lit(payload))
+        for k, v in self.meta.items():
             df = df.withColumn(k, F.lit(v))
         return df
 

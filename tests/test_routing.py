@@ -113,3 +113,24 @@ class TestFilterKeyRegexEventFilter:
         assert set(out.columns) == {"i", "wanted", "legacy_old"}  # no projection
         # include regex matching no column name at all → empty
         assert FilterKeyRegex(Include=["nope"])(df).count() == 0
+
+
+class TestCloudMeta:
+    def test_mock_platform_flags_rename_jsonpath(self, spark):
+        # MockManager constants (pkg/helper/platformmeta/mock.go:28-71)
+        from loongcollector_spark.operators.enrich import CloudMeta
+
+        df = spark.createDataFrame([("x",)], "v string")
+        out = CloudMeta(
+            Platform="mock",
+            Metadata=["__cloud_instance_id__", "__cloud_region__"],
+            RenameMetadata={"__cloud_region__": "region"},
+        )(df).collect()[0]
+        assert out["__cloud_instance_id__"] == "id_xxx"
+        assert out["region"] == "region_xxx"
+        packed = CloudMeta(
+            Platform="mock",
+            Metadata=["__cloud_zone__"],
+            JSONPath="cloud_meta",
+        )(df).collect()[0]
+        assert packed["cloud_meta"] == '{"__cloud_zone__":"zone_xxx"}'
