@@ -1505,14 +1505,14 @@ def q_multimodal_decode(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict ORDER matters: the driver runs only the first 50 entries, so the
-    # least-recently-driver-verified queries go first.  Block 1: the 9 with
-    # no driver row in either r01 or r02 (judge-verified locally only).
-    # Block 2: queries new this round.  Block 3: the 9 whose last driver row
-    # is r01.  Block 4: the r02-green rest (freshest artifact, safe to age
-    # out of the 50-query window).
+    # Dict ORDER matters: the driver runs only the first 50 entries.
+    # Priority: (1) round-3 new queries + the 9 never driver-checked,
+    # (2) every query whose operator semantics the round-3 parity sweep
+    # touched (the driver artifact re-verifies the changes), (3) the
+    # flagship pipeline, (4) stable r01/r02-green remainder that safely
+    # ages out of the window.
     return {
-        # -- block 1: never driver-checked (r1+r2) --------------------------
+        # -- round-3 new / never-driver-checked (window head) ----------
         "droplastkey_times": q_droplastkey_times,
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "json_expand_flatten": q_json_expand_map,
@@ -1522,7 +1522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_exclusive_tagged": q_exclusive_tagged_route,
         "route_multicast_exploded": q_multicast_exploded,
         "salted_agg_skew": q_salted_agg,
-        # -- block 2: new in round 3 ---------------------------------------
         "otel_aggregator_route": q_otel_aggregator_route,
         "skywalking_aggregator_route": q_skywalking_aggregator_route,
         "embedding_pair_sim_topk": q_embedding_pair_sim,
@@ -1534,24 +1533,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_apache_combined": q_grok_apache_combined,
         "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
         "parse_regex_go_plugin": q_parse_regex_go,
-        # -- block 3: last driver row is r01 -------------------------------
-        "ivf_ann_topk": q_ivf_ann,
+        # -- semantics touched by the round-3 parity sweep -------------
         "split_char_fields": q_split_char,
         "string_replace_const": q_string_replace,
         "appender_template": q_appender,
         "fields_with_condition_case": q_fields_with_condition,
         "base64_roundtrip": q_base64_roundtrip,
-        "timestamp_strptime": q_timestamp_strptime,
-        "csv_expand_others": q_csv_expand,
         "anchor_extract": q_anchor,
-        # -- block 4: green in CORRECTNESS_r02 -----------------------------
+        "pack_json": q_pack_json,
+        "merge_multiline_conversation": q_merge_conversation,
+        "merge_multiline_continue_end": q_merge_multiline_continue_end,
+        "log_to_metric_reshape": q_log_to_metric,
+        "filter_key_regex_tag": q_filter_key_regex_tag,
+        "grok_compiled_dispatch": q_grok_delim,
+        "desensitize_regex": q_desensitize_regex,
+        "dict_map_fill_missing": q_dict_map_fill,
+        "dict_map_inplace": q_dict_map_inplace,
+        "filter_include_exclude": q_filter_include_exclude,
+        "enrich_dict_map_broadcast": q_enriched,
+        # -- flagship pipeline -----------------------------------------
         "transcripts": q_transcripts,
         "parse_grammar_dispatch": q_parse_dispatch,
-        "enrich_dict_map_broadcast": q_enriched,
         "route_sink_model": _q_sink("sink_model"),
         "route_sink_errors": _q_sink("sink_errors"),
         "route_sink_all_multicast": _q_sink("sink_all"),
         "pipeline_sink_metrics": q_sink_metrics,
+        "streaming_parse_enrich": q_streaming_parse_enrich,
+        # -- stable r01/r02-green remainder (ages out of the 50-window) -
+        "ivf_ann_topk": q_ivf_ann,
+        "timestamp_strptime": q_timestamp_strptime,
+        "csv_expand_others": q_csv_expand,
         "parse_regex_native": q_parse_regex,
         "parse_regex_keepfail_matrix": q_parse_regex_keepfail,
         "parse_json_native": q_parse_json,
@@ -1559,14 +1570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_apsara_native": q_parse_apsara,
         "parse_kv": q_parse_kv,
         "filter_condition_exp": q_filter_condition_exp,
-        "filter_include_exclude": q_filter_include_exclude,
         "timestamp_filter": q_timestamp_filter,
-        "dict_map_fill_missing": q_dict_map_fill,
-        "dict_map_inplace": q_dict_map_inplace,
         "rate_limit_windowed": q_rate_limit,
-        "desensitize_regex": q_desensitize_regex,
         "md5_field": q_md5_field,
-        "pack_json": q_pack_json,
         "pick_key_projection": q_pick_key,
         "shardhash_distribution": q_shardhash,
         "exact_dedup": q_exact_dedup,
@@ -1579,13 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_minhash_lsh,
         "similarity_cosine_topk": q_cosine_topk,
         "spl_where_extend_project": q_spl_pipeline,
-        "merge_multiline_conversation": q_merge_conversation,
-        "merge_multiline_continue_end": q_merge_multiline_continue_end,
-        "grok_compiled_dispatch": q_grok_delim,
         "split_log_string_explode": q_split_explode,
-        "log_to_metric_reshape": q_log_to_metric,
         "range_lookup_geoip": q_range_lookup,
-        "streaming_parse_enrich": q_streaming_parse_enrich,
         "otel_log_reshape": q_otel_reshape,
         "otel_log_parse": q_otel_log_parse,
         "otel_metric_reshape": q_otel_metric_reshape,
@@ -1594,7 +1595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_from_pb": q_parse_from_pb,
         "text_gopher_quality": q_text_gopher_quality,
         "dedup_clusters_cc": q_dedup_clusters,
-        "filter_key_regex_tag": q_filter_key_regex_tag,
     }
 
 
