@@ -58,12 +58,13 @@ def _split_char_quoted(value: str, sep: str, quote: str, keys: list[str],
                 else:
                     buf.append(value[i])
                 i += 1
-            if not closed and i >= n:
-                # unterminated quote: Go's inner loop just ends; the
-                # trailing-remainder rule below cannot apply (last
-                # unchanged, key not emitted) — treat like Go: fall out
-                break
             key_idx += 1
+            if not closed and i >= n:
+                # unterminated quote: Go's outer for still runs its
+                # post-increment (applied above) before the i<len check
+                # fails, so the raw rest (from the pre-quote offset)
+                # falls to the NEXT key via the trailing rule below
+                break
         else:
             nxt = value.find(sep, i)
             if nxt < 0:

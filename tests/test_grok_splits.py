@@ -681,3 +681,20 @@ class TestSplitCharParity:
         assert rows[2].x is None and rows[2].content == '"broken"mid,x'
         assert rows[3].x == "no" and rows[3].y == "quotes"
         assert rows[3].content is None
+
+    def test_quote_unterminated_go_key_skip(self, spark):
+        # Go's for post-increment fires on the unterminated-quote exit:
+        # the raw rest (from the pre-quote offset) lands on the NEXT key
+        from loongcollector_spark.operators.splits import SplitChar
+
+        df = spark.createDataFrame(
+            [(0, 'a,"unclosed rest')], "i int, content string"
+        )
+        out = SplitChar(
+            SourceKey="content", SplitSep=",", SplitKeys=["x", "y", "z"],
+            QuoteFlag=True, Quote='"', PreserveOthers=True,
+        )(df)
+        r = out.collect()[0]
+        assert r.x == "a"
+        assert r.y is None  # the key consumed by the unterminated quote
+        assert r.z == '"unclosed rest'  # raw rest → next key
