@@ -94,7 +94,9 @@ class DictMap(Processor):
                 entries: list = []
                 for k, v in self.map_dict.items():
                     entries += [F.lit(k), F.lit(v)]
-                mapped = F.try_element_at(F.create_map(*entries), src)
+                mapped = F.try_element_at(
+                    F.create_map(*entries), src.cast("string")
+                )
             else:
                 mapped = F.lit(None).cast("string")
             joined = df
