@@ -212,3 +212,56 @@ class TestMultilineFsmParity:
             key=lambda r: (r[1], str(r[0])),
         )
         assert got == want
+
+
+class TestSplitCharPlainParity:
+    """SplitChar's vectorized plain path vs a direct test-side
+    transcription of the Go non-quote loop (split_char.go:133-157):
+    trailing-empty keys unset, interior empties kept, preserve rules.
+    One Spark job over an exhaustive-ish seeded case batch."""
+
+    @staticmethod
+    def _go_split(value, sep, keys, preserve):
+        out, pres = {}, None
+        key_idx, last = 0, 0
+        n = len(value)
+        for i in range(n):
+            if value[i] == sep:
+                out[keys[key_idx]] = value[last:i]
+                key_idx += 1
+                last = i + 1
+                if key_idx >= len(keys):
+                    if i != n - 1 and preserve:
+                        pres = value[i + 1:]
+                    break
+        if key_idx < len(keys) and last < n:
+            out[keys[key_idx]] = value[last:]
+        return out, pres
+
+    def test_matches_go_loop_batch(self, spark):
+        import itertools
+        import random
+
+        from loongcollector_spark.operators.splits import SplitChar
+
+        rng = random.Random(42)
+        cases = ["", ":", "::", "a", "a:", ":a", "a:b", "a:b:", "a::b",
+                 "a:b:c:d", "::a::", "abc"]
+        cases += ["".join(rng.choice("ab:") for _ in range(rng.randrange(1, 15)))
+                  for _ in range(150)]
+        cases = sorted(set(cases))
+        for nkeys, preserve in itertools.product((1, 2, 3), (True, False)):
+            keys = [f"k{i}" for i in range(nkeys)]
+            df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(cases)], "i int, content string"
+            )
+            op = SplitChar(SourceKey="content", SplitSep=":",
+                           SplitKeys=keys, PreserveOthers=preserve)
+            rows = {r.i: r for r in op(df).collect()}
+            for i, v in enumerate(cases):
+                want, want_pres = self._go_split(v, ":", keys, preserve)
+                for k in keys:
+                    assert rows[i][k] == want.get(k), (v, k, rows[i][k], want)
+                if preserve:
+                    assert rows[i]["_split_preserve_"] == want_pres, (
+                        v, rows[i]["_split_preserve_"], want_pres)
