@@ -184,7 +184,9 @@ class Anchor(Processor):
     spec (anchor.go:46-71, ProcessAnchor :157-215). Each anchor:
     {Start, Stop, FieldName, FieldType ('string'|'json'), ExpondJSON,
     ExpondConnecter (default '_'), MaxExpondDepth (0 → 100),
-    IgnoreJSONError}. Reference parity notes:
+    IgnoreJSONError — accepted for config parity; in the reference it
+    only gates the alarm log, the field is absent either way}.
+    Reference parity notes:
 
     * a missing Start OR a missing non-empty Stop skips the anchor
       entirely (go:160-175) → NULL here, never the tail-to-EOL
@@ -531,15 +533,25 @@ class Encrypt(Processor):
 
     @staticmethod
     def _decode(s: str, what: str) -> bytes:
+        """Hex first (the reference's format, go:175); when the hex
+        decode yields an invalid length but the RAW bytes are valid
+        (e.g. a 16-char passphrase that happens to be hex chars), fall
+        back to raw — so pre-hex configs keep working."""
+        want = (16, 24, 32) if what == "EncryptionKey" else (16,)
+        candidates = []
         try:
-            b = bytes.fromhex(s)
+            candidates.append(bytes.fromhex(s))
         except ValueError:
-            b = s.encode()
-        if what == "EncryptionKey" and len(b) not in (16, 24, 32):
-            raise ValueError(f"{what} must be 16/24/32 bytes (hex-encoded)")
-        if what == "IV" and len(b) != 16:
-            raise ValueError("IV must be 16 bytes (hex-encoded)")
-        return b
+            pass
+        candidates.append(s.encode())
+        for b in candidates:
+            if len(b) in want:
+                return b
+        raise ValueError(
+            f"{what} must be "
+            + ("16/24/32" if what == "EncryptionKey" else "16")
+            + " bytes (hex-encoded or raw)"
+        )
 
     def __call__(self, df: DataFrame) -> DataFrame:
         for k in self.source_keys:

@@ -104,8 +104,13 @@ class DictMap(Processor):
             dict_df = df.sparkSession.createDataFrame(
                 list(self.map_dict.items()), ["__lc_dict_k__", "__lc_dict_v__"]
             )
+            # string-typed comparison like the inline path — a raw
+            # src == key on a non-string source would ANSI-cast the
+            # string keys to the source type and can throw at runtime
             joined = df.join(
-                F.broadcast(dict_df), src == F.col("__lc_dict_k__"), "left"
+                F.broadcast(dict_df),
+                src.cast("string") == F.col("__lc_dict_k__"),
+                "left",
             )
             mapped = F.col("__lc_dict_v__")
 
@@ -267,26 +272,39 @@ def _go_unquote_value(s: str) -> str:
             raise ValueError("trailing backslash")
         e = body[i + 1]
         i += 2
+        def hexval(width: int) -> int:
+            # Go UnquoteChar errors on truncated escapes — int() alone
+            # would silently accept a short slice
+            chunk = body[i : i + width]
+            if len(chunk) != width or not all(
+                c in "0123456789abcdefABCDEF" for c in chunk
+            ):
+                raise ValueError("truncated/invalid hex escape")
+            return int(chunk, 16)
+
         if e in simple:
             out.append(simple[e])
         elif e == "x":
-            out.append(chr(int(body[i : i + 2], 16)))
+            out.append(chr(hexval(2)))
             i += 2
         elif e == "u":
-            v = int(body[i : i + 4], 16)
+            v = hexval(4)
             if 0xD800 <= v <= 0xDFFF:
                 raise ValueError("surrogate")
             out.append(chr(v))
             i += 4
         elif e == "U":
-            v = int(body[i : i + 8], 16)
+            v = hexval(8)
             if v > 0x10FFFF or 0xD800 <= v <= 0xDFFF:
                 raise ValueError("bad rune")
             out.append(chr(v))
             i += 8
         elif e in "01234567":
-            v = int(body[i - 1 : i + 2], 8)
-            if v > 255 or i + 2 > n:
+            chunk = body[i - 1 : i + 2]
+            if len(chunk) != 3 or not all(c in "01234567" for c in chunk):
+                raise ValueError("bad octal")
+            v = int(chunk, 8)
+            if v > 255:
                 raise ValueError("bad octal")
             out.append(chr(v))
             i += 2

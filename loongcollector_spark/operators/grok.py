@@ -281,10 +281,19 @@ class Grok(Processor):
                 tmpl = sep.join(f"${g}" for g in range(1, len(aliases) + 1))
                 parts = F.split(F.regexp_replace(src, rx, tmpl), sep, -1)
                 tmp = f"__grok_parts_{pi}__"
-                # gated: the replace only runs for rows this pattern claims
-                df = df.withColumn(
-                    tmp, F.when(is_first & ~src.contains(sep), parts)
+                # gated: the replace only runs for rows this pattern
+                # claims, that contain no separator byte, AND that do
+                # not end in a line terminator — '$' matches BEFORE a
+                # final terminator, so regexp_replace would leave the
+                # '\n' appended to the last split part while
+                # regexp_extract (the fallback and the reference)
+                # excludes it from the group
+                parts_ok = (
+                    is_first
+                    & ~src.contains(sep)
+                    & ~src.rlike("[\\n\\r\\u0085\\u2028\\u2029]$")
                 )
+                df = df.withColumn(tmp, F.when(parts_ok, parts))
                 parts_for[pi] = F.col(tmp)
                 tmp_cols.append(tmp)
         for key in self.all_keys:

@@ -76,6 +76,15 @@ class ProcessorRegexGo(Processor):
             raise ValueError("no regex key error")
         self.regex = Regex
         self.n_groups = re.compile(Regex).groups
+        # the fast path wraps the pattern in an outer capture group for
+        # the hit mask; numeric backreferences (\1) would then point at
+        # the still-open outer group — detect at config time and use the
+        # two-pass (search + extract) path instead
+        try:
+            re.compile(f"({Regex})")
+            self.wrappable = True
+        except re.error:
+            self.wrappable = False
         self.keys = list(Keys)
         self.source_key = SourceKey
         self.full_match = FullMatch
@@ -84,6 +93,7 @@ class ProcessorRegexGo(Processor):
 
     def __call__(self, df: DataFrame) -> DataFrame:
         rx, keys, full = self.regex, self.keys, self.full_match
+        wrappable = self.wrappable
         structurally_ok = self.n_groups >= len(keys)
         fields = [T.StructField(k, T.StringType()) for k in keys]
         fields.append(T.StructField("__ok__", T.BooleanType()))
@@ -98,14 +108,26 @@ class ProcessorRegexGo(Processor):
                 out["__ok__"] = [False if v is not None else None for v in s]
                 return out
             pat = f"^(?:{rx})$" if full else rx
-            # outer group = whole match: one regex execution gives both
-            # the hit mask (group 0 participates iff matched) and the
-            # per-key groups (shifted by 1; NaN = non-participating)
-            ext_df = s.str.extract(f"({pat})", expand=True)
-            ok = ext_df.iloc[:, 0].notna()
+            if wrappable:
+                # outer group = whole match: one regex execution gives
+                # both the hit mask (group 0 participates iff matched)
+                # and the per-key groups (shifted by 1; NaN =
+                # non-participating)
+                ext_df = s.str.extract(f"({pat})", expand=True)
+                ok = ext_df.iloc[:, 0].notna()
+                off = 1
+            else:
+                # backreference patterns: two passes (search + extract)
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    ok = s.str.contains(pat, regex=True, na=False)
+                ext_df = s.str.extract(pat, expand=True)
+                off = 0
             out = pd.DataFrame(index=s.index)
             for i, k in enumerate(keys):
-                col = ext_df.iloc[:, i + 1]
+                col = ext_df.iloc[:, i + off].where(ok)
                 out[k] = col.where(col.notna(), None)
             out["__ok__"] = [
                 None if v is None else bool(o) for v, o in zip(s, ok)

@@ -40,12 +40,21 @@ def json_serialize(
     content_cols = content_cols or [
         c for c in df.columns if c != time_col and c not in tag_cols
     ]
-    fields = [
-        F.unix_timestamp(F.col(time_col)).alias("__time__"),
-        *[F.col(c) for c in tag_cols],
-        *[F.col(c) for c in content_cols],
-    ]
-    return df.select(F.to_json(F.struct(*fields)).alias("value"))
+    return df.select(_event_json(time_col, tag_cols, content_cols).alias("value"))
+
+
+def _event_json(time_col: str, tag_cols: list[str], content_cols: list[str]):
+    """The reference's JSON event shape as one expression:
+    ``{"__time__": <epoch>, <tags...>, <contents...>}``
+    (JsonSerializer.cpp:29-85) — shared by json_serialize and the
+    flusher_http request bodies so the shape cannot drift."""
+    return F.to_json(
+        F.struct(
+            F.unix_timestamp(F.col(time_col)).alias("__time__"),
+            *[F.col(c) for c in tag_cols],
+            *[F.col(c) for c in content_cols],
+        )
+    )
 
 
 def write_dynamic_topic(
@@ -69,6 +78,11 @@ def write_dynamic_topic(
     )
 
 
+# the reference's %{content.field}/%{tag.field} variable syntax
+# (pkg/fmtstr/format_topic.go:18, flusher_http.go buildVarKeys :599-620)
+VAR_TEMPLATE_RX = r"%\{(?:content|tag)\.([\w.]+)\}"
+
+
 def topic_fmtstr(template: str) -> Column:
     """``%{content.field}``/``%{tag.field}`` topic templates
     (pkg/fmtstr/format_topic.go:18) → a concat expression."""
@@ -76,7 +90,7 @@ def topic_fmtstr(template: str) -> Column:
 
     parts: list[Column] = []
     pos = 0
-    for m in re.finditer(r"%\{(?:content|tag)\.([\w.]+)\}", template):
+    for m in re.finditer(VAR_TEMPLATE_RX, template):
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
         parts.append(F.col(m.group(1)))
@@ -117,12 +131,11 @@ def flusher_http_requests(
 
     query = query or {}
     headers = headers or {}
-    rx = r"%\{(?:content|tag)\.([\w.]+)\}"
     var_fields = sorted(
         {
             m
             for tmpl in list(query.values()) + list(headers.values())
-            for m in _re.findall(rx, tmpl)
+            for m in _re.findall(VAR_TEMPLATE_RX, tmpl)
         }
     )
     tag_cols = tag_cols or []
@@ -131,13 +144,7 @@ def flusher_http_requests(
         for c in df.columns
         if c != time_col and c not in tag_cols and c not in var_fields
     ]
-    event = F.to_json(
-        F.struct(
-            F.unix_timestamp(F.col(time_col)).alias("__time__"),
-            *[F.col(c) for c in tag_cols],
-            *[F.col(c) for c in content_cols],
-        )
-    )
+    event = _event_json(time_col, tag_cols, content_cols)
     out = df.withColumn("__event__", event).withColumn(
         "__ord__", F.struct(F.col(time_col), F.col("__event__"))
     )

@@ -698,3 +698,23 @@ class TestSplitCharParity:
         assert r.x == "a"
         assert r.y is None  # the key consumed by the unterminated quote
         assert r.z == '"unclosed rest'  # raw rest → next key
+
+
+class TestGrokWideTrailingNewline:
+    def test_trailing_terminator_falls_back(self, spark):
+        """'$' matches BEFORE a final line terminator: the wide
+        replace+split path must not leak the '\\n' into the last alias
+        (code-review r3 finding, verified divergence)."""
+        df = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "alpha beta\n"), (2, "a b\r\n")],
+            "i int, content string",
+        )
+        g = Grok(
+            SourceKey="content",
+            Match=[r"%{WORD:a} %{WORD:b}"],
+            IgnoreParseFailure=True,
+        )
+        rows = {r.i: r for r in g(df).collect()}
+        assert rows[0].b == "beta"
+        assert rows[1].b == "beta"  # not 'beta\n'
+        assert rows[2].b == "b"

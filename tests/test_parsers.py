@@ -765,3 +765,13 @@ class TestProcessorRegexGo:
         )
         assert rows[0]["a"] is None and rows[0]["b"] is None
         assert rows[0]["content"] == "k=v"  # parse error → source kept
+
+    def test_backreference_pattern_two_pass(self, spark):
+        # \1 would break the outer-group wrap; config-time detection
+        # routes to the search+extract path (code-review r3 finding)
+        rows = self._run(
+            spark, ["x=ab=ab y", "x=ab=cd y"],
+            Regex=r"(\w+)=\1", Keys=["dup"],
+        )
+        assert rows[0]["dup"] == "ab"
+        assert rows[1]["dup"] is None

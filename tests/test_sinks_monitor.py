@@ -475,3 +475,19 @@ class TestMetadataGroupBounded:
         assert ser.count() == 3  # 3+3+1
         back = ParseFromPbNative(SourceKey="payload")(ser)
         assert back.count() == 7
+
+
+class TestDictMapNonStringSource:
+    def test_int_source_same_result_both_engines(self, spark):
+        # inline and broadcast-join paths must agree on non-string
+        # sources under ANSI-ish casting (code-review r3 finding)
+        from loongcollector_spark.operators.enrich import DictMap
+
+        df = spark.createDataFrame([(1,), (2,), (9,)], "code int")
+        small = {"1": "one", "2": "two", "zz0": "junk"}
+        big = dict(small)
+        big.update({f"k{i}": "x" for i in range(80)})
+        for d in (small, big):
+            out = DictMap(SourceKey="code", DestKey="word", MapDict=d)(df)
+            got = {r.code: r.word for r in out.collect()}
+            assert got == {1: "one", 2: "two", 9: None}, d.keys()
