@@ -64,6 +64,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
 
+    benched: list = []  # (name, fn) for the straggler-recovery sweep
+
     def timed(name, fn, n=reps):
         fn()  # warmup: drives codegen + HotSpot compilation of the plan
         best = float("inf")
@@ -72,6 +74,7 @@ def main() -> None:
             fn()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        benched.append((name, fn))
 
     # --- headline: full pipeline over the generated corpus ---------------
     # single-pass exploded multicast: one scan -> routed write; one scan ->
@@ -95,12 +98,6 @@ def main() -> None:
     total_routed = pipe.run_single_pass(corpus).count()
     extras["corpus_rows"] = n_corpus
     extras["routed_rows_multicast"] = total_routed
-    extras["turns_parsed_routed_per_sec"] = round(
-        n_corpus / timings["pipeline_end_to_end"], 1
-    )
-    extras["routed_rows_per_sec"] = round(
-        total_routed / timings["pipeline_end_to_end"], 1
-    )
 
     # --- stage-level over the generated corpus ---------------------------
     timed("parse_dispatch", lambda: noop_write(pipe.parse(corpus)))
@@ -174,6 +171,29 @@ def main() -> None:
     timed(
         "sf_transcripts_pipeline",
         lambda: noop_write(pipe.metrics(pipe.route(pipe.enrich(pipe.parse(trans))))),
+    )
+
+    # --- straggler-recovery sweep ---------------------------------------
+    # This host has JIT/hypervisor straggler PHASES that can swallow a
+    # query's whole min-of-reps window (documented in BENCH.md). A second
+    # temporally-separated pass re-times every query with 2 reps and
+    # keeps the per-query MIN, so one bad phase cannot poison the
+    # recorded artifact. Disable with SPARK_GRAFT_BENCH_PASSES=1.
+    if int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")) > 1:
+        for name, fn in benched:
+            best = timings[name]
+            for _ in range(2):
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+
+    # throughput from the FINAL (post-sweep) pipeline timing
+    extras["turns_parsed_routed_per_sec"] = round(
+        n_corpus / timings["pipeline_end_to_end"], 1
+    )
+    extras["routed_rows_per_sec"] = round(
+        extras["routed_rows_multicast"] / timings["pipeline_end_to_end"], 1
     )
 
     total = round(sum(timings.values()), 3)
