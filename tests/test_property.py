@@ -265,3 +265,85 @@ class TestSplitCharPlainParity:
                 if preserve:
                     assert rows[i]["_split_preserve_"] == want_pres, (
                         v, rows[i]["_split_preserve_"], want_pres)
+
+
+class TestSplitCharQuoteParity:
+    """Production _split_char_quoted vs an INDEPENDENT second
+    transcription of the Go QuoteFlag branch (split_char.go:81-146),
+    written here directly in the C-style index walk — catches
+    transcription slips (the for-post-increment, lastValueIndex
+    bookkeeping) the production version could share with its tests."""
+
+    @staticmethod
+    def _go_quoted(value, sep, quote, keys, preserve):
+        out, pres = {}, None
+        key_idx = 0
+        last = 0
+        i = 0
+        n = len(value)
+        while key_idx < len(keys) and i < n:
+            c = value[i]
+            if c == sep:
+                out[keys[key_idx]] = ""
+                last = i + 1
+                i += 1
+            elif c == quote:
+                i += 1
+                buf = []
+                while i < n:
+                    if value[i] == quote:
+                        if i == n - 1 or value[i + 1] == sep:
+                            i += 1
+                            out[keys[key_idx]] = "".join(buf)
+                            last = i + 1
+                            i += 1
+                            break
+                        if value[i + 1] == quote:
+                            i += 1
+                            buf.append(value[i])
+                            i += 1
+                        else:
+                            return None  # parse failure
+                    else:
+                        buf.append(value[i])
+                        i += 1
+            else:
+                nxt = value.find(sep, i)
+                if nxt >= 0:
+                    out[keys[key_idx]] = value[i:nxt]
+                    last = nxt + 1
+                    i = last
+                else:
+                    break  # break FORLOOP skips the post-increment
+                key_idx += 1
+                continue
+            key_idx += 1
+        if key_idx >= len(keys) and last < n:
+            if preserve:
+                pres = value[last:]
+                last = n
+        if key_idx < len(keys) and last < n:
+            out[keys[key_idx]] = value[last:]
+        return out, pres
+
+    def test_differential_random(self):
+        import random
+
+        from loongcollector_spark.operators.splits import _split_char_quoted
+
+        rng = random.Random(99)
+        cases = ['"a,b",c', '"x""y",z', '"broken"x,y', 'a,"unclosed',
+                 '""', '"",a', 'a,,b', '"a"', ',', '']
+        cases += ["".join(rng.choice('ab,"') for _ in range(rng.randrange(0, 16)))
+                  for _ in range(400)]
+        for v in sorted(set(cases)):
+            for nk in (1, 2, 3):
+                for preserve in (True, False):
+                    keys = [f"k{i}" for i in range(nk)]
+                    got = _split_char_quoted(v, ",", '"', keys, preserve)
+                    want = self._go_quoted(v, ",", '"', keys, preserve)
+                    if want is None:
+                        assert got[2] is False, (v, nk, got)
+                    else:
+                        assert got[2] is True, (v, nk)
+                        assert (got[0], got[1]) == want, (v, nk, preserve, got, want)
