@@ -53,3 +53,29 @@ class TestContainerConfig:
             for r in cfg.run(df)["sink_all"].collect()
         }
         assert rows == {0: ("abcd", 2), 2: ("solo", 1)}
+
+
+class TestAgentLogsConfig:
+    def test_round3_plugins_yaml_end_to_end(self, spark, transcripts):
+        """The round-3 plugins drive from the same YAML surface: Go
+        regex parser (search), cloud_meta mock tags, event-level
+        key-regex filter, regex-md5 desensitize."""
+        cfg = load_config("/root/repo/configs/agent_logs_pipeline.yaml")
+        out = cfg.run(transcripts)["sink_all"]
+        rows = out.collect()
+        assert rows, "some apsara-grammar rows must parse"
+        import hashlib
+        import re as _re
+
+        for r in rows:
+            assert r["__cloud_instance_id__"] == "id_xxx"
+            assert r["region"] == "region_xxx"
+            # only rows with a parsed user survive the key filter,
+            # and the user id is md5-masked
+            assert r["u_field"] is not None
+            assert _re.fullmatch(r"[0-9a-f]{32}", r["u_field"]), r["u_field"]
+        # at least one source text must contain the original uNN the
+        # mask replaced (sanity that desensitize actually ran)
+        src_users = {m for r in rows for m in _re.findall(r"user:(u\d+)", r["text"] or "")}
+        hashed = {hashlib.md5(u.encode()).hexdigest() for u in src_users}
+        assert {r["u_field"] for r in rows} <= hashed
