@@ -1467,6 +1467,26 @@ def q_embedding_near_dup_anchor(spark, sf_dir):
     )
 
 
+def q_lsh_ann_full_probe(spark, sf_dir):
+    """lsh_ann_topk exactness anchor: with n_planes=0 the whole corpus
+    and every query share ONE signature bucket, so the production
+    bucket-join + cap + exact cosine re-rank degenerates to exact
+    top-k — recomputed in closed form by DuckDB. Double-precision
+    vectors on both engines → identical ordering."""
+    from loongcollector_spark.functions.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = lsh_ann_topk(emb, qs, dim=64, k=10, n_planes=0)
+    return out.select(
+        "qid", "nid", F.round(F.col("cosine_sim"), 5).alias("sim_r"), "rank"
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Value-anchors the REAL media decoders (decode_bmp / decode_wav /
     decode_png, multimodal.py) end-to-end: synthesize a valid
@@ -1533,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grok_apache_combined": q_grok_apache_combined,
         "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
         "parse_regex_go_plugin": q_parse_regex_go,
+        "lsh_ann_full_probe": q_lsh_ann_full_probe,
         # -- semantics touched by the round-3 parity sweep -------------
         "split_char_fields": q_split_char,
         "string_replace_const": q_string_replace,
@@ -2088,6 +2109,23 @@ SELECT conv_id, turn_idx,
        CASE WHEN NOT regexp_matches(text, 'user:(\w+)	etype:(\w+)')
             THEN text END AS kept_source
 FROM transcripts"""
+
+    sql["lsh_ann_full_probe"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5
+), s AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(e.v, q.qv) AS sim
+  FROM e, q
+), r AS (
+  SELECT qid, nid, round(sim, 5) AS sim_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+  FROM s
+)
+SELECT qid, nid, sim_r, rank FROM r WHERE rank <= 10"""
 
     sql["embedding_near_dup_anchor"] = """
 WITH e AS (
