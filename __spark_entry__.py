@@ -1487,6 +1487,27 @@ def q_lsh_ann_full_probe(spark, sf_dir):
     )
 
 
+def q_ivf_full_probe(spark, sf_dir):
+    """ivf_topk exactness anchor: probing ALL cells (n_probe =
+    n_clusters) searches the whole corpus regardless of the KMeans
+    partition, so the production quantize + probe + re-rank path yields
+    exact top-k — the same closed-form oracle as the LSH anchor.
+    (Partial-probe recall stays rows-only/pytest — the clustering is
+    engine-specific.)"""
+    from loongcollector_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = ivf_topk(emb, qs, k=10, n_clusters=8, n_probe=8)
+    return out.select(
+        "qid", "nid", F.round(F.col("cosine_sim"), 5).alias("sim_r"), "rank"
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Value-anchors the REAL media decoders (decode_bmp / decode_wav /
     decode_png, multimodal.py) end-to-end: synthesize a valid
@@ -1554,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
         "parse_regex_go_plugin": q_parse_regex_go,
         "lsh_ann_full_probe": q_lsh_ann_full_probe,
+        "ivf_full_probe": q_ivf_full_probe,
         # -- semantics touched by the round-3 parity sweep -------------
         "split_char_fields": q_split_char,
         "string_replace_const": q_string_replace,
@@ -2126,6 +2148,9 @@ WITH e AS (
   FROM s
 )
 SELECT qid, nid, sim_r, rank FROM r WHERE rank <= 10"""
+
+    # identical exact-top-k closed form — full probe searches everything
+    sql["ivf_full_probe"] = sql["lsh_ann_full_probe"]
 
     sql["embedding_near_dup_anchor"] = """
 WITH e AS (
