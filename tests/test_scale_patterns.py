@@ -153,3 +153,59 @@ class TestRound2PlanShapes:
                    OtelTraceReshape(SourceKey="content")):
             plan = op(df)._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan, type(op).__name__
+
+
+class TestHotConversationSkew:
+    """BENCH.md's skew claims, exercised: the pipeline stays correct on
+    a corpus with a Zipf-hot conversation, metric keys stay bounded, and
+    the partition-level multiline engine handles one giant group."""
+
+    def test_pipeline_correct_under_hot_conv(self, spark):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.plans.transcript_pipeline import (
+            TranscriptPipeline,
+        )
+        from loongcollector_spark.sources.transcripts import (
+            generate_transcripts,
+        )
+
+        n = 60_000
+        corpus = generate_transcripts(spark, n, hot_frac=0.3)
+        hot = corpus.filter(F.col("conv_id") == "conv00000000").count()
+        assert hot > 0.25 * n  # the skew is real
+        pipe = TranscriptPipeline()
+        routed = pipe.run_single_pass(corpus)
+        per_sink = {
+            r["__sink__"]: r["n"]
+            for r in routed.groupBy("__sink__")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert per_sink["sink_all"] == n  # multicast row conservation
+        # bounded aggregation keys: the hot conversation collapses into
+        # (prefix, hour, error_class) cells — no reducer hot key
+        m = pipe.metrics_single_pass(routed)
+        assert 0 < m.count() < 2000
+
+    def test_multiline_fsm_giant_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+
+        n = 30_000  # one conversation = one partition-level group
+        df = spark.range(n).select(
+            F.lit("g").alias("src"),
+            F.col("id").alias("off"),
+            F.when(F.pmod(F.col("id"), F.lit(3)) == 0, F.lit("{start"))
+            .otherwise(F.lit("mid|"))
+            .alias("content"),
+        )
+        out = MergeMultilineLog(
+            SourceKey="content", GroupKey="src", OrderKey="off",
+            StartPattern=r"^\{", EndPattern=r"\|",
+        )(df)
+        # per 3-block: {start + mid| merge (n_merged=2); lone mid| is a
+        # single → n/3 merged events + n/3 singles
+        assert out.count() == 2 * (n // 3)
+        assert out.filter(F.col("n_merged") == 2).count() == n // 3
