@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--single-pass", action="store_true",
                     help="exploded-multicast single write partitioned by sink")
+    ap.add_argument("--config", default=None,
+                    help="YAML pipeline config (the reference's plugin-chain "
+                         "shape); replaces the built-in flagship pipeline")
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -64,7 +67,20 @@ def main(argv: list[str] | None = None) -> int:
     mon = StageMonitor()
     t0 = time.time()
 
-    if args.single_pass:
+    if args.config:
+        # config-driven mode: the YAML plugin chain is the pipeline,
+        # exactly like the reference's CollectionConfig entry path
+        from loongcollector_spark.plans.config_pipeline import load_config
+
+        cfg = load_config(args.config)
+        sinks = cfg.run(transcripts)
+        paths = write_routed_sinks(sinks, args.output)
+        summary = {
+            "mode": "config",
+            "config": args.config,
+            "sinks": paths,
+        }
+    elif args.single_pass:
         from loongcollector_spark.sinks.writers import write_dynamic_topic
 
         routed = mon.observe(

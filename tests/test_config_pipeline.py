@@ -79,3 +79,25 @@ class TestAgentLogsConfig:
         src_users = {m for r in rows for m in _re.findall(r"user:(u\d+)", r["text"] or "")}
         hashed = {hashlib.md5(u.encode()).hexdigest() for u in src_users}
         assert {r["u_field"] for r in rows} <= hashed
+
+
+class TestJobCliConfigMode:
+    def test_run_pipeline_config_mode(self, spark, tmp_path):
+        """jobs/run_pipeline.py --config drives an arbitrary YAML plugin
+        chain end-to-end (the reference's config-driven entry path)."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/jobs")
+        import run_pipeline
+
+        out = tmp_path / "cfg_out"
+        rc = run_pipeline.main([
+            "--input", "/root/testdata/sf0.001",
+            "--from-events",
+            "--output", str(out),
+            "--config", "/root/repo/configs/agent_logs_pipeline.yaml",
+        ])
+        assert rc == 0
+        back = spark.read.parquet(str(out / "sink_all"))
+        assert back.count() > 0
+        assert back.filter("u_field IS NULL").count() == 0
