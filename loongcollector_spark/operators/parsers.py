@@ -635,6 +635,76 @@ class ParseTimestampNative(Processor):
         return out
 
 
+def _kv_nearest_quote(content: str, start: int, sep: str, quote: str) -> int:
+    """Transcription of getNearestQuote (key_value_splitter.go:161-183),
+    including its quirks — the ``" \\<quote>"`` escaped-quote probe and
+    the multi-char-quote arithmetic are reproduced verbatim."""
+    while start < len(content):
+        if len(quote) == 1:
+            lqc = content[start:].find(" \\" + quote)
+            lq = content[start + 1 :].find(quote)
+            start = lq + start + 1 + len(quote)
+            if lqc >= 0:
+                if lqc + 1 == lq:
+                    continue
+                if lq >= 0:
+                    return start
+            else:
+                return start
+        else:
+            start += content[start + 1 :].find(quote) + len(sep + quote)
+            return start
+    return start
+
+
+def _kv_get_value(value: str, quote: str) -> str:
+    if quote and len(value) >= 2 * len(quote) and value.startswith(quote) \
+            and value.endswith(quote):
+        return value[len(quote) : len(value) - len(quote)]
+    return value
+
+
+def _kv_split_quoted(content: str, delim: str, sep: str, quote: str,
+                     empty_prefix: str, nosep_prefix: str,
+                     discard_no_sep: bool) -> dict[str, str]:
+    """Transcription of splitKeyValue + concatQuotePair
+    (key_value_splitter.go:99-159): quote-aware pair re-splitting — a
+    delimiter inside a quoted value does not end the pair. Dict insertion
+    order gives the reference's append-then-last-wins duplicate policy."""
+    out: dict[str, str] = {}
+    empty_i = nosep_i = 0
+    while True:
+        d = content.find(delim)
+        pair = content if d == -1 else content[:d]
+        # concatQuotePair (go:145-159)
+        if (
+            d >= 0
+            and quote
+            and not pair.endswith(quote)
+            and (pair.find(sep + quote) > 0 or pair.startswith(quote))
+        ):
+            last = _kv_nearest_quote(content, d, sep, quote)
+            if last >= 0:
+                d = last
+                pair = content[:d]
+        pos = pair.find(sep)
+        if pos == -1:
+            if not discard_no_sep:
+                out[nosep_prefix + str(nosep_i)] = _kv_get_value(pair, quote)
+                nosep_i += 1
+        else:
+            key = pair[:pos]
+            value = _kv_get_value(pair[pos + len(sep) :], quote)
+            if not key:
+                key = empty_prefix + str(empty_i)
+                empty_i += 1
+            out[key] = value
+        if d == -1 or d + len(delim) > len(content):
+            break
+        content = content[d + len(delim) :]
+    return out
+
+
 @register("processor_split_key_value")
 class SplitKeyValue(Processor):
     """k=v pair splitting into a map column (reference:
@@ -651,10 +721,12 @@ class SplitKeyValue(Processor):
       pairs, in order (key_value_splitter.go:112-123);
     * empty key (pair starts with the separator) → key
       ``{EmptyKeyPrefix}{i}``, its own counter (go:125-133);
-    * ``Quote`` set → values wrapped in the quote on both ends are
-      unwrapped (go:185-191). The reference's quote-aware *re-splitting*
-      (delimiters inside quoted values, go:145-158) is not reproduced —
-      use ParseDelimiterNative's quote FSM for that shape.
+    * ``Quote`` set → the full quote-aware path runs as an Arrow-batch
+      pandas UDF transcribed from the Go loop (``_kv_split_quoted``,
+      go:99-183): delimiters INSIDE quoted values do not end the pair
+      (concatQuotePair re-splitting), escaped-quote probing and the
+      both-ends unwrap (go:185-191) included. No-quote configs stay on
+      the JVM higher-order-function path below.
 
     The per-type running counters are ``size(filter(slice(...)))`` over
     the pairs seen so far — O(pairs²) per row on intra-row data, which is
@@ -688,6 +760,29 @@ class SplitKeyValue(Processor):
 
     def __call__(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)
+        if self.quote:
+            delim, seps, quote = self.delim, self.sep, self.quote
+            ep, np_, disc = (
+                self.empty_prefix, self.nosep_prefix, self.discard_no_sep
+            )
+
+            @F.pandas_udf(T.MapType(T.StringType(), T.StringType()))
+            def kv(col):  # noqa: ANN001
+                import pandas as pd
+
+                return pd.Series(
+                    [
+                        None
+                        if v is None
+                        else _kv_split_quoted(v, delim, seps, quote, ep, np_, disc)
+                        for v in col
+                    ]
+                )
+
+            out = df.withColumn(self.dest, kv(src))
+            if not self.keep_source:
+                out = out.drop(self.source_key)
+            return out
         sep = F.lit(self.sep)
         sep_len = len(self.sep)
         pairs = F.split(src, re.escape(self.delim), -1)

@@ -775,3 +775,36 @@ class TestProcessorRegexGo:
         )
         assert rows[0]["dup"] == "ab"
         assert rows[1]["dup"] is None
+
+
+class TestSplitKeyValueQuoteResplit:
+    """Quote-aware pair re-splitting (key_value_splitter.go:145-183):
+    a delimiter inside a quoted value must not end the pair — the
+    previously documented divergence, now transcribed."""
+
+    def _run(self, spark, text, **kw):
+        from loongcollector_spark.operators.parsers import SplitKeyValue
+
+        df = spark.createDataFrame([(text,)], "content string")
+        op = SplitKeyValue(SourceKey="content", Delimiter="&",
+                           Separator="=", Quote='"', **kw)
+        return op(df).collect()[0]["kv"]
+
+    def test_delimiter_inside_quotes(self, spark):
+        assert self._run(spark, 'a="1&2"&b=3') == {"a": "1&2", "b": "3"}
+
+    def test_plain_and_unwrap(self, spark):
+        assert self._run(spark, 'k="v"&x=1') == {"k": "v", "x": "1"}
+
+    def test_prefix_policies_with_quote_path(self, spark):
+        got = self._run(spark, "solo&=v&a=1")
+        assert got == {"no_separator_key_0": "solo", "empty_key_0": "v",
+                       "a": "1"}
+
+    def test_null_source(self, spark):
+        from loongcollector_spark.operators.parsers import SplitKeyValue
+
+        df = spark.createDataFrame([(None,)], "content string")
+        op = SplitKeyValue(SourceKey="content", Delimiter="&",
+                           Separator="=", Quote='"')
+        assert op(df).collect()[0]["kv"] is None
