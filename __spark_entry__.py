@@ -1051,18 +1051,63 @@ def q_parse_container_log(spark, sf_dir):
     )
 
 
-def q_ivf_ann(spark, sf_dir):
-    """IVF ANN top-1 self-recall (KMeans quantizer; engine-specific
-    clustering → rows-only check; exactness is covered by
-    similarity_cosine_topk)."""
-    from loongcollector_spark.functions.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries_df = emb.limit(5).select(
+def _ivf_pivot_inputs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        # double-precision cosine on both engines → identical ranking
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return ivf_topk(emb, queries_df, k=1, n_clusters=8, n_probe=2).select(
-        "qid", "nid", "rank"
+    return emb, qs
+
+
+def q_ivf_ann(spark, sf_dir):
+    """PARTIAL-probe IVF ANN with the deterministic data-pivot
+    quantizer (pivots = vec_id ≡ 0 mod 25, n_probe=4): every step —
+    pivot selection, nearest-pivot assignment, probe pruning, exact
+    re-rank — is closed-form SQL, so the approximate configuration
+    itself is value-oracled (VERDICT r3 #1; the KMeans variant's
+    exactness is anchored by ivf_full_probe)."""
+    from loongcollector_spark.functions.similarity import ivf_topk_pivot
+
+    emb, qs = _ivf_pivot_inputs(spark, sf_dir)
+    out = ivf_topk_pivot(emb, qs, k=10, pivot_mod=25, n_probe=4)
+    return out.select(
+        "qid", "nid", F.round(F.col("cosine_sim"), 5).alias("sim_r"), "rank"
+    )
+
+
+def q_ivf_ann_recall(spark, sf_dir):
+    """recall@10 contract for the partial-probe ANN: the engine emits,
+    per seeded query, |approx top-10 ∩ exact top-10| and the recall
+    fraction; DuckDB recomputes both sides in closed form from the same
+    parquet. Machine-checks that the approximate configuration's recall
+    is exactly what the quantizer geometry implies — not just ≥0."""
+    from loongcollector_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk_pivot,
+    )
+
+    emb, qs = _ivf_pivot_inputs(spark, sf_dir)
+    approx = ivf_topk_pivot(emb, qs, k=10, pivot_mod=25, n_probe=4)
+    exact = brute_force_topk(emb, qs, k=10)
+    hits = (
+        exact.select("qid", "nid")
+        .join(approx.select("qid", "nid"), ["qid", "nid"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("int").alias("hits"),
+            F.round(F.coalesce(F.col("hits"), F.lit(0)) / 10.0, 3).alias(
+                "recall_at_10"
+            ),
+        )
     )
 
 
@@ -1553,7 +1598,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship pipeline, (4) stable r01/r02-green remainder that safely
     # ages out of the window.
     return {
-        # -- round-3 new / never-driver-checked (window head) ----------
+        # -- round-4 new / changed (window head) ------------------------
+        "ivf_ann_topk": q_ivf_ann,
+        "ivf_ann_recall": q_ivf_ann_recall,
+        # -- round-3 new / never-driver-checked ------------------------
         "droplastkey_times": q_droplastkey_times,
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "json_expand_flatten": q_json_expand_map,
@@ -1603,7 +1651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_metrics": q_sink_metrics,
         "streaming_parse_enrich": q_streaming_parse_enrich,
         # -- stable r01/r02-green remainder (ages out of the 50-window) -
-        "ivf_ann_topk": q_ivf_ann,
         "timestamp_strptime": q_timestamp_strptime,
         "csv_expand_others": q_csv_expand,
         "parse_regex_native": q_parse_regex,
@@ -2151,6 +2198,66 @@ SELECT qid, nid, sim_r, rank FROM r WHERE rank <= 10"""
 
     # identical exact-top-k closed form — full probe searches everything
     sql["ivf_full_probe"] = sql["lsh_ann_full_probe"]
+
+    # partial-probe IVF with the deterministic pivot quantizer: the
+    # whole approximate search (pivot cells, assignment, n_probe prune,
+    # re-rank) recomputed in closed form.
+    _IVF_PIVOT_CTE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id % 25 = 0
+), a0 AS (
+  SELECT e.vec_id AS nid, e.v, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell
+         ) AS ar
+  FROM e, c
+), a AS (
+  SELECT nid, v, cell FROM a0 WHERE ar = 1
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5
+), p0 AS (
+  SELECT q.qid, q.qv, c.cell,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell
+         ) AS pr
+  FROM q, c
+), p AS (
+  SELECT qid, qv, cell FROM p0 WHERE pr <= 4
+), s AS (
+  SELECT p.qid, a.nid, list_cosine_similarity(a.v, p.qv) AS sim
+  FROM p JOIN a USING (cell)
+), approx AS (
+  SELECT qid, nid, round(sim, 5) AS sim_r,
+         CAST(row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rank
+  FROM s
+  QUALIFY rank <= 10
+)"""
+    sql["ivf_ann_topk"] = (
+        _IVF_PIVOT_CTE + "\nSELECT qid, nid, sim_r, rank FROM approx"
+    )
+    sql["ivf_ann_recall"] = _IVF_PIVOT_CTE + """
+, exact AS (
+  SELECT q.qid, e.vec_id AS nid,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+         ) AS rank
+  FROM e, q
+  QUALIFY rank <= 10
+), hits AS (
+  SELECT exact.qid, count(*) AS hits
+  FROM exact JOIN approx USING (qid, nid)
+  GROUP BY exact.qid
+)
+SELECT q.qid,
+       CAST(coalesce(hits.hits, 0) AS INT) AS hits,
+       round(coalesce(hits.hits, 0) / 10.0, 3) AS recall_at_10
+FROM q LEFT JOIN hits ON q.qid = hits.qid"""
 
     sql["embedding_near_dup_anchor"] = """
 WITH e AS (

@@ -197,7 +197,16 @@ def ivf_topk(
         F.col(query_id).alias("qid"),
         F.col(query_vec).cast("array<double>").alias("qvec"),
     )
-    # rank centroids per query, keep n_probe nearest (by cosine)
+    return _ivf_probe_rerank(assigned, cent_df, q, k, n_probe)
+
+
+def _ivf_probe_rerank(
+    assigned: DataFrame, cent_df: DataFrame, q: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """Shared IVF search: rank centroids per query (broadcast join), keep
+    the ``n_probe`` nearest cells, exact cosine re-rank inside probed
+    cells. ``assigned`` = (nid, nvec, cell); ``cent_df`` = broadcastable
+    (cell, cvec); ``q`` = (qid, qvec)."""
     qc = q.crossJoin(cent_df).withColumn(
         "c_sim", cosine(F.col("qvec"), F.col("cvec"))
     )
@@ -216,6 +225,53 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "cosine_sim", "rank")
     )
+
+
+def ivf_topk_pivot(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pivot_mod: int = 25,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """IVF ANN with a *deterministic data-pivot quantizer*: the coarse
+    centroids are the corpus vectors whose id ≡ 0 (mod ``pivot_mod``)
+    — a legitimate random-pivot IVF variant whose every step (pivot
+    selection, nearest-pivot cell assignment, n_probe pruning, exact
+    re-rank) is closed-form SQL. This gives the PARTIAL-probe search
+    path a full value oracle (the KMeans variant's partial probe is
+    engine-specific and only its full-probe degenerate is oracled).
+
+    Same scale shape as ``ivf_topk``: assignment is a broadcast of the
+    tiny pivot table against the corpus (one pass, no corpus shuffle),
+    and the search touches ~n_probe/n_pivots of the data."""
+    corp = corpus.select(
+        F.col(corpus_id).alias("nid"),
+        F.col(corpus_vec).cast("array<double>").alias("nvec"),
+    )
+    cent_df = F.broadcast(
+        corp.filter(F.col("nid") % pivot_mod == 0).select(
+            F.col("nid").alias("cell"), F.col("nvec").alias("cvec")
+        )
+    )
+    ac = corp.crossJoin(cent_df).withColumn(
+        "a_sim", cosine(F.col("nvec"), F.col("cvec"))
+    )
+    wa = Window.partitionBy("nid").orderBy(F.desc("a_sim"), F.asc("cell"))
+    assigned = (
+        ac.withColumn("a_rank", F.row_number().over(wa))
+        .filter(F.col("a_rank") == 1)
+        .select("nid", "nvec", "cell")
+    )
+    q = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(query_vec).cast("array<double>").alias("qvec"),
+    )
+    return _ivf_probe_rerank(assigned, cent_df, q, k, n_probe)
 
 
 def cosine_near_dup_pairs(

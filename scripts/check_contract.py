@@ -45,9 +45,11 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -80,7 +82,8 @@ def main() -> int:
                 print(f"   only spark: {r}")
             for r in list(dd - ss)[:2]:
                 print(f"   only duck : {r}")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} ok")
+    print(f"\n{ran - len(failures)}/{ran} ok"
+          + (f" (of {len(queries)} registered)" if ran != len(queries) else ""))
     return 1 if failures else 0
 
 

@@ -344,6 +344,57 @@ class TestCheckpointResume:
         }
         assert ivf == exact
 
+    def test_ivf_pivot_full_probe_equals_brute_force(self, spark, embeddings):
+        """Pivot-quantizer IVF with n_probe >= n_pivots searches every
+        cell → exact top-k. Anchors the deterministic quantizer's
+        assignment + probe + re-rank against brute force."""
+        from loongcollector_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_topk_pivot,
+        )
+
+        emb = embeddings.withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries = emb.limit(4).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        exact = {
+            (r.qid, r.rank): (r.nid, round(r.cosine_sim, 6))
+            for r in brute_force_topk(emb, queries, k=5).collect()
+        }
+        n_pivots = emb.filter("vec_id % 10 = 0").count()
+        ivf = {
+            (r.qid, r.rank): (r.nid, round(r.cosine_sim, 6))
+            for r in ivf_topk_pivot(
+                emb, queries, k=5, pivot_mod=10, n_probe=n_pivots
+            ).collect()
+        }
+        assert ivf == exact
+
+    def test_ivf_pivot_partial_probe_subset_of_probed_cells(
+        self, spark, embeddings
+    ):
+        """Partial probe returns only neighbors from probed cells, ranks
+        are contiguous from 1, and self-recall holds when the query is a
+        corpus member (its own cell is always the nearest probe)."""
+        from loongcollector_spark.functions.similarity import ivf_topk_pivot
+
+        emb = embeddings.withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries = emb.limit(3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        out = ivf_topk_pivot(emb, queries, k=5, pivot_mod=10, n_probe=2)
+        rows = out.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append(r)
+        for qid, rs in by_q.items():
+            assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+            assert {x.nid for x in rs if x.rank == 1} == {qid}
+
     def test_ivf_topk_self_recall(self, spark, embeddings):
         from loongcollector_spark.functions.similarity import ivf_topk
 
