@@ -173,6 +173,40 @@ def main() -> None:
         lambda: noop_write(pipe.metrics(pipe.route(pipe.enrich(pipe.parse(trans))))),
     )
 
+    # --- LLM-ops suite (VERDICT r3 #2): near-dup + ANN + clustering -------
+    from loongcollector_spark.functions.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+    from loongcollector_spark.functions.similarity import lsh_ann_topk
+
+    timed(
+        "minhash_lsh_candidates",
+        lambda: noop_write(minhash_lsh_candidates(docs)),
+        n=min(reps, 2),  # ~7 s/run — min-of-2 + sweep keeps wall-time sane
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ann_queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    timed(
+        "lsh_ann_topk_bucketed",
+        lambda: noop_write(
+            lsh_ann_topk(emb, ann_queries, dim=64, k=10, n_planes=8)
+        ),
+    )
+    # iterative CC: pairs materialized once (pair generation is the
+    # minhash_lsh_candidates row above); the timing isolates the
+    # label-propagation rounds, dedup_clusters' real cost
+    pairs_path = f"/tmp/lc_bench/pairs_{sf}"
+    if not os.path.exists(pairs_path + "/_SUCCESS"):
+        minhash_lsh_candidates(docs).write.mode("overwrite").parquet(pairs_path)
+    cc_pairs = spark.read.parquet(pairs_path)
+    timed(
+        "dedup_clusters_cc",
+        lambda: noop_write(dedup_clusters(cc_pairs)),
+    )
+
     # --- straggler-recovery sweep ---------------------------------------
     # This host has JIT/hypervisor straggler PHASES that can swallow a
     # query's whole min-of-reps window (documented in BENCH.md). A second

@@ -202,23 +202,25 @@ def dedup_clusters(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the old label through the join so the convergence probe is
+        # a shuffle-free filter over the checkpointed partitions instead of
+        # a second labels join + job per round
         new_labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
+                F.col("cluster_id").alias("__old__"),
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-        )
+        ).localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_labels.filter(F.col("cluster_id") != F.col("__old__"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             break
     if changed != 0:
