@@ -46,7 +46,6 @@ _SIMPLE_RENAMES = {
     "json_extract": "get_json_object",
     "to_unixtime": "unix_timestamp",
     "week_of_year": "weekofyear",
-    "day_of_week": "dayofweek",
     "day_of_year": "dayofyear",
     "to_base64": "base64",
     "from_base64": "unbase64",
@@ -60,7 +59,6 @@ _SIMPLE_RENAMES = {
     "strpos": "instr",
     "json_array_length": "json_array_length",
     "day_of_month": "dayofmonth",
-    "dow": "dayofweek",
     "doy": "dayofyear",
     "week": "weekofyear",
     "format_datetime": "date_format",
@@ -155,27 +153,60 @@ def translate_expr(expr: str) -> str:
     out = _rewrite_calls(out, "json_format", lambda a: f"({a[0]})")
     out = _rewrite_calls(out, "to_utf8", lambda a: f"cast({a[0]} as binary)")
     out = _rewrite_calls(out, "from_utf8", lambda a: f"cast({a[0]} as string)")
-    out = _rewrite_calls(out, "truncate", lambda a: f"cast(cast({a[0]} as bigint) as double)")
+    # Presto repeat(element, count) returns an ARRAY (Spark's repeat is
+    # string repetition — different function entirely)
+    out = re.sub(r"(?<![\w.])repeat\s*\(", "array_repeat(", out)
+    # Presto 2-arg from_unixtime(unixtime, zone): timestamp rendered in
+    # that zone (Spark's 2nd arg is a FORMAT string — not the same!)
+    out = _rewrite_calls(out, "from_unixtime", lambda a: (
+        f"convert_timezone('UTC', {a[1]}, "
+        f"cast(from_unixtime({a[0]}) as timestamp_ntz))"
+        if len(a) == 2 else f"from_unixtime({', '.join(a)})"
+    ))
+    # Presto ROW constructor as a lambda body: (y, x) → struct(y, x)
+    out = re.sub(r"(->\s*)\(([^()]+,[^()]+)\)", r"\1struct(\2)", out)
+    # Presto day_of_week/dow are ISO-8601 (1=Monday..7=Sunday); Spark's
+    # dayofweek is 1=Sunday..7=Saturday — remap (parity fix, r4)
+    for _dowfn in ("day_of_week", "dow"):
+        out = _rewrite_calls(
+            out, _dowfn,
+            lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
+        )
+    # Presto truncate(x[, n]): drop digits beyond n decimal places,
+    # toward zero (cast double→bigint truncates toward zero in Spark)
+    out = _rewrite_calls(out, "truncate", lambda a: (
+        f"cast(cast({a[0]} as bigint) as double)" if len(a) == 1 else
+        f"(cast(cast(cast({a[0]} as double) * pow(10, {a[1]}) as bigint) "
+        f"as double) / pow(10, {a[1]}))"
+    ))
     out = _rewrite_calls(out, "bitwise_and", lambda a: f"({a[0]} & {a[1]})")
     out = _rewrite_calls(out, "bitwise_or", lambda a: f"({a[0]} | {a[1]})")
     out = _rewrite_calls(out, "bitwise_xor", lambda a: f"({a[0]} ^ {a[1]})")
     out = _rewrite_calls(out, "bitwise_not", lambda a: f"(~{a[0]})")
     out = _rewrite_calls(out, "bit_count", lambda a: f"bit_count({a[0]})")
-    # 3-arg Presto shifts: (value, shift, bits) — shift within an n-bit
-    # window = shift then mask
-    def _shift3(fn):
-        def fix(a):
-            if len(a) == 3:
-                return (
-                    f"({fn}({a[0]}, {a[1]}) & "
-                    f"cast(pow(2, {a[2]}) - 1 as bigint))"
-                )
-            return f"{fn}({', '.join(a)})"
+    # 3-arg Presto shifts: (value, shift, bits) — the value is "treated
+    # as a bits-bit value" (BitwiseFunctions.java): LEFT shift masks the
+    # result (high bits can't re-enter the window, so mask-before ==
+    # mask-after); LOGICAL RIGHT shift masks the VALUE first — 1342>>9
+    # within 8 bits is (1342 & 255) >> 9 = 0, not (1342 >> 9) & 255.
+    # Mask built with shiftleft (no pow() double → ANSI-unsafe casts).
+    def _mask(bits):
+        return f"(shiftleft(cast(1 as bigint), {bits}) - 1)"
 
-        return fix
+    def _shift3_left(a):
+        if len(a) == 3:
+            return f"(shiftleft({a[0]}, {a[1]}) & {_mask(a[2])})"
+        return f"shiftleft({', '.join(a)})"
 
-    out = _rewrite_calls(out, "shiftleft", _shift3("shiftleft"))
-    out = _rewrite_calls(out, "shiftrightunsigned", _shift3("shiftrightunsigned"))
+    def _shift3_right(a):
+        if len(a) == 3:
+            return (
+                f"shiftrightunsigned(({a[0]} & {_mask(a[2])}), {a[1]})"
+            )
+        return f"shiftrightunsigned({', '.join(a)})"
+
+    out = _rewrite_calls(out, "shiftleft", _shift3_left)
+    out = _rewrite_calls(out, "shiftrightunsigned", _shift3_right)
     out = _rewrite_calls(out, "instr", lambda a: (
         f"instr({a[0]}, {a[1]})" if len(a) == 3 and a[2] == "1"
         else f"instr({', '.join(a)})"
@@ -269,9 +300,11 @@ def translate_expr(expr: str) -> str:
     out = _rewrite_calls(
         out, "array_normalize",
         lambda a: (
+            # 1.0/p must divide as DOUBLE — decimal literals would give a
+            # scale-truncated exponent (0.322581 for p=3.1, a 1e-6 skew)
             f"transform({a[0]}, x -> x / power(aggregate(transform({a[0]},"
             f" y -> pow(abs(y), {a[1]})), cast(0 as double),"
-            f" (acc, v) -> acc + v), 1.0/{a[1]}))"
+            f" (acc, v) -> acc + v), cast(1.0 as double)/cast({a[1]} as double)))"
         ) if len(a) == 2 else f"array_normalize({', '.join(a)})",
     )
     out = _rewrite_calls(
@@ -310,9 +343,12 @@ def translate_expr(expr: str) -> str:
     out = _rewrite_calls(
         out, "json_size",
         lambda a: (
+            # Presto: object → #keys, array → #elements, scalar → 0.
+            # size() yields -1 (legacy sizeOfNull) for non-maps — nullif
+            # it away so scalars fall through to the 0 default.
             f"coalesce(json_array_length(get_json_object({a[0]}, {a[1]})),"
-            f" size(from_json(get_json_object({a[0]}, {a[1]}),"
-            f" 'map<string,string>')), 0)"
+            f" nullif(size(from_json(get_json_object({a[0]}, {a[1]}),"
+            f" 'map<string,string>')), -1), 0)"
         ) if len(a) == 2 else f"json_size({', '.join(a)})",
     )
     out = _rewrite_calls(
