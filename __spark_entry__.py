@@ -466,6 +466,33 @@ def q_merge_multiline_continue_end(spark, sf_dir):
     )
 
 
+def q_merge_multiline_skew_chunked(spark, sf_dir):
+    """The skew-routed chunk-parallel FSM (ChunkRows) on the SAME input
+    and config as merge_multiline_continue_end — shares its oracle, so
+    the driver value-checks that transfer-function composition +
+    cross-chunk event stitching equals the closed-form SQL. ChunkRows=40
+    forces real multi-chunk conversations at sf0.01."""
+    from loongcollector_spark.operators.splits import MergeMultilineLog
+
+    t = _transcripts(spark, sf_dir)
+    proc = MergeMultilineLog(
+        SourceKey="text",
+        GroupKey="conv_id",
+        OrderKey="turn_idx",
+        ContinuePattern=r"^u\d+\t",
+        EndPattern=r"^\{",
+        UnmatchedContentTreatment="single_line",
+        ChunkRows=40,
+    )
+    out = proc(t)
+    return out.select(
+        "conv_id",
+        F.col("text").alias("merged_text"),
+        F.col("turn_idx").cast("int").alias("turn_start"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
 def q_grok_delim(spark, sf_dir):
     """Grok over the delimiter grammar rows (compiled pattern dispatch)."""
     from loongcollector_spark.operators.grok import Grok
@@ -1601,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 new / changed (window head) ------------------------
         "ivf_ann_topk": q_ivf_ann,
         "ivf_ann_recall": q_ivf_ann_recall,
+        "merge_multiline_skew_chunked": q_merge_multiline_skew_chunked,
         # -- round-3 new / never-driver-checked ------------------------
         "droplastkey_times": q_droplastkey_times,
         "encrypt_roundtrip": q_encrypt_roundtrip,
@@ -1950,6 +1978,8 @@ SELECT s.conv_id, s.text AS merged_text,
        CAST(s.turn_idx AS INT) AS turn_start, CAST(1 AS BIGINT) AS n_merged
 FROM seg s JOIN segstat g ON s.conv_id = g.conv_id AND s.grp = g.grp
 WHERE NOT ((NOT g.last_c) AND g.last_e)"""
+    # identical closed form — the skew-chunked path must match it
+    sql["merge_multiline_skew_chunked"] = sql["merge_multiline_continue_end"]
 
     sql["merge_multiline_conversation"] = _T + """
 SELECT conv_id,

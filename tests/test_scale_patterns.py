@@ -209,3 +209,91 @@ class TestHotConversationSkew:
         # single → n/3 merged events + n/3 singles
         assert out.count() == 2 * (n // 3)
         assert out.filter(F.col("n_merged") == 2).count() == n // 3
+
+    def test_multiline_fsm_chunked_equals_plain_giant_group(self, spark):
+        """The skew-routed chunk-parallel FSM (ChunkRows) must produce
+        exactly the plain path's output on a giant single group split
+        into many chunks, with events spanning chunk borders."""
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+
+        n = 30_000
+        df = spark.range(n).select(
+            F.lit("g").alias("src"),
+            F.col("id").alias("off"),
+            F.when(F.pmod(F.col("id"), F.lit(7)) == 0, F.lit("{start"))
+            .otherwise(F.lit("mid|"))
+            .alias("content"),
+        ).unionByName(
+            # plus many small conversations exercising the hybrid split
+            spark.range(2_000).select(
+                F.concat(F.lit("small"), (F.col("id") % 500)).alias("src"),
+                F.col("id").alias("off"),
+                F.lit("{solo|").alias("content"),
+            )
+        )
+        kw = dict(
+            SourceKey="content", GroupKey="src", OrderKey="off",
+            StartPattern=r"^\{", EndPattern=r"\|",
+        )
+        plain = {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in MergeMultilineLog(**kw)(df).collect()
+        }
+        # 1024-row chunks → ~30 chunks for the giant group; events span
+        # chunk borders (period 7 does not divide 1024)
+        chunked = {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in MergeMultilineLog(ChunkRows=1024, **kw)(df).collect()
+        }
+        assert chunked == plain
+        assert len(plain) > 8_000
+
+    def test_multiline_fsm_chunked_modes_differential(self, spark):
+        """Chunk-parallel == plain across every FSM mode and treatment on
+        a seeded multi-group sequence with nulls (transfer-function
+        composition, boundary-count offsets, and end-of-input treatment
+        all pinned)."""
+        import random
+
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+
+        rng = random.Random(7)
+        rows = []
+        for g in ("g1", "g2"):
+            for i in range(40):
+                rows.append(
+                    (g, i, rng.choice(["S a", "c b", "E c", "x d", None]))
+                )
+        rows += [("tiny", 0, "S t"), ("tiny", 1, "c t")]
+        df = spark.createDataFrame(
+            rows, "src string, off long, content string"
+        )
+        modes = [
+            dict(StartPattern=r"^S"),
+            dict(StartPattern=r"^S", EndPattern=r"^E"),
+            dict(StartPattern=r"^S", ContinuePattern=r"^c"),
+            dict(StartPattern=r"^S", ContinuePattern=r"^c", EndPattern=r"^E"),
+            dict(ContinuePattern=r"^c", EndPattern=r"^E"),
+            dict(EndPattern=r"^E"),
+        ]
+        for i, mode in enumerate(modes):
+            treatment = "discard" if i % 2 else "single_line"
+            plain = MergeMultilineLog(
+                SourceKey="content", GroupKey="src", OrderKey="off",
+                UnmatchedContentTreatment=treatment, **mode,
+            )
+            chunk = MergeMultilineLog(
+                SourceKey="content", GroupKey="src", OrderKey="off",
+                UnmatchedContentTreatment=treatment, ChunkRows=7, **mode,
+            )
+            a = sorted(
+                (r.src, r.off, r.content, r.n_merged)
+                for r in plain(df).collect()
+            )
+            b = sorted(
+                (r.src, r.off, r.content, r.n_merged)
+                for r in chunk(df).collect()
+            )
+            assert a == b, (mode, treatment)
