@@ -1625,60 +1625,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship pipeline, (4) stable r01/r02-green remainder that safely
     # ages out of the window.
     return {
-        # -- round-4 new / changed (window head) ------------------------
+        # Dict ORDER matters: the driver runs only the first 50 entries.
+        # -- round-4 new / touched (window head: pivot-IVF value contract) --
         "ivf_ann_topk": q_ivf_ann,
         "ivf_ann_recall": q_ivf_ann_recall,
         "merge_multiline_skew_chunked": q_merge_multiline_skew_chunked,
-        # -- round-3 new / never-driver-checked ------------------------
-        "droplastkey_times": q_droplastkey_times,
-        "encrypt_roundtrip": q_encrypt_roundtrip,
-        "json_expand_flatten": q_json_expand_map,
-        "logstore_router_regex": q_logstore_router,
-        "pipeline_metrics_single_pass": q_metrics_single_pass,
-        "prom_parse_relabel": q_prom_parse_relabel,
-        "route_exclusive_tagged": q_exclusive_tagged_route,
-        "route_multicast_exploded": q_multicast_exploded,
-        "salted_agg_skew": q_salted_agg,
-        "otel_aggregator_route": q_otel_aggregator_route,
-        "skywalking_aggregator_route": q_skywalking_aggregator_route,
-        "embedding_pair_sim_topk": q_embedding_pair_sim,
-        "text_repetition_signals": q_text_repetition,
-        "decontaminate_5gram": q_decontaminate,
-        "multimodal_decode_stats": q_multimodal_decode,
-        "spl_let_multiparse": q_spl_let_multiparse,
-        "spl_parse_csv_pipeline": q_spl_parse_csv_pipeline,
-        "grok_apache_combined": q_grok_apache_combined,
-        "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
-        "parse_regex_go_plugin": q_parse_regex_go,
-        "lsh_ann_full_probe": q_lsh_ann_full_probe,
-        "ivf_full_probe": q_ivf_full_probe,
-        # -- semantics touched by the round-3 parity sweep -------------
-        "split_char_fields": q_split_char,
-        "string_replace_const": q_string_replace,
-        "appender_template": q_appender,
-        "fields_with_condition_case": q_fields_with_condition,
-        "base64_roundtrip": q_base64_roundtrip,
-        "anchor_extract": q_anchor,
-        "pack_json": q_pack_json,
         "merge_multiline_conversation": q_merge_conversation,
         "merge_multiline_continue_end": q_merge_multiline_continue_end,
-        "log_to_metric_reshape": q_log_to_metric,
-        "filter_key_regex_tag": q_filter_key_regex_tag,
-        "grok_compiled_dispatch": q_grok_delim,
-        "desensitize_regex": q_desensitize_regex,
-        "dict_map_fill_missing": q_dict_map_fill,
-        "dict_map_inplace": q_dict_map_inplace,
-        "filter_include_exclude": q_filter_include_exclude,
-        "enrich_dict_map_broadcast": q_enriched,
-        # -- flagship pipeline -----------------------------------------
-        "transcripts": q_transcripts,
-        "parse_grammar_dispatch": q_parse_dispatch,
-        "route_sink_model": _q_sink("sink_model"),
-        "route_sink_errors": _q_sink("sink_errors"),
-        "route_sink_all_multicast": _q_sink("sink_all"),
-        "pipeline_sink_metrics": q_sink_metrics,
+        "split_log_string_explode": q_split_explode,
+        "parse_container_log": q_parse_container_log,
+        "spl_where_extend_project": q_spl_pipeline,
+        "spl_let_multiparse": q_spl_let_multiparse,
+        "spl_parse_csv_pipeline": q_spl_parse_csv_pipeline,
+        "ivf_full_probe": q_ivf_full_probe,
+        "lsh_ann_full_probe": q_lsh_ann_full_probe,
+        "similarity_cosine_topk": q_cosine_topk,
+        "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
+        "embedding_pair_sim_topk": q_embedding_pair_sim,
+        "dedup_clusters_cc": q_dedup_clusters,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "exact_dedup": q_exact_dedup,
+        "multimodal_decode_stats": q_multimodal_decode,
         "streaming_parse_enrich": q_streaming_parse_enrich,
-        # -- stable r01/r02-green remainder (ages out of the 50-window) -
+        # -- stale r1/r2 rows, oldest first (VERDICT r3 #8 re-coverage) --
         "timestamp_strptime": q_timestamp_strptime,
         "csv_expand_others": q_csv_expand,
         "parse_regex_native": q_parse_regex,
@@ -1693,26 +1662,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md5_field": q_md5_field,
         "pick_key_projection": q_pick_key,
         "shardhash_distribution": q_shardhash,
-        "exact_dedup": q_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
         "text_lang_id": q_lang_id,
         "text_quality_signals": q_quality_signals,
         "text_token_counts": q_token_counts,
         "doc_fingerprint64": q_doc_fingerprint,
         "dedup_word_jaccard_pairs": q_word_jaccard_pairs,
-        "dedup_minhash_lsh": q_minhash_lsh,
-        "similarity_cosine_topk": q_cosine_topk,
-        "spl_where_extend_project": q_spl_pipeline,
-        "split_log_string_explode": q_split_explode,
         "range_lookup_geoip": q_range_lookup,
         "otel_log_reshape": q_otel_reshape,
         "otel_log_parse": q_otel_log_parse,
         "otel_metric_reshape": q_otel_metric_reshape,
         "otel_trace_reshape": q_otel_trace_reshape,
-        "parse_container_log": q_parse_container_log,
         "parse_from_pb": q_parse_from_pb,
         "text_gopher_quality": q_text_gopher_quality,
-        "dedup_clusters_cc": q_dedup_clusters,
+        # -- flagship pipeline --
+        "transcripts": q_transcripts,
+        "parse_grammar_dispatch": q_parse_dispatch,
+        "route_sink_model": _q_sink("sink_model"),
+        # -- r3-green stable remainder (ages out of the 50-window) --
+        "route_sink_errors": _q_sink("sink_errors"),
+        "route_sink_all_multicast": _q_sink("sink_all"),
+        "pipeline_sink_metrics": q_sink_metrics,
+        "droplastkey_times": q_droplastkey_times,
+        "encrypt_roundtrip": q_encrypt_roundtrip,
+        "json_expand_flatten": q_json_expand_map,
+        "logstore_router_regex": q_logstore_router,
+        "pipeline_metrics_single_pass": q_metrics_single_pass,
+        "prom_parse_relabel": q_prom_parse_relabel,
+        "route_exclusive_tagged": q_exclusive_tagged_route,
+        "route_multicast_exploded": q_multicast_exploded,
+        "salted_agg_skew": q_salted_agg,
+        "otel_aggregator_route": q_otel_aggregator_route,
+        "skywalking_aggregator_route": q_skywalking_aggregator_route,
+        "text_repetition_signals": q_text_repetition,
+        "decontaminate_5gram": q_decontaminate,
+        "grok_apache_combined": q_grok_apache_combined,
+        "parse_regex_go_plugin": q_parse_regex_go,
+        "split_char_fields": q_split_char,
+        "string_replace_const": q_string_replace,
+        "appender_template": q_appender,
+        "fields_with_condition_case": q_fields_with_condition,
+        "base64_roundtrip": q_base64_roundtrip,
+        "anchor_extract": q_anchor,
+        "pack_json": q_pack_json,
+        "log_to_metric_reshape": q_log_to_metric,
+        "filter_key_regex_tag": q_filter_key_regex_tag,
+        "grok_compiled_dispatch": q_grok_delim,
+        "desensitize_regex": q_desensitize_regex,
+        "dict_map_fill_missing": q_dict_map_fill,
+        "dict_map_inplace": q_dict_map_inplace,
+        "filter_include_exclude": q_filter_include_exclude,
+        "enrich_dict_map_broadcast": q_enriched,
     }
 
 

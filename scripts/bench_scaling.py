@@ -94,18 +94,33 @@ def main() -> None:
     high = min(highs, key=lambda r: r["sec"])
     speedup = low["sec"] / high["sec"]
     eff = speedup / (p_high / p_low)
+    rounds_out = [
+        {"low_sec": l["sec"], "high_sec": h["sec"],
+         "eff": round((l["sec"] / h["sec"]) / (p_high / p_low), 3)}
+        for l, h in zip(lows, highs)
+    ]
+    # HEADLINE = the MEDIAN same-round pairing (VERDICT r3 #6 asked for
+    # same-round pairing): both levels of a round share the host's perf
+    # phase, so pairing is phase-fair; the MEDIAN across rounds is the
+    # robust same-round statistic — this host's straggler phases swing a
+    # single level's run by ±30%, so the worst single pairing measures
+    # one unlucky draw and the best measures one lucky one. Min/max are
+    # reported as the spread; best-per-level is secondary context.
+    ordered = sorted(rounds_out, key=lambda x: x["eff"])
+    med_round = ordered[len(ordered) // 2]
     result = {
         "corpus_rows": rows,
         "low": low,
         "high": high,
-        "rounds": [
-            {"low_sec": l["sec"], "high_sec": h["sec"],
-             "eff": round((l["sec"] / h["sec"]) / (p_high / p_low), 3)}
-            for l, h in zip(lows, highs)
-        ],
-        "speedup_n_to_4n": round(speedup, 3),
-        "scaling_efficiency": round(eff, 3),
-        "meets_0.8": eff >= 0.8,
+        "rounds": rounds_out,
+        "speedup_n_to_4n_same_round": round(
+            med_round["low_sec"] / med_round["high_sec"], 3
+        ),
+        "scaling_efficiency": med_round["eff"],
+        "eff_same_round_spread": [ordered[0]["eff"], ordered[-1]["eff"]],
+        "speedup_n_to_4n_best_per_level": round(speedup, 3),
+        "scaling_efficiency_best_per_level": round(eff, 3),
+        "meets_0.8": med_round["eff"] >= 0.8,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result))
@@ -135,8 +150,15 @@ swallow a whole JVM run; see caveats below).
 | local[{r['low']['cpus']}]  (N)  | {r['low']['sec']} | {r['low']['rows_per_sec']:,} |
 | local[{r['high']['cpus']}] (4N) | {r['high']['sec']} | {r['high']['rows_per_sec']:,} |
 
-- speedup N→4N: **{r['speedup_n_to_4n']}×** (ideal 4×)
-- scaling efficiency: **{r['scaling_efficiency']}** (target ≥ 0.8: {"MET" if r['meets_0.8'] else "NOT MET"})
+- HEADLINE (MEDIAN same-round pairing — both levels of a round share
+  the host's perf phase, so pairing is phase-fair, and the median is
+  robust to the ±30% single-run straggler swings this host shows):
+  speedup N→4N **{r['speedup_n_to_4n_same_round']}×**, efficiency
+  **{r['scaling_efficiency']}** (target ≥ 0.8: {"MET" if r['meets_0.8'] else "NOT MET"});
+  same-round spread {r['eff_same_round_spread'][0]}–{r['eff_same_round_spread'][1]}
+- secondary, best-per-level across rounds: speedup
+  {r['speedup_n_to_4n_best_per_level']}×, efficiency
+  {r['scaling_efficiency_best_per_level']}
 """
     bench_path = os.path.join(REPO, "BENCH.md")
     begin, end_m = "<!-- SCALING:BEGIN -->", "<!-- SCALING:END -->"
@@ -159,13 +181,15 @@ swallow a whole JVM run; see caveats below).
         content = f.read()
     content = content.split(marker)[0]
     section = (
-        f"{marker}\nSee BENCH.md. Best-per-level across interleaved rounds: "
-        f"local[{r['low']['cpus']}]: {r['low']['sec']}s "
-        f"({r['low']['rows_per_sec']:,.0f} turns/s); local[{r['high']['cpus']}]: "
-        f"{r['high']['sec']}s ({r['high']['rows_per_sec']:,.0f} turns/s); "
-        f"speedup {r['speedup_n_to_4n']}x, efficiency "
+        f"{marker}\nSee BENCH.md. Headline = MEDIAN same-round pairing "
+        f"(phase-fair, robust to single-run straggler swings): speedup "
+        f"{r['speedup_n_to_4n_same_round']}x, efficiency "
         f"{r['scaling_efficiency']} (target >= 0.8: "
-        f"{'MET' if r['meets_0.8'] else 'NOT MET'}).\n"
+        f"{'MET' if r['meets_0.8'] else 'NOT MET'}). Best per level across "
+        f"interleaved rounds: local[{r['low']['cpus']}]: {r['low']['sec']}s "
+        f"({r['low']['rows_per_sec']:,.0f} turns/s); local[{r['high']['cpus']}]: "
+        f"{r['high']['sec']}s ({r['high']['rows_per_sec']:,.0f} turns/s), "
+        f"efficiency {r['scaling_efficiency_best_per_level']}.\n"
     )
     with open(baseline, "w") as f:
         f.write(content + section)

@@ -1382,3 +1382,110 @@ class TestSynthMediaOracle:
         mono, rate, ch = decode_wav(encode_wav_pcm16(samples, 44100, 1))
         assert rate == 44100 and ch == 1
         assert np.allclose(mono, samples.astype(np.float32) / 32768.0)
+
+
+def _encode_mjpeg_mp4(frame_arrays, duration_ms=3000, quant=2):
+    """Independent minimal Motion-JPEG MP4 writer: each frame is a
+    complete baseline JPEG (via the spec-following test encoder) laid
+    out in mdat, with a real stsz/stco/stsc sample table (one sample per
+    chunk) in a 'jpeg'-codec video track."""
+    import struct
+
+    jpegs = [_encode_jpeg(a, quant=quant) for a in frame_arrays]
+    sizes = [len(j) for j in jpegs]
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def full(btype, ver, flags, payload):
+        return box(btype, struct.pack(">B3s", ver, flags.to_bytes(3, "big")) + payload)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(jpegs))
+    base = len(ftyp) + 8  # first frame starts after the mdat header
+    offsets = []
+    off = base
+    for s in sizes:
+        offsets.append(off)
+        off += s
+
+    h0, w0 = frame_arrays[0].shape[:2]
+    tkhd = full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0)
+                + b"\x00" * 52 + struct.pack(">II", w0 << 16, h0 << 16))
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I4s4s", 0, b"vide", b"\x00" * 4)
+                + b"\x00" * 9)
+    entry = struct.pack(">I4s", 16, b"jpeg") + b"\x00" * 8
+    stsd = full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stsz = full(b"stsz", 0, 0, struct.pack(">II", 0, len(sizes))
+                + struct.pack(f">{len(sizes)}I", *sizes))
+    stco = full(b"stco", 0, 0, struct.pack(">I", len(offsets))
+                + struct.pack(f">{len(offsets)}I", *offsets))
+    stsc = full(b"stsc", 0, 0, struct.pack(">I", 1)
+                + struct.pack(">III", 1, 1, 1))
+    stbl = box(b"stbl", stsd + stsz + stco + stsc)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, 1000, duration_ms) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+class TestMjpegFrameDecode:
+    """VERDICT r3 #9: a real pixel path for at least one video codec —
+    Motion-JPEG samples are complete JPEGs, so the container sample
+    table + decode_jpeg decodes frames with no codec library."""
+
+    def _frames(self):
+        import numpy as np
+
+        f0 = np.full((16, 16, 3), 64, dtype=np.uint8)
+        f1 = np.full((16, 16, 3), 192, dtype=np.uint8)
+        g = np.zeros((16, 16, 3), dtype=np.uint8)
+        g[:, :, 0] = np.linspace(0, 255, 16, dtype=np.uint8)[None, :]
+        return [f0, f1, g]
+
+    def test_decode_all_frames_roundtrip(self):
+        import numpy as np
+
+        from loongcollector_spark.functions.multimodal import (
+            decode_mjpeg_frames,
+        )
+
+        frames = self._frames()
+        payload = _encode_mjpeg_mp4(frames)
+        out = decode_mjpeg_frames(payload)
+        assert [i for i, _ in out] == [0, 1, 2]
+        for (_, got), want in zip(out, frames):
+            assert got.shape == want.shape
+            # JPEG is lossy: assert closeness, not equality
+            assert float(np.abs(got.astype(int) - want.astype(int)).mean()) < 12
+
+    def test_frame_indices_subset(self):
+        from loongcollector_spark.functions.multimodal import (
+            decode_mjpeg_frames,
+        )
+
+        payload = _encode_mjpeg_mp4(self._frames())
+        out = decode_mjpeg_frames(payload, frame_indices=[2])
+        assert len(out) == 1 and out[0][0] == 2
+
+    def test_video_features_carry_first_frame_mean(self):
+        from loongcollector_spark.functions.multimodal import _decode_one
+
+        payload = _encode_mjpeg_mp4(self._frames())
+        feats = _decode_one(payload, "video/mp4", deterministic_fake=False)
+        # frame 0 is constant 64 → mean/255 ≈ 0.25 (JPEG-lossy tolerance)
+        assert abs(feats[7] - 64 / 255) < 0.05
+        assert feats[4] == 1.0  # vide handler present
+
+    def test_non_mjpeg_still_raises(self):
+        import pytest as _pytest
+
+        from loongcollector_spark.functions.multimodal import (
+            decode_mjpeg_frames,
+        )
+
+        with _pytest.raises(NotImplementedError, match="codec"):
+            decode_mjpeg_frames(_encode_mp4())
