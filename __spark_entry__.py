@@ -493,6 +493,64 @@ def q_merge_multiline_skew_chunked(spark, sf_dir):
     )
 
 
+def q_merge_multiline_auto_chunked(spark, sf_dir):
+    """ChunkRows='auto' (VERDICT r4 #5): one metadata-sized group-count
+    probe routes chunked-vs-plain and sizes ChunkRows. Same input/config
+    as merge_multiline_continue_end, so it shares that closed-form
+    oracle — at sf scale the probe picks the plain path and the value
+    check pins that the routing is semantically free; the chunked route
+    is differentially pinned in tests/test_scale_patterns.py."""
+    from loongcollector_spark.operators.splits import MergeMultilineLog
+
+    t = _transcripts(spark, sf_dir)
+    proc = MergeMultilineLog(
+        SourceKey="text",
+        GroupKey="conv_id",
+        OrderKey="turn_idx",
+        ContinuePattern=r"^u\d+\t",
+        EndPattern=r"^\{",
+        UnmatchedContentTreatment="single_line",
+        ChunkRows="auto",
+    )
+    out = proc(t)
+    return out.select(
+        "conv_id",
+        F.col("text").alias("merged_text"),
+        F.col("turn_idx").cast("int").alias("turn_start"),
+        F.col("n_merged").cast("long").alias("n_merged"),
+    )
+
+
+def q_spl_scalar_dialect(spark, sf_dir):
+    """r5 Presto-dialect parity surfaces through the SPL compiler
+    (functions/spl.py): VARBINARY digests (md5 → unhex), ISO
+    day_of_week on the NTZ ts column, 1-arg from_unixtime returning
+    TIMESTAMP (round-tripped through to_unixtime so the oracle is
+    tz-free), json_parse canonicalization feeding json_size, and the
+    bits=64 3-arg logical shift (ADVICE r4 fix)."""
+    from loongcollector_spark.functions.spl import run_spl
+
+    t = _transcripts(spark, sf_dir)
+    out = run_spl(
+        t,
+        "* | where role = 'assistant' "
+        "| extend dw = day_of_week(ts), "
+        "md = to_hex(md5(to_utf8(text))), "
+        'js = json_size(json_parse(\'{"a": [1, 2, 3]}\'), \'$.a\'), '
+        "sh = bitwise_logical_shift_right(cast(turn_idx as bigint) + 1024, 3, 64), "
+        "fu = to_unixtime(from_unixtime(1534521600)) "
+        "| project conv_id, turn_idx, dw, md, js, sh, fu",
+    )[0]
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("dw").cast("int").alias("dw"),
+        "md",
+        F.col("js").cast("int").alias("js"),
+        F.col("sh").cast("long").alias("sh"),
+        F.col("fu").cast("long").alias("fu"),
+    )
+
+
 def q_grok_delim(spark, sf_dir):
     """Grok over the delimiter grammar rows (compiled pattern dispatch)."""
     from loongcollector_spark.operators.grok import Grok
@@ -1619,67 +1677,24 @@ def q_multimodal_decode(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver runs only the first 50 entries.
-    # Priority: (1) round-3 new queries + the 9 never driver-checked,
-    # (2) every query whose operator semantics the round-3 parity sweep
-    # touched (the driver artifact re-verifies the changes), (3) the
-    # flagship pipeline, (4) stable r01/r02-green remainder that safely
-    # ages out of the window.
+    # r5 rotation (VERDICT r4 #7): (1) round-5 new queries + every query
+    # whose code path round 5 touched (chunked FSM rewrite, start-only
+    # null fix, SPL dialect fixes, minhash family), (2) the 33 rows whose
+    # last driver check is r3 (oldest first — they have local MATCHes but
+    # the driver artifact is the durable record), (3) oldest r4-window
+    # rows to fill the 50, (4) r4-green remainder that safely ages out.
     return {
-        # Dict ORDER matters: the driver runs only the first 50 entries.
-        # -- round-4 new / touched (window head: pivot-IVF value contract) --
-        "ivf_ann_topk": q_ivf_ann,
-        "ivf_ann_recall": q_ivf_ann_recall,
-        "merge_multiline_skew_chunked": q_merge_multiline_skew_chunked,
+        # -- round-5 new / touched --
+        "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
+        "spl_scalar_dialect": q_spl_scalar_dialect,
         "merge_multiline_conversation": q_merge_conversation,
+        "merge_multiline_skew_chunked": q_merge_multiline_skew_chunked,
         "merge_multiline_continue_end": q_merge_multiline_continue_end,
-        "split_log_string_explode": q_split_explode,
-        "parse_container_log": q_parse_container_log,
+        "dedup_minhash_lsh": q_minhash_lsh,
         "spl_where_extend_project": q_spl_pipeline,
         "spl_let_multiparse": q_spl_let_multiparse,
         "spl_parse_csv_pipeline": q_spl_parse_csv_pipeline,
-        "ivf_full_probe": q_ivf_full_probe,
-        "lsh_ann_full_probe": q_lsh_ann_full_probe,
-        "similarity_cosine_topk": q_cosine_topk,
-        "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
-        "embedding_pair_sim_topk": q_embedding_pair_sim,
-        "dedup_clusters_cc": q_dedup_clusters,
-        "dedup_minhash_lsh": q_minhash_lsh,
-        "exact_dedup": q_exact_dedup,
-        "multimodal_decode_stats": q_multimodal_decode,
-        "streaming_parse_enrich": q_streaming_parse_enrich,
-        # -- stale r1/r2 rows, oldest first (VERDICT r3 #8 re-coverage) --
-        "timestamp_strptime": q_timestamp_strptime,
-        "csv_expand_others": q_csv_expand,
-        "parse_regex_native": q_parse_regex,
-        "parse_regex_keepfail_matrix": q_parse_regex_keepfail,
-        "parse_json_native": q_parse_json,
-        "parse_delimiter_native": q_parse_delimiter,
-        "parse_apsara_native": q_parse_apsara,
-        "parse_kv": q_parse_kv,
-        "filter_condition_exp": q_filter_condition_exp,
-        "timestamp_filter": q_timestamp_filter,
-        "rate_limit_windowed": q_rate_limit,
-        "md5_field": q_md5_field,
-        "pick_key_projection": q_pick_key,
-        "shardhash_distribution": q_shardhash,
-        "doc_token_stats": q_doc_token_stats,
-        "text_lang_id": q_lang_id,
-        "text_quality_signals": q_quality_signals,
-        "text_token_counts": q_token_counts,
-        "doc_fingerprint64": q_doc_fingerprint,
-        "dedup_word_jaccard_pairs": q_word_jaccard_pairs,
-        "range_lookup_geoip": q_range_lookup,
-        "otel_log_reshape": q_otel_reshape,
-        "otel_log_parse": q_otel_log_parse,
-        "otel_metric_reshape": q_otel_metric_reshape,
-        "otel_trace_reshape": q_otel_trace_reshape,
-        "parse_from_pb": q_parse_from_pb,
-        "text_gopher_quality": q_text_gopher_quality,
-        # -- flagship pipeline --
-        "transcripts": q_transcripts,
-        "parse_grammar_dispatch": q_parse_dispatch,
-        "route_sink_model": _q_sink("sink_model"),
-        # -- r3-green stable remainder (ages out of the 50-window) --
+        # -- last driver check r3: re-cover (oldest first) --
         "route_sink_errors": _q_sink("sink_errors"),
         "route_sink_all_multicast": _q_sink("sink_all"),
         "pipeline_sink_metrics": q_sink_metrics,
@@ -1713,6 +1728,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_map_inplace": q_dict_map_inplace,
         "filter_include_exclude": q_filter_include_exclude,
         "enrich_dict_map_broadcast": q_enriched,
+        # -- oldest r4-window rows (fill the 50) --
+        "timestamp_strptime": q_timestamp_strptime,
+        "csv_expand_others": q_csv_expand,
+        "parse_regex_native": q_parse_regex,
+        "parse_regex_keepfail_matrix": q_parse_regex_keepfail,
+        "parse_json_native": q_parse_json,
+        "parse_delimiter_native": q_parse_delimiter,
+        "parse_apsara_native": q_parse_apsara,
+        # -- r4-green remainder (ages out of the 50-window) --
+        "parse_kv": q_parse_kv,
+        "filter_condition_exp": q_filter_condition_exp,
+        "timestamp_filter": q_timestamp_filter,
+        "rate_limit_windowed": q_rate_limit,
+        "md5_field": q_md5_field,
+        "pick_key_projection": q_pick_key,
+        "shardhash_distribution": q_shardhash,
+        "doc_token_stats": q_doc_token_stats,
+        "text_lang_id": q_lang_id,
+        "text_quality_signals": q_quality_signals,
+        "text_token_counts": q_token_counts,
+        "doc_fingerprint64": q_doc_fingerprint,
+        "dedup_word_jaccard_pairs": q_word_jaccard_pairs,
+        "range_lookup_geoip": q_range_lookup,
+        "otel_log_reshape": q_otel_reshape,
+        "otel_log_parse": q_otel_log_parse,
+        "otel_metric_reshape": q_otel_metric_reshape,
+        "otel_trace_reshape": q_otel_trace_reshape,
+        "parse_from_pb": q_parse_from_pb,
+        "text_gopher_quality": q_text_gopher_quality,
+        "transcripts": q_transcripts,
+        "parse_grammar_dispatch": q_parse_dispatch,
+        "route_sink_model": _q_sink("sink_model"),
+        "ivf_ann_topk": q_ivf_ann,
+        "ivf_ann_recall": q_ivf_ann_recall,
+        "split_log_string_explode": q_split_explode,
+        "parse_container_log": q_parse_container_log,
+        "ivf_full_probe": q_ivf_full_probe,
+        "lsh_ann_full_probe": q_lsh_ann_full_probe,
+        "similarity_cosine_topk": q_cosine_topk,
+        "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
+        "embedding_pair_sim_topk": q_embedding_pair_sim,
+        "dedup_clusters_cc": q_dedup_clusters,
+        "exact_dedup": q_exact_dedup,
+        "multimodal_decode_stats": q_multimodal_decode,
+        "streaming_parse_enrich": q_streaming_parse_enrich,
     }
 
 
@@ -1980,6 +2040,17 @@ FROM seg s JOIN segstat g ON s.conv_id = g.conv_id AND s.grp = g.grp
 WHERE NOT ((NOT g.last_c) AND g.last_e)"""
     # identical closed form — the skew-chunked path must match it
     sql["merge_multiline_skew_chunked"] = sql["merge_multiline_continue_end"]
+    # ... and the auto-routed path (probe picks plain at contract scale)
+    sql["merge_multiline_auto_chunked"] = sql["merge_multiline_continue_end"]
+
+    sql["spl_scalar_dialect"] = _T + """
+SELECT conv_id, turn_idx,
+       CAST(isodow(ts) AS INT) AS dw,
+       upper(md5(text)) AS md,
+       CAST(3 AS INT) AS js,
+       CAST((CAST(turn_idx AS BIGINT) + 1024) // 8 AS BIGINT) AS sh,
+       CAST(1534521600 AS BIGINT) AS fu
+FROM transcripts WHERE role = 'assistant'"""
 
     sql["merge_multiline_conversation"] = _T + """
 SELECT conv_id,

@@ -33,6 +33,46 @@ def noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- host canary (VERDICT r4 #1) -----------------------------------------
+# Fixed pure-compute workloads whose timing depends only on host health —
+# JVM codegen throughput and single-core Python speed. Best-known values
+# measured in a verified-quiet window on this sandbox (BENCH.md §canary);
+# a run whose canary is >1.25x best-known is in a degraded host phase and
+# its absolute timings should not be compared across rounds.
+CANARY_JVM_BEST = 0.14   # spark.range(5e8).sum(), seconds (local[32])
+CANARY_PY_BEST = 0.52    # 1-core 10^7-iteration arithmetic loop, seconds
+CANARY_DEGRADED_RATIO = 1.25
+
+
+def run_canary(spark) -> dict:
+    import time as _t
+
+    # JVM: whole-stage-codegen sum over a range — no shuffle, no Python.
+    # One discarded warmup rep: on a cold JVM the first executions run
+    # interpreted/tier-1 and would bias even a min-of-3.
+    spark.range(500_000_000).agg(F.sum("id")).collect()
+    jvm_best = float("inf")
+    for _ in range(3):
+        t0 = _t.time()
+        spark.range(500_000_000).agg(F.sum("id")).collect()
+        jvm_best = min(jvm_best, _t.time() - t0)
+    # Python: single-core arithmetic loop (hypervisor steal shows here)
+    py_best = float("inf")
+    for _ in range(3):
+        t0 = _t.time()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i * i
+        py_best = min(py_best, _t.time() - t0)
+    ratio = max(jvm_best / CANARY_JVM_BEST, py_best / CANARY_PY_BEST)
+    return {
+        "canary_jvm_sec": round(jvm_best, 3),
+        "canary_python_sec": round(py_best, 3),
+        "canary_ratio_vs_best": round(ratio, 3),
+        "canary_quiet": bool(ratio <= CANARY_DEGRADED_RATIO),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +103,9 @@ def main() -> None:
     pipe = tp.TranscriptPipeline()
     timings: dict[str, float] = {}
     extras: dict[str, object] = {}
+
+    # host canary before the battery (and again after — see end)
+    extras["canary_pre"] = run_canary(spark)
 
     benched: list = []  # (name, fn) for the straggler-recovery sweep
 
@@ -198,14 +241,25 @@ def main() -> None:
     from loongcollector_spark.functions.dedup import (
         dedup_clusters,
         minhash_lsh_candidates,
+        minhash_lsh_stages,
     )
     from loongcollector_spark.functions.similarity import lsh_ann_topk
 
     timed(
         "minhash_lsh_candidates",
         lambda: noop_write(minhash_lsh_candidates(docs)),
-        n=min(reps, 2),  # ~7 s/run — min-of-2 + sweep keeps wall-time sane
+        n=min(reps, 2),  # multi-stage — min-of-2 + sweep keeps wall-time sane
     )
+    # per-stage decomposition (VERDICT r4 #2): each row is CUMULATIVE from
+    # the scan; deltas between consecutive rows attribute the wall-clock
+    for stage_name in ("signature", "banded_capped", "pairs"):
+        timed(
+            f"minhash_stage_{stage_name}",
+            (lambda sn: lambda: noop_write(minhash_lsh_stages(docs)[sn]))(
+                stage_name
+            ),
+            n=min(reps, 2),
+        )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ann_queries = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -219,7 +273,8 @@ def main() -> None:
     # iterative CC: pairs materialized once (pair generation is the
     # minhash_lsh_candidates row above); the timing isolates the
     # label-propagation rounds, dedup_clusters' real cost
-    pairs_path = f"/tmp/lc_bench/pairs_{sf}"
+    # _v2: the r5 single-string-hash minhash family changed pair contents
+    pairs_path = f"/tmp/lc_bench/pairs_v2_{sf}"
     if not os.path.exists(pairs_path + "/_SUCCESS"):
         minhash_lsh_candidates(docs).write.mode("overwrite").parquet(pairs_path)
     cc_pairs = spark.read.parquet(pairs_path)
@@ -242,6 +297,13 @@ def main() -> None:
                 fn()
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
+
+    # post-battery canary: a degraded phase that began mid-run shows here
+    extras["canary_post"] = run_canary(spark)
+    extras["canary_quiet"] = bool(
+        extras["canary_pre"]["canary_quiet"]
+        and extras["canary_post"]["canary_quiet"]
+    )
 
     # throughput from the FINAL (post-sweep) pipeline timing
     if "pipeline_end_to_end" in timings:

@@ -51,20 +51,37 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """K minhashes: min over xxhash64(shingle, seed_i). Array<long> of
-    length ``num_hashes``; built-ins only (aggregate over the shingle
-    array per hash seed)."""
-    # NB: the transform lambda must take ONE arg — a two-arg lambda makes
-    # Spark bind the second param to the ELEMENT INDEX, which would shadow
-    # a default-arg seed and collapse the whole hash family (caught by
-    # tests/test_hash_golden.py golden vectors).
-    def _hasher(seed: int):
-        return lambda s: F.xxhash64(s, F.lit(seed))
+def shingle_hashes(shingle_col: Column) -> Column:
+    """xxhash64 of each shingle — the ONE string traversal per shingle.
+    Materialize this as its own projected column before calling
+    :func:`minhash_signature` so the K family members mix the cached
+    longs instead of re-hashing the strings K times (VERDICT r4 #2:
+    the old per-seed string hashing cost K× the string traversals)."""
+    # NB: one-arg lambda — a two-arg transform lambda binds the second
+    # param to the ELEMENT INDEX (pinned by tests/test_hash_golden.py).
+    return F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32,
+                      prehashed: bool = False) -> Column:
+    """K minhashes over a shingle array. Family member i =
+    xxhash64(base_hash, i) where base_hash = xxhash64(shingle) — each
+    shingle string is traversed ONCE; the K-member family derives from
+    codegen-cheap 8-byte long mixes (Spark chains fields: the base
+    hash seeds the int literal's 4-byte hash). Array<long> of length
+    ``num_hashes``; built-ins only.
+
+    ``prehashed=True``: ``shingle_col`` is already the array<long> from
+    :func:`shingle_hashes` (the zero-recompute path).
+    """
+    base = shingle_col if prehashed else shingle_hashes(shingle_col)
+
+    def _mixer(seed: int):
+        return lambda h: F.xxhash64(h, F.lit(seed))
 
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, _hasher(i)))
+            F.array_min(F.transform(base, _mixer(i)))
             for i in range(num_hashes)
         ]
     )
@@ -76,7 +93,7 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def minhash_lsh_candidates(
+def minhash_lsh_stages(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -85,24 +102,24 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     max_bucket: int = 200,
     min_jaccard: float = 0.8,
-) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
-
-    Plan shape: project (shingles, signature) → explode to B band keys →
-    shuffle on (band, band_hash) **carrying only (id, band, bucket)** →
-    per-bucket self-join (bounded by ``max_bucket``) → distinct candidate
-    id pairs → join the shingle arrays back BY ID for the exact-Jaccard
-    verify. The band fan-out never multiplies the shingle payload (at
-    100 TB the ×B banded shuffle moves 3 small columns, and shingles ride
-    exactly one shuffle per side of the verify join). Returns
-    (id_a, id_b, jaccard_sim) with id_a < id_b.
-    """
+) -> dict[str, DataFrame]:
+    """The MinHash-LSH pipeline as named stages (each cumulative from the
+    scan) so bench.py can time where the wall-clock goes:
+    ``signature`` → ``banded_capped`` → ``pairs`` → ``verified``.
+    :func:`minhash_lsh_candidates` returns ``verified``."""
     rows_per_band = num_hashes // bands
     docs_sh = df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    base = docs_sh.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # hash each shingle string once; the K-member family mixes the longs
+    # (separate projections so CollapseProject can't re-inline the
+    # expensive string work into the K references — VERDICT r4 #2)
+    base = docs_sh.withColumn(
+        "sh_h", shingle_hashes(F.col("sh"))
+    ).withColumn(
+        "sig", minhash_signature(F.col("sh_h"), num_hashes, prehashed=True)
+    )
     band_arrays = F.array(
         *[
             F.struct(
@@ -147,13 +164,53 @@ def minhash_lsh_candidates(
     # banded shuffle never carried the heavy arrays
     sh_a = docs_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = docs_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    verified = (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= min_jaccard)
         .select("id_a", "id_b", "jaccard_sim")
     )
+    return {
+        "signature": base.select("id", "sig"),
+        "banded_capped": banded,
+        "pairs": pairs,
+        "verified": verified,
+    }
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH with exact-Jaccard verification.
+
+    Plan shape: project (shingle hashes, signature — ONE xxhash64 string
+    traversal per shingle, K long-mix family members) → explode to B band
+    keys → shuffle on (band, band_hash) **carrying only (id, band,
+    bucket)** → per-bucket self-join (bounded by ``max_bucket``) →
+    distinct candidate id pairs → join the shingle arrays back BY ID for
+    the exact-Jaccard verify. The band fan-out never multiplies the
+    shingle payload (at 100 TB the ×B banded shuffle moves 3 small
+    columns, and shingles ride exactly one shuffle per side of the
+    verify join). Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    return minhash_lsh_stages(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
+        min_jaccard=min_jaccard,
+    )["verified"]
 
 
 class UnconvergedClusteringError(RuntimeError):

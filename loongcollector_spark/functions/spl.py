@@ -68,6 +68,10 @@ _SIMPLE_RENAMES = {
     "bitwise_right_shift": "shiftrightunsigned",
     "bitwise_arithmetic_shift_right": "shiftright",
     "bitwise_right_shift_arithmetic": "shiftright",
+    # Presto xxhash64(varbinary) is seed-0 over the raw bytes returning
+    # VARBINARY; Spark's builtin is seed-42 over typed values → a
+    # registered UDF, not a rename onto the builtin
+    "xxhash64": "presto_xxhash64",
 }
 
 _TYPE_RENAMES = {
@@ -105,8 +109,13 @@ def translate_expr(expr: str) -> str:
     for a, b in _SIMPLE_RENAMES.items():
         out = re.sub(rf"(?<![\w.]){a}\s*\(", b + "(", out)
 
-    # deferred sha2 marker
-    out = re.sub(r"sha2__(\d+)\(([^()]*)\)", r"sha2(\2, \1)", out)
+    # deferred sha2 marker — Presto sha256/sha512 return VARBINARY
+    # (Spark's sha2 renders hex text): unhex back to the raw digest
+    out = re.sub(r"sha2__(\d+)\(([^()]*)\)", r"unhex(sha2(\2, \1))", out)
+
+    # Presto md5/sha1(varbinary) → varbinary digest (Spark's return hex)
+    out = _rewrite_calls(out, "md5", lambda a: f"unhex(md5({a[0]}))")
+    out = _rewrite_calls(out, "sha1", lambda a: f"unhex(sha1({a[0]}))")
 
     # replace(a, b) (2-arg Presto remove) → replace(a, b, '')
     out = _fix_two_arg_replace(out)
@@ -149,22 +158,34 @@ def translate_expr(expr: str) -> str:
     out = _rewrite_calls(out, "map", lambda a: (
         f"map_from_arrays({', '.join(a)})" if len(a) == 2 else f"map({', '.join(a)})"
     ))
-    out = _rewrite_calls(out, "json_parse", lambda a: f"({a[0]})")
+    # Presto json_parse CANONICALIZES (whitespace dropped); the JSON value
+    # stays a canonical STRING here so every downstream json_* keeps
+    # working on it (json_format is then the identity). Spark 4's variant
+    # round-trip does the canonicalization JVM-side.
+    out = _rewrite_calls(
+        out, "json_parse", lambda a: f"to_json(try_parse_json({a[0]}))"
+    )
     out = _rewrite_calls(out, "json_format", lambda a: f"({a[0]})")
     out = _rewrite_calls(out, "to_utf8", lambda a: f"cast({a[0]} as binary)")
     out = _rewrite_calls(out, "from_utf8", lambda a: f"cast({a[0]} as string)")
     # Presto repeat(element, count) returns an ARRAY (Spark's repeat is
-    # string repetition — different function entirely)
-    out = re.sub(r"(?<![\w.])repeat\s*\(", "array_repeat(", out)
+    # string repetition — different function entirely). _rewrite_calls is
+    # literal-aware, so 'repeat(' inside a string stays untouched.
+    out = _rewrite_calls(
+        out, "repeat", lambda a: f"array_repeat({', '.join(a)})"
+    )
     # Presto 2-arg from_unixtime(unixtime, zone): timestamp rendered in
     # that zone (Spark's 2nd arg is a FORMAT string — not the same!)
     out = _rewrite_calls(out, "from_unixtime", lambda a: (
         f"convert_timezone('UTC', {a[1]}, "
         f"cast(from_unixtime({a[0]}) as timestamp_ntz))"
-        if len(a) == 2 else f"from_unixtime({', '.join(a)})"
+        if len(a) == 2
+        # 1-arg: Presto returns a TIMESTAMP (Spark renders a string)
+        else f"cast(from_unixtime({a[0]}) as timestamp)"
     ))
-    # Presto ROW constructor as a lambda body: (y, x) → struct(y, x)
-    out = re.sub(r"(->\s*)\(([^()]+,[^()]+)\)", r"\1struct(\2)", out)
+    # Presto ROW constructor as a lambda body: -> (y, x) → -> struct(y, x)
+    # (literal-aware scanner; handles nested parens like -> (f(x), y))
+    out = _rewrite_row_ctor(out)
     # Presto day_of_week/dow are ISO-8601 (1=Monday..7=Sunday); Spark's
     # dayofweek is 1=Sunday..7=Saturday — remap (parity fix, r4)
     for _dowfn in ("day_of_week", "dow"):
@@ -190,8 +211,14 @@ def translate_expr(expr: str) -> str:
     # mask-after); LOGICAL RIGHT shift masks the VALUE first — 1342>>9
     # within 8 bits is (1342 & 255) >> 9 = 0, not (1342 >> 9) & 255.
     # Mask built with shiftleft (no pow() double → ANSI-unsafe casts).
+    # bits=64 needs a special case: the JVM masks shift amounts mod 64,
+    # so shiftleft(1, 64) is 1 and the mask formula would yield 0 — the
+    # full 64-bit window's mask is simply -1 (all ones).
     def _mask(bits):
-        return f"(shiftleft(cast(1 as bigint), {bits}) - 1)"
+        return (
+            f"(if(({bits}) = 64, cast(-1 as bigint), "
+            f"shiftleft(cast(1 as bigint), {bits}) - 1))"
+        )
 
     def _shift3_left(a):
         if len(a) == 3:
@@ -417,8 +444,16 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
     return parts
 
 
+def _in_string_literal(expr: str, pos: int) -> bool:
+    """Is ``pos`` inside a single-quoted SQL string literal? Quote parity
+    over the prefix (Presto escapes a quote as '' — two quotes — so
+    parity stays correct across escaped quotes)."""
+    return expr.count("'", 0, pos) % 2 == 1
+
+
 def _rewrite_calls(expr: str, fname: str, rewriter) -> str:
-    """Find fname( ... ) calls, split top-level args, apply rewriter(args)."""
+    """Find fname( ... ) calls, split top-level args, apply rewriter(args).
+    Matches inside single-quoted string literals are left untouched."""
     out, i = [], 0
     pat = re.compile(rf"(?<![\w.]){fname}\s*\(", re.IGNORECASE)
     while True:
@@ -426,6 +461,10 @@ def _rewrite_calls(expr: str, fname: str, rewriter) -> str:
         if not m:
             out.append(expr[i:])
             return "".join(out)
+        if _in_string_literal(expr, m.start()):
+            out.append(expr[i : m.end()])
+            i = m.end()
+            continue
         out.append(expr[i : m.start()])
         # find matching close paren
         depth, j, in_str = 1, m.end(), False
@@ -442,6 +481,49 @@ def _rewrite_calls(expr: str, fname: str, rewriter) -> str:
         args = [a.strip() for a in _split_top_level(inner)]
         out.append(rewriter(args))
         i = j
+
+
+def _rewrite_row_ctor(expr: str) -> str:
+    """Presto ROW constructor in a lambda body: ``-> (a, b)`` →
+    ``-> struct(a, b)``. A scanner, not a regex: skips ``->`` inside
+    string literals, finds the MATCHING close paren (so nested calls like
+    ``-> (f(x), y)`` rewrite correctly), and only fires when the
+    parenthesized body has a top-level comma (a bare ``-> (expr)`` is
+    ordinary grouping, not a ROW)."""
+    out, i = [], 0
+    while True:
+        k = expr.find("->", i)
+        if k < 0:
+            out.append(expr[i:])
+            return "".join(out)
+        if _in_string_literal(expr, k):
+            out.append(expr[i : k + 2])
+            i = k + 2
+            continue
+        j = k + 2
+        while j < len(expr) and expr[j].isspace():
+            j += 1
+        if j >= len(expr) or expr[j] != "(":
+            out.append(expr[i : j])
+            i = j
+            continue
+        # matching close paren, literal-aware
+        depth, p, in_str = 1, j + 1, False
+        while p < len(expr) and depth:
+            c = expr[p]
+            if c == "'":
+                in_str = not in_str
+            elif not in_str and c == "(":
+                depth += 1
+            elif not in_str and c == ")":
+                depth -= 1
+            p += 1
+        inner = expr[j + 1 : p - 1]
+        if len(_split_top_level(inner)) > 1:
+            out.append(expr[i:k] + "-> struct(" + _rewrite_row_ctor(inner) + ")")
+        else:
+            out.append(expr[i:k] + "-> (" + _rewrite_row_ctor(inner) + ")")
+        i = p
 
 
 def _fix_regexp_group_default(expr: str) -> str:
@@ -696,6 +778,27 @@ class SplProgram:
 
         spark.udf.register("spooky_hash_v2_32", make_spooky(32))
         spark.udf.register("spooky_hash_v2_64", make_spooky(64))
+
+        # Presto xxhash64: seed-0 XXH64 of the raw bytes, returned as the
+        # 8-byte little-endian varbinary (Presto stores the long via
+        # Slice.setLong — LE on every production platform). Anchored to
+        # published XXH64 known-answer vectors in tests/test_hash_golden.py.
+        from loongcollector_spark.functions.xxh64 import xxh64 as _xxh64
+
+        @F.pandas_udf("binary")
+        def _presto_xxhash64(data):
+            import pandas as pd
+
+            return pd.Series(
+                [
+                    None
+                    if d is None
+                    else _xxh64(bytes(d)).to_bytes(8, "little")
+                    for d in data
+                ]
+            )
+
+        spark.udf.register("presto_xxhash64", _presto_xxhash64)
 
         # HLL sketch family: Spark's native approx family covers the
         # semantics (hll_sketch_agg / hll_union / approx_count_distinct);

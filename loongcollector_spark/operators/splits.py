@@ -327,7 +327,15 @@ def _scan_open_state(u, v, p0: bool):
     return out
 
 
-def _open_region_head_single(o, s, c, e, has_s, has_c, has_e):
+# ChunkRows="auto": a group must exceed this many rows before the
+# 3-shuffle chunk-parallel FSM beats the single-task plain path (the
+# crossover measured in BENCH.md sits between a 400k-row and a 4M-row
+# hot group; 1M is the conservative middle).
+_AUTO_MIN_GROUP = 1_000_000
+
+
+def _open_region_head_single(o, s, c, e, has_s, has_c, has_e,
+                             merge_unmatched=False):
     """For ONE group sorted by order: the order value of the first line
     of the EOF-*open* region — the suffix whose merge outcome could
     still change if more lines arrived — or None when the group's whole
@@ -369,6 +377,13 @@ def _open_region_head_single(o, s, c, e, has_s, has_c, has_e):
     p = _scan_open_state(u, v, False)
     p_after = (p[n - 1] & u[n - 1]) | (~p[n - 1] & v[n - 1])
     if not p_after:
+        if merge_unmatched and not (has_c or has_e):
+            # start-only 'merge' extension: p_after False ⟺ no start
+            # marker yet, so the WHOLE group is one still-growing merged
+            # leading event — fully open (ADVICE r4: without this,
+            # streaming emitted the head per trigger while batch merges
+            # it into one event)
+            return o[0]
         return None
     if has_s and has_c and not has_e:
         boundary = s & (~p | ~c)
@@ -689,6 +704,18 @@ class MergeMultilineLog(Processor):
         for p in (StartPattern, ContinuePattern, EndPattern):
             if p:
                 re.compile(p)  # fail fast at config time, like Init()
+        if UnmatchedContentTreatment == "merge" and (
+            ContinuePattern or EndPattern
+        ):
+            # the 'merge' extension (leading rows before the first start
+            # marker collapse into ONE event) is only defined for the
+            # Start-only mode; in FSM modes unmatched lines are interior,
+            # where 'merge' has no reference-grounded meaning
+            raise ValueError(
+                "UnmatchedContentTreatment='merge' requires a Start-only "
+                "pattern (engine extension; reference treatments are "
+                "single_line/discard)"
+            )
         self.source_key = SourceKey
         self.start_pattern = StartPattern
         self.continue_pattern = ContinuePattern
@@ -696,12 +723,8 @@ class MergeMultilineLog(Processor):
         self.group_key = GroupKey
         self.order_key = OrderKey
         self.unmatched = UnmatchedContentTreatment
-        if ChunkRows is not None and ChunkRows < 2:
-            raise ValueError("ChunkRows must be >= 2")
-        if ChunkRows is not None and UnmatchedContentTreatment == "merge":
-            raise ValueError(
-                "ChunkRows does not support the 'merge' treatment extension"
-            )
+        if ChunkRows is not None and ChunkRows != "auto" and ChunkRows < 2:
+            raise ValueError("ChunkRows must be >= 2 (or 'auto')")
         self.chunk_rows = ChunkRows
 
     def __call__(self, df: DataFrame) -> DataFrame:
@@ -768,6 +791,8 @@ class MergeMultilineLog(Processor):
             ]
         )
 
+        merge_unmatched = self.unmatched == "merge"
+
         def fn(pdf):
             import pandas as pd
 
@@ -778,6 +803,7 @@ class MergeMultilineLog(Processor):
                 pdf["__c__"].to_numpy(dtype=bool),
                 pdf["__e__"].to_numpy(dtype=bool),
                 has_s, has_c, has_e,
+                merge_unmatched=merge_unmatched,
             )
             if h is None:
                 return pd.DataFrame({gk: [], "__open_head__": []})
@@ -885,11 +911,34 @@ class MergeMultilineLog(Processor):
         and a corpus of many small conversations costs one extra
         map-side-partial count. A group of exactly ChunkRows rows is one
         chunk, so routing small groups to the plain path is semantically
-        free (pinned by the differential tests)."""
+        free (pinned by the differential tests).
+
+        ``ChunkRows="auto"``: one metadata-sized probe over the group
+        counts (already computed for routing) picks the plan — if no
+        group exceeds ``_AUTO_MIN_GROUP`` rows the whole input takes the
+        plain path (the 3-shuffle chunked machinery only pays off once a
+        single group dwarfs a task); otherwise ChunkRows is sized so the
+        largest group splits into ~2 chunks per core, floored so chunks
+        stay big enough to amortize the per-chunk scans."""
         g = self.group_key
         sizes = df.groupBy(g).agg(F.count(F.lit(1)).alias("__n__"))
+        chunk_rows = self.chunk_rows
+        if chunk_rows == "auto":
+            row = sizes.agg(F.max("__n__").alias("m")).collect()[0]
+            max_n = row["m"] or 0
+            if max_n <= _AUTO_MIN_GROUP:
+                chunk_rows = None
+            else:
+                par = df.sparkSession.sparkContext.defaultParallelism
+                chunk_rows = max(
+                    _AUTO_MIN_GROUP // 4, -(-max_n // (2 * max(par, 1)))
+                )
+        if chunk_rows is None:
+            if self.continue_pattern or self.end_pattern:
+                return self._call_fsm(df)
+            return self._call_start_only(df)
         big = F.broadcast(
-            sizes.filter(F.col("__n__") > self.chunk_rows).select(g)
+            sizes.filter(F.col("__n__") > chunk_rows).select(g)
         )
         small_df = df.join(big, g, "left_anti")
         big_df = df.join(big, g, "left_semi")
@@ -897,9 +946,9 @@ class MergeMultilineLog(Processor):
             plain = self._call_fsm(small_df)
         else:
             plain = self._call_start_only(small_df)
-        return plain.unionByName(self._chunked_core(big_df))
+        return plain.unionByName(self._chunked_core(big_df, chunk_rows))
 
-    def _chunked_core(self, df: DataFrame) -> DataFrame:
+    def _chunked_core(self, df: DataFrame, chunk_rows: int) -> DataFrame:
         """Skew-parallel FSM: wall-clock bounded by ``ChunkRows`` and the
         largest single EVENT, not the largest GROUP.
 
@@ -933,19 +982,15 @@ class MergeMultilineLog(Processor):
         """
         from pyspark.sql import types as T
 
-        C = int(self.chunk_rows)
+        C = int(chunk_rows)
         gk, okey, sk = self.group_key, self.order_key, self.source_key
         in_schema = dict(zip(df.schema.names, df.schema.fields))
-        if not isinstance(in_schema[okey].dataType, T.NumericType):
-            raise ValueError(
-                "ChunkRows requires a numeric OrderKey (chunk id is "
-                "floor(order / ChunkRows))"
-            )
         src = F.col(sk)
         has_s = self.start_pattern is not None
         has_c = self.continue_pattern is not None
         has_e = self.end_pattern is not None
         single_line = self.unmatched != "discard"
+        merge_unmatched = self.unmatched == "merge"
         # only-End enters every group at a boundary
         p0_first = has_e and not has_s and not has_c
         start_only = has_s and not has_c and not has_e
@@ -956,6 +1001,13 @@ class MergeMultilineLog(Processor):
             pat = f"^(?:{pattern})" if anchored else pattern
             return F.coalesce(src.rlike(pat), F.lit(False))
 
+        # chunk id = floor(dense per-group ordinal / ChunkRows) — a
+        # row_number, NOT the raw order value: sparse OrderKeys (byte
+        # offsets, timestamps) would otherwise fragment a hot group into
+        # near-per-row chunks and explode the driver-collected metadata
+        # tables (ADVICE r4). Costs one extra hash exchange on GroupKey;
+        # the big-group side is the skewed minority by construction.
+        w_ord = Window.partitionBy(gk).orderBy(okey)
         flagged = df.select(
             gk,
             okey,
@@ -964,7 +1016,9 @@ class MergeMultilineLog(Processor):
             flag(self.start_pattern, anchored=start_only).alias("__s__"),
             flag(self.continue_pattern).alias("__c__"),
             flag(self.end_pattern).alias("__e__"),
-            F.floor(F.col(okey) / C).cast("long").alias("__chunk__"),
+            F.floor((F.row_number().over(w_ord) - 1) / C)
+            .cast("long")
+            .alias("__chunk__"),
         )
         gfield = in_schema[gk]
         ofield = in_schema[okey]
@@ -1074,6 +1128,14 @@ class MergeMultilineLog(Processor):
             ordv = pdf[okey].to_numpy()
             text = pdf["__v__"].to_numpy(dtype=object)
             unmatched = ~member & ~standalone
+            if merge_unmatched:
+                # start-only 'merge' extension: unmatched lines exist
+                # only before the group's FIRST start marker, where
+                # evt == 0 (off 0, no boundary yet) — absorbing them as
+                # members stitches the leading merged event across
+                # chunks through the ordinary (group, evt=0) assembly
+                member = member | unmatched
+                unmatched = np.zeros(len(member), dtype=bool)
             direct = standalone | (unmatched & single_line)
             frames = []
             if member.any():
@@ -1148,12 +1210,22 @@ class MergeMultilineLog(Processor):
         )
         merged = aggd.filter(F.col("__complete__")).select(
             gk,
-            F.array_join(
-                F.transform(
-                    F.col("pieces"), lambda x: F.coalesce(x["v"], F.lit(""))
-                ),
-                "\n",
-            ).alias(sk),
+            # 1-line events keep a null source verbatim (only reachable
+            # via the 'merge' extension — pattern-matched 1-line members
+            # are never null), matching _call_start_only's contract
+            F.when(
+                F.size("pieces") == 1, F.element_at("pieces", 1)["v"]
+            )
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.col("pieces"),
+                        lambda x: F.coalesce(x["v"], F.lit("")),
+                    ),
+                    "\n",
+                )
+            )
+            .alias(sk),
             F.element_at(F.col("pieces"), 1)["o"].alias(okey),
             F.size("pieces").cast("long").alias("n_merged"),
         )
@@ -1173,7 +1245,13 @@ class MergeMultilineLog(Processor):
 
     def _call_start_only(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)
-        is_start = src.rlike(f"^(?:{self.start_pattern})")
+        # coalesce like the FSM paths' flag(): a NULL source line must
+        # read as not-a-start, or the running sum yields NULL event ids
+        # for leading null rows (splitting the 'merge' leading region /
+        # merging consecutive leading nulls under 'single_line')
+        is_start = F.coalesce(
+            src.rlike(f"^(?:{self.start_pattern})"), F.lit(False)
+        )
         w = (
             Window.partitionBy(self.group_key)
             .orderBy(self.order_key)

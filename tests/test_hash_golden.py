@@ -126,6 +126,10 @@ class TestExactDedupHashGolden:
 
 class TestMinhashGolden:
     def test_signature_matches_reference_min(self, spark):
+        """r5 family: one xxhash64 per shingle STRING, K long-mix members
+        (vectors updated deliberately with the algorithm — VERDICT r4 #2)."""
+        from tests.xxh64_ref import spark_minhash_member
+
         sh = ["alpha beta gamma", "beta gamma delta", "gamma delta epsilon"]
         num_hashes = 8
         df = spark.createDataFrame([(sh,)], "sh array<string>").select(
@@ -133,10 +137,21 @@ class TestMinhashGolden:
         )
         got = df.collect()[0].sig
         expected = [
-            min(spark_xxhash64_str_int(s, i) for s in sh)
+            min(spark_minhash_member(s, i) for s in sh)
             for i in range(num_hashes)
         ]
         assert got == expected
+
+    def test_prehashed_equals_inline(self, spark):
+        from loongcollector_spark.functions.dedup import shingle_hashes
+
+        sh = ["alpha beta", "beta gamma", "x"]
+        df = spark.createDataFrame([(sh,)], "sh array<string>")
+        a = df.select(minhash_signature(F.col("sh"), 4).alias("sig"))
+        b = df.select(shingle_hashes(F.col("sh")).alias("hh")).select(
+            minhash_signature(F.col("hh"), 4, prehashed=True).alias("sig")
+        )
+        assert a.collect()[0].sig == b.collect()[0].sig
 
 
 class TestSpookyCrossCheck:

@@ -250,6 +250,92 @@ class TestHotConversationSkew:
         assert chunked == plain
         assert len(plain) > 8_000
 
+    def test_chunked_sparse_orderkey_no_fragmentation(self, spark):
+        """Chunk ids come from the dense per-group ordinal, NOT the raw
+        order value (ADVICE r4): with byte-offset-like sparse OrderKeys
+        (stride 1000) the group must still split into #rows/ChunkRows
+        chunks — and produce the plain path's output."""
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+
+        n = 5_000
+        df = spark.range(n).select(
+            F.lit("g").alias("src"),
+            (F.col("id") * 1000).alias("off"),  # sparse, like byte offsets
+            F.when(F.pmod(F.col("id"), F.lit(5)) == 0, F.lit("{start"))
+            .otherwise(F.lit("mid|"))
+            .alias("content"),
+        )
+        kw = dict(
+            SourceKey="content", GroupKey="src", OrderKey="off",
+            StartPattern=r"^\{", EndPattern=r"\|",
+        )
+        plain = {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in MergeMultilineLog(**kw)(df).collect()
+        }
+        chunked_op = MergeMultilineLog(ChunkRows=512, **kw)
+        chunked = {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in chunked_op(df).collect()
+        }
+        assert chunked == plain
+        # the chunk-id expression yields #rows/ChunkRows chunks, not
+        # order-span/ChunkRows (~5000 under the old floor(off/C) scheme)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("src").orderBy("off")
+        n_chunks = (
+            df.withColumn(
+                "ck", F.floor((F.row_number().over(w) - 1) / 512)
+            )
+            .select("ck")
+            .distinct()
+            .count()
+        )
+        assert n_chunks == -(-n // 512)
+
+    def test_chunked_auto_routes_by_skew(self, spark, monkeypatch):
+        """ChunkRows='auto': below the hot-group threshold the plan is
+        the plain path (no chunk machinery); above it, auto picks a
+        ChunkRows and matches the plain path's output exactly."""
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.operators import splits as splits_mod
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+
+        df = spark.range(3_000).select(
+            F.lit("g").alias("src"),
+            F.col("id").alias("off"),
+            F.when(F.pmod(F.col("id"), F.lit(6)) == 0, F.lit("{start"))
+            .otherwise(F.lit("mid|"))
+            .alias("content"),
+        )
+        kw = dict(
+            SourceKey="content", GroupKey="src", OrderKey="off",
+            StartPattern=r"^\{", EndPattern=r"\|",
+        )
+        plain = {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in MergeMultilineLog(**kw)(df).collect()
+        }
+        auto = MergeMultilineLog(ChunkRows="auto", **kw)
+        # default threshold (1M): 3k-row group stays on the plain path —
+        # the plan contains no chunk-metadata python stages
+        plan = auto(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FlatMapGroupsInPandas") == 0
+        assert {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in auto(df).collect()
+        } == plain
+        # force the chunked route: tiny threshold → auto-sized chunks
+        monkeypatch.setattr(splits_mod, "_AUTO_MIN_GROUP", 200)
+        assert {
+            (r.src, r.off): (r.content, r.n_merged)
+            for r in auto(df).collect()
+        } == plain
+
     def test_multiline_fsm_chunked_modes_differential(self, spark):
         """Chunk-parallel == plain across every FSM mode and treatment on
         a seeded multi-group sequence with nulls (transfer-function
@@ -279,21 +365,26 @@ class TestHotConversationSkew:
             dict(EndPattern=r"^E"),
         ]
         for i, mode in enumerate(modes):
-            treatment = "discard" if i % 2 else "single_line"
-            plain = MergeMultilineLog(
-                SourceKey="content", GroupKey="src", OrderKey="off",
-                UnmatchedContentTreatment=treatment, **mode,
-            )
-            chunk = MergeMultilineLog(
-                SourceKey="content", GroupKey="src", OrderKey="off",
-                UnmatchedContentTreatment=treatment, ChunkRows=7, **mode,
-            )
-            a = sorted(
-                (r.src, r.off, r.content, r.n_merged)
-                for r in plain(df).collect()
-            )
-            b = sorted(
-                (r.src, r.off, r.content, r.n_merged)
-                for r in chunk(df).collect()
-            )
-            assert a == b, (mode, treatment)
+            treatments = ["discard" if i % 2 else "single_line"]
+            if list(mode) == ["StartPattern"]:
+                # the start-only-scoped 'merge' extension joined the
+                # chunked path's matrix in r5 — cover it too
+                treatments.append("merge")
+            for treatment in treatments:
+                plain = MergeMultilineLog(
+                    SourceKey="content", GroupKey="src", OrderKey="off",
+                    UnmatchedContentTreatment=treatment, **mode,
+                )
+                chunk = MergeMultilineLog(
+                    SourceKey="content", GroupKey="src", OrderKey="off",
+                    UnmatchedContentTreatment=treatment, ChunkRows=7, **mode,
+                )
+                a = sorted(
+                    (r.src, r.off, r.content, r.n_merged)
+                    for r in plain(df).collect()
+                )
+                b = sorted(
+                    (r.src, r.off, r.content, r.n_merged)
+                    for r in chunk(df).collect()
+                )
+                assert a == b, (mode, treatment)

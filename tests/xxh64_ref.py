@@ -97,3 +97,13 @@ def spark_xxhash64_str_int(s: str, i: int) -> int:
     fields chain — each field's hash seeds the next, starting from 42."""
     h = xxh64(s.encode("utf-8"), 42)
     return _signed(spark_hash_int(i, h))
+
+
+def spark_minhash_member(s: str, i: int) -> int:
+    """Reference for the r5 minhash family: base = F.xxhash64(shingle)
+    (one string traversal), member i = F.xxhash64(base, F.lit(i)) —
+    field chaining: the base long's 8-byte hash (seed 42) seeds the int
+    literal's 4-byte hash."""
+    base = spark_xxhash64_str(s)
+    h = spark_hash_long(base, 42)
+    return _signed(spark_hash_int(i, h))
