@@ -34,14 +34,19 @@ def noop_write(df) -> None:
 
 
 # --- host canary (VERDICT r4 #1) -----------------------------------------
-# Fixed pure-compute workloads whose timing depends only on host health —
-# JVM codegen throughput and single-core Python speed. Best-known values
-# measured in a verified-quiet window on this sandbox (BENCH.md §canary);
-# a run whose canary is >1.25x best-known is in a degraded host phase and
-# its absolute timings should not be compared across rounds.
-CANARY_JVM_BEST = 0.14   # spark.range(5e8).sum(), seconds (local[32])
-CANARY_PY_BEST = 0.52    # 1-core 10^7-iteration arithmetic loop, seconds
-CANARY_DEGRADED_RATIO = 1.25
+# Fixed pure-compute workloads whose timing depends only on host health.
+# The PRIMARY quiet signal is the single-core Python loop: it is JIT-free
+# and hypervisor-steal-sensitive, so it reads the same in any process
+# state. The JVM range-sum is recorded as context but does NOT gate
+# quietness — it reads ~0.10 s in a mature JVM and ~0.18-0.33 s in a
+# fresh one (tiered-compilation maturity, not host health). Best-known
+# values measured in a verified-quiet window on this sandbox (BENCH.md
+# §canary); a run whose Python canary is >1.3x best-known is in a
+# degraded host phase and its absolute timings should not be compared
+# across rounds.
+CANARY_JVM_BEST = 0.10   # spark.range(5e8).sum(), warm JVM (context only)
+CANARY_PY_BEST = 0.49    # 1-core 10^7-iteration arithmetic loop, seconds
+CANARY_DEGRADED_RATIO = 1.3
 
 
 def run_canary(spark) -> dict:
@@ -64,12 +69,13 @@ def run_canary(spark) -> dict:
         for i in range(10_000_000):
             acc += i * i
         py_best = min(py_best, _t.time() - t0)
-    ratio = max(jvm_best / CANARY_JVM_BEST, py_best / CANARY_PY_BEST)
+    py_ratio = py_best / CANARY_PY_BEST
     return {
         "canary_jvm_sec": round(jvm_best, 3),
         "canary_python_sec": round(py_best, 3),
-        "canary_ratio_vs_best": round(ratio, 3),
-        "canary_quiet": bool(ratio <= CANARY_DEGRADED_RATIO),
+        "canary_jvm_ratio": round(jvm_best / CANARY_JVM_BEST, 3),
+        "canary_ratio_vs_best": round(py_ratio, 3),
+        "canary_quiet": bool(py_ratio <= CANARY_DEGRADED_RATIO),
     }
 
 
@@ -245,9 +251,16 @@ def main() -> None:
     )
     from loongcollector_spark.functions.similarity import lsh_ann_topk
 
+    # the sf documents table is ONE parquet split (5k docs, ~2 MB) — a
+    # 1-split input serializes the whole shingle/signature projection on
+    # one core and measures Amdahl, not the operator. Production inputs
+    # arrive in thousands of splits; rebalance to cores first (the
+    # stage decomposition at sf0.1 showed 5.7 s of 6.5 s was the serial
+    # signature projection).
+    docs_par = docs.repartition(int(cpus) * 2)
     timed(
         "minhash_lsh_candidates",
-        lambda: noop_write(minhash_lsh_candidates(docs)),
+        lambda: noop_write(minhash_lsh_candidates(docs_par)),
         n=min(reps, 2),  # multi-stage — min-of-2 + sweep keeps wall-time sane
     )
     # per-stage decomposition (VERDICT r4 #2): each row is CUMULATIVE from
@@ -255,7 +268,7 @@ def main() -> None:
     for stage_name in ("signature", "banded_capped", "pairs"):
         timed(
             f"minhash_stage_{stage_name}",
-            (lambda sn: lambda: noop_write(minhash_lsh_stages(docs)[sn]))(
+            (lambda sn: lambda: noop_write(minhash_lsh_stages(docs_par)[sn]))(
                 stage_name
             ),
             n=min(reps, 2),
@@ -276,7 +289,7 @@ def main() -> None:
     # _v2: the r5 single-string-hash minhash family changed pair contents
     pairs_path = f"/tmp/lc_bench/pairs_v2_{sf}"
     if not os.path.exists(pairs_path + "/_SUCCESS"):
-        minhash_lsh_candidates(docs).write.mode("overwrite").parquet(pairs_path)
+        minhash_lsh_candidates(docs_par).write.mode("overwrite").parquet(pairs_path)
     cc_pairs = spark.read.parquet(pairs_path)
     timed(
         "dedup_clusters_cc",

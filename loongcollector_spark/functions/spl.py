@@ -80,11 +80,23 @@ _TYPE_RENAMES = {
 }
 
 
+def _sub_outside_literals(pattern: str, repl, s: str) -> str:
+    """re.sub that never fires inside single-quoted SQL string literals
+    ('' escapes handled)."""
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    return "".join(
+        p if i % 2 else re.sub(pattern, repl, p) for i, p in enumerate(parts)
+    )
+
+
 def translate_expr(expr: str) -> str:
     """Presto/SPL scalar expression → Spark SQL expression text."""
     out = expr
 
-    # ARRAY[...] literals (non-nested, applied repeatedly for simple nesting)
+    # ARRAY[...] literals (non-nested, applied repeatedly for simple
+    # nesting). Plain re.sub on purpose: the bracket CONTENTS usually
+    # hold string literals, so the literal-splitting helper would break
+    # the match (the keyword-only rewrites below use the helper).
     for _ in range(3):
         new = re.sub(r"(?i)\bARRAY\s*\[([^\[\]]*)\]", r"array(\1)", out)
         if new == out:
@@ -105,9 +117,10 @@ def translate_expr(expr: str) -> str:
     # has two comma-separated args at depth 0.
     out = _fix_regexp_group_default(out)
 
-    # function renames (word boundary, not preceded by '.')
+    # function renames (word boundary, not preceded by '.'; never inside
+    # string literals)
     for a, b in _SIMPLE_RENAMES.items():
-        out = re.sub(rf"(?<![\w.]){a}\s*\(", b + "(", out)
+        out = _sub_outside_literals(rf"(?<![\w.]){a}\s*\(", b + "(", out)
 
     # deferred sha2 marker — Presto sha256/sha512 return VARBINARY
     # (Spark's sha2 renders hex text): unhex back to the raw digest

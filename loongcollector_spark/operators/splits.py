@@ -919,9 +919,26 @@ class MergeMultilineLog(Processor):
         plain path (the 3-shuffle chunked machinery only pays off once a
         single group dwarfs a task); otherwise ChunkRows is sized so the
         largest group splits into ~2 chunks per core, floored so chunks
-        stay big enough to amortize the per-chunk scans."""
-        g = self.group_key
-        sizes = df.groupBy(g).agg(F.count(F.lit(1)).alias("__n__"))
+        stay big enough to amortize the per-chunk scans.
+
+        Chunk ids: when every big group's numeric OrderKey is provably
+        DENSE (max - min + 1 == count, checked on the metadata-sized
+        stats), chunk id is the shuffle-free ``floor((order - min) /
+        ChunkRows)``; sparse or non-numeric order keys fall back to a
+        per-group row_number window (ADVICE r4: raw sparse order values
+        would fragment a hot group into near-per-row chunks)."""
+        from pyspark.sql import types as T
+
+        g, okey = self.group_key, self.order_key
+        in_schema = dict(zip(df.schema.names, df.schema.fields))
+        numeric_ok = isinstance(in_schema[okey].dataType, T.NumericType)
+        aggs = [F.count(F.lit(1)).alias("__n__")]
+        if numeric_ok:
+            aggs += [F.min(okey).alias("__mn__"), F.max(okey).alias("__mx__")]
+        # one row per group; materialized once (localCheckpoint) so the
+        # auto probe, the dense check, and the routing joins don't each
+        # re-scan the input
+        sizes = df.groupBy(g).agg(*aggs).localCheckpoint(eager=True)
         chunk_rows = self.chunk_rows
         if chunk_rows == "auto":
             row = sizes.agg(F.max("__n__").alias("m")).collect()[0]
@@ -937,18 +954,28 @@ class MergeMultilineLog(Processor):
             if self.continue_pattern or self.end_pattern:
                 return self._call_fsm(df)
             return self._call_start_only(df)
-        big = F.broadcast(
-            sizes.filter(F.col("__n__") > chunk_rows).select(g)
-        )
+        big_stats = sizes.filter(F.col("__n__") > chunk_rows)
+        group_mins = None
+        if numeric_ok:
+            stat_rows = big_stats.collect()  # metadata-sized: big groups
+            if len(stat_rows) <= 100_000 and all(
+                r["__mx__"] - r["__mn__"] + 1 == r["__n__"] for r in stat_rows
+            ):
+                group_mins = {r[g]: r["__mn__"] for r in stat_rows}
+        big = F.broadcast(big_stats.select(g))
         small_df = df.join(big, g, "left_anti")
         big_df = df.join(big, g, "left_semi")
         if self.continue_pattern or self.end_pattern:
             plain = self._call_fsm(small_df)
         else:
             plain = self._call_start_only(small_df)
-        return plain.unionByName(self._chunked_core(big_df, chunk_rows))
+        return plain.unionByName(
+            self._chunked_core(big_df, chunk_rows, group_mins)
+        )
 
-    def _chunked_core(self, df: DataFrame, chunk_rows: int) -> DataFrame:
+    def _chunked_core(
+        self, df: DataFrame, chunk_rows: int, group_mins: dict | None = None
+    ) -> DataFrame:
         """Skew-parallel FSM: wall-clock bounded by ``ChunkRows`` and the
         largest single EVENT, not the largest GROUP.
 
@@ -1001,13 +1028,44 @@ class MergeMultilineLog(Processor):
             pat = f"^(?:{pattern})" if anchored else pattern
             return F.coalesce(src.rlike(pat), F.lit(False))
 
-        # chunk id = floor(dense per-group ordinal / ChunkRows) — a
-        # row_number, NOT the raw order value: sparse OrderKeys (byte
-        # offsets, timestamps) would otherwise fragment a hot group into
-        # near-per-row chunks and explode the driver-collected metadata
-        # tables (ADVICE r4). Costs one extra hash exchange on GroupKey;
-        # the big-group side is the skewed minority by construction.
-        w_ord = Window.partitionBy(gk).orderBy(okey)
+        # chunk id = floor(dense per-group ordinal / ChunkRows). With
+        # proven-dense numeric OrderKeys (group_mins from the caller's
+        # metadata probe) the ordinal is the shuffle-free arithmetic
+        # (order - group_min); otherwise a per-group row_number window —
+        # NEVER the raw order value: sparse OrderKeys (byte offsets,
+        # timestamps) would fragment a hot group into near-per-row
+        # chunks and explode the driver-collected metadata tables
+        # (ADVICE r4). The window costs one extra hash exchange on
+        # GroupKey; the big-group side is the skewed minority.
+        if group_mins is not None:
+            if len(group_mins) <= 64:
+                mn_expr = F.coalesce(
+                    F.try_element_at(
+                        F.create_map(
+                            *[
+                                x
+                                for k, v in group_mins.items()
+                                for x in (F.lit(k), F.lit(v))
+                            ]
+                        ),
+                        F.col(gk),
+                    )
+                    if group_mins
+                    else F.lit(0),
+                    F.lit(0),
+                )
+            else:
+                mins_df = F.broadcast(
+                    df.sparkSession.createDataFrame(
+                        list(group_mins.items()), [gk, "__grp_mn__"]
+                    )
+                )
+                df = df.join(mins_df, gk, "left")
+                mn_expr = F.coalesce(F.col("__grp_mn__"), F.lit(0))
+            ordinal = F.col(okey) - mn_expr
+        else:
+            w_ord = Window.partitionBy(gk).orderBy(okey)
+            ordinal = F.row_number().over(w_ord) - 1
         flagged = df.select(
             gk,
             okey,
@@ -1016,9 +1074,7 @@ class MergeMultilineLog(Processor):
             flag(self.start_pattern, anchored=start_only).alias("__s__"),
             flag(self.continue_pattern).alias("__c__"),
             flag(self.end_pattern).alias("__e__"),
-            F.floor((F.row_number().over(w_ord) - 1) / C)
-            .cast("long")
-            .alias("__chunk__"),
+            F.floor(ordinal / C).cast("long").alias("__chunk__"),
         )
         gfield = in_schema[gk]
         ofield = in_schema[okey]

@@ -46,6 +46,29 @@ print(json.dumps({{"cpus": cpus, "rows": n, "sec": round(best, 3),
 """
 
 
+CANARY_CHILD = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from loongcollector_spark.session import get_spark
+from bench import run_canary
+spark = get_spark(app_name="lc_canary", master="local[32]")
+print(json.dumps(run_canary(spark)))
+"""
+
+
+def run_canary_probe() -> dict:
+    """Host canary in a fresh JVM (VERDICT r4 #1): the scaling headline
+    is only comparable across rounds when the window is quiet."""
+    out = subprocess.run(
+        [sys.executable, "-c", CANARY_CHILD.format(repo=REPO)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def run_level(cpus: int, reps: int, corpus: str) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), str(reps), corpus],
@@ -86,10 +109,12 @@ def main() -> None:
     # sustained number. Rounds alternate low/high so a host phase hits
     # both levels symmetrically.
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    canary_pre = run_canary_probe()
     lows, highs = [], []
     for _ in range(rounds):
         lows.append(run_level(p_low, reps, corpus))
         highs.append(run_level(p_high, reps, corpus))
+    canary_post = run_canary_probe()
     low = min(lows, key=lambda r: r["sec"])
     high = min(highs, key=lambda r: r["sec"])
     speedup = low["sec"] / high["sec"]
@@ -121,6 +146,11 @@ def main() -> None:
         "speedup_n_to_4n_best_per_level": round(speedup, 3),
         "scaling_efficiency_best_per_level": round(eff, 3),
         "meets_0.8": med_round["eff"] >= 0.8,
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
+        "canary_quiet": bool(
+            canary_pre["canary_quiet"] and canary_post["canary_quiet"]
+        ),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result))
@@ -135,11 +165,25 @@ def _write_md(r: dict) -> None:
         f"| round {i+1} | {x['low_sec']} | {x['high_sec']} | {x['eff']} |"
         for i, x in enumerate(r.get("rounds", []))
     )
+    sys.path.insert(0, REPO)
+    import bench as _bench
+
+    cp, cq = r.get("canary_pre", {}), r.get("canary_post", {})
     block = f"""
 Measured {r['ts']} — {r['corpus_rows']:,} rows, fresh JVM per level per
 round, warmup + min-of-reps inside each JVM, per-level MIN across
 interleaved rounds (this host has JIT/host straggler phases that can
 swallow a whole JVM run; see caveats below).
+
+Host canary (python loop is the quiet gate, best-known
+{_bench.CANARY_PY_BEST} s; jvm range-sum recorded as context): pre
+py={cp.get('canary_python_sec')} (ratio {cp.get('canary_ratio_vs_best')})
+jvm={cp.get('canary_jvm_sec')}, post
+py={cq.get('canary_python_sec')} (ratio {cq.get('canary_ratio_vs_best')})
+jvm={cq.get('canary_jvm_sec')} —
+**window {"QUIET" if r.get('canary_quiet') else "DEGRADED"}**
+(quiet = both python ratios ≤ {_bench.CANARY_DEGRADED_RATIO}; only
+quiet-window campaigns update the round-over-round baseline).
 
 | round | local[{r['low']['cpus']}] sec | local[{r['high']['cpus']}] sec | efficiency |
 |---|---|---|---|
