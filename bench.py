@@ -69,12 +69,18 @@ def run_canary(spark) -> dict:
         for i in range(10_000_000):
             acc += i * i
         py_best = min(py_best, _t.time() - t0)
+    import os as _os
+
     py_ratio = py_best / CANARY_PY_BEST
     return {
         "canary_jvm_sec": round(jvm_best, 3),
         "canary_python_sec": round(py_best, 3),
         "canary_jvm_ratio": round(jvm_best / CANARY_JVM_BEST, 3),
         "canary_ratio_vs_best": round(py_ratio, 3),
+        # co-tenant background load the single-core canary can't see
+        # (multithreaded JVM stages slow when the box carries external
+        # load even while 1-core loops read normal)
+        "canary_loadavg_1m": round(_os.getloadavg()[0], 2),
         "canary_quiet": bool(py_ratio <= CANARY_DEGRADED_RATIO),
     }
 

@@ -697,6 +697,24 @@ def _cmd_parse_csv(df: DataFrame, body: str) -> DataFrame:
 
 def _cmd_parse_kv(df: DataFrame, body: str) -> DataFrame:
     flags, col = _parse_flags(body)
+    if "regexp" in flags:
+        # parse-kv -regexp col, '(key)(value)' — pairs are the regex's
+        # two capture groups over every match (SplUnittest.cpp:415-500:
+        # 'k1=v1&k2=v2?k3=v3' with '(\w+)=(\w+)' → k1..k3). Pattern via
+        # lit() so its backslashes bypass SQL-literal escaping.
+        m = re.match(r"^\s*(\w+)\s*,\s*'([^']*)'\s*$", col)
+        if not m:
+            raise SplError(f"bad parse-kv -regexp: {col!r}")
+        src, pattern = m.group(1), m.group(2)
+        prefix = flags.get("prefix", "")
+        keys = F.regexp_extract_all(F.col(src), F.lit(pattern), F.lit(1))
+        vals = F.regexp_extract_all(F.col(src), F.lit(pattern), F.lit(2))
+        parsed = F.map_from_arrays(keys, vals)
+        if prefix:
+            parsed = F.transform_keys(
+                parsed, lambda k, _: F.concat(F.lit(prefix), k)
+            )
+        return df.withColumn(f"{prefix}kv" if prefix else "kv", parsed)
     col = col.strip()
     delims = flags.get("delims", "&")
     sep = flags.get("kv-sep", "=")

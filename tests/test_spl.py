@@ -97,6 +97,20 @@ class TestSemantics:
         out = run_spl(spl_df, "* | parse-kv -delims='&?' content_kv")[0]
         assert out.orderBy("idx").collect()[0]["kv"] == {"a": "1", "b": "2"}
 
+    def test_parse_kv_regexp(self, spark):
+        r"""SplUnittest.cpp TestRegexKV fixture: -regexp mode extracts
+        (group1, group2) pairs per match — 'k1=v1&k2=v2?k3=v3' with
+        '(\w+)=(\w+)' yields k1..k3 (expected values from the reference
+        test's assertions)."""
+        df = spark.createDataFrame(
+            [(0, "k1=v1&k2=v2?k3=v3"), (1, "k11=v11&k22=v22?k33=v33")],
+            "idx int, content string",
+        )
+        out = run_spl(df, r"* | parse-kv -regexp content, '(\w+)=(\w+)'")[0]
+        rows = out.orderBy("idx").collect()
+        assert rows[0]["kv"] == {"k1": "v1", "k2": "v2", "k3": "v3"}
+        assert rows[1]["kv"] == {"k11": "v11", "k22": "v22", "k33": "v33"}
+
     def test_multi_output_let(self, spl_df):
         """TestMultiParse shape (SplUnittest.cpp:559-571): .let bindings,
         where-branches, multiple $emissions."""
@@ -765,6 +779,91 @@ class TestCorpusCommandAnchors:
             f"{len(failures)} command anchor mismatches:\n"
             + "\n".join(failures[:15])
         )
+
+
+class TestTranslatorFuzz:
+    """Seeded compositional fuzz of translate_expr: every rewrite family
+    composed 2-deep with hostile string literals (rewrite keywords,
+    arrows, brackets INSIDE literals) must still produce an expression
+    Spark parses and executes. Pins the literal-aware rewrite engine
+    structurally, beyond the corpus's fixed shapes."""
+
+    LITERALS = [
+        "'plain'",
+        "'has repeat( inside'",
+        "'a -> (b, c)'",
+        "'ARRAY[1,2]'",
+        "'map(x) contains('",
+        "'from_unixtime(0)'",
+        "'100% \\d+'",
+    ]
+    # {s} = string literal slot, {e} = nested scalar expression slot
+    TEMPLATES = [
+        "concat({s}, {s})",
+        "replace({s}, 'a')",
+        "repeat({s}, 2)",
+        "strpos({s}, 'a')",
+        "strrpos({s}, 'a', 1)",
+        "split_part({s}, ',', 1)",
+        "upper({s})",
+        "length({s})",
+        "truncate(3.14159, 2)",
+        "bitwise_and(5, 3)",
+        "bitwise_logical_shift_right(1342, 3, 64)",
+        "array_position(ARRAY[1, 3, 2], 3)",
+        "array_sum(ARRAY[1, 2, 3])",
+        "cardinality(split({s}, ','))",
+        "contains(ARRAY[{s}], {s})",
+        "zip_with(ARRAY[1, 2], ARRAY[3, 4], (x, y) -> (y, x))",
+        "transform(ARRAY[{s}], x -> (x, 1))",
+        "json_size(json_parse('{{\"a\": [1]}}'), '$.a')",
+        "json_format(json_parse('{{\"b\": 2}}'))",
+        "url_extract_host('https://h/p')",
+        "to_unixtime(from_unixtime(0))",
+        "day_of_week(from_unixtime(0))",
+        "width_bucket(3, ARRAY[0, 2, 4])",
+        "slice(ARRAY[1, 2, 3], 0, 2)",
+        "coalesce(cast({e} as string), {s})",
+        "if(({e}) IS NOT NULL, 1, 0)",
+        "concat(cast({e} as string), {s})",
+    ]
+
+    def test_seeded_compositions_execute(self, spark):
+        import random
+
+        rng = random.Random(4242)
+        df = spark.createDataFrame([(0,)], "idx int")
+
+        def render(depth):
+            t = rng.choice(self.TEMPLATES)
+            while depth == 0 and "{e}" in t:
+                t = rng.choice(self.TEMPLATES)
+            out = t
+            while "{s}" in out:
+                out = out.replace("{s}", rng.choice(self.LITERALS), 1)
+            while "{e}" in out:
+                out = out.replace("{e}", render(depth - 1), 1)
+            return out
+
+        failures = []
+        exprs = [render(1) for _ in range(40)]
+        # one job for all 40: each composed expression is a column
+        cols = []
+        for i, e in enumerate(exprs):
+            try:
+                cols.append(F.expr(translate_expr(e)).alias(f"c{i}"))
+            except Exception as ex:  # noqa: BLE001
+                failures.append(f"{e!r}: TRANSLATE/PARSE {ex}")
+        try:
+            df.select(*cols).collect()
+        except Exception as ex:  # noqa: BLE001
+            # bisect to name the culprits
+            for i, c in enumerate(cols):
+                try:
+                    df.select(c).collect()
+                except Exception as e2:  # noqa: BLE001
+                    failures.append(f"{exprs[i]!r}: EXECUTE {e2}")
+        assert not failures, "\n".join(failures[:8])
 
 
 @pytest.mark.skipif(not os.path.exists(SPL_CORPUS), reason="corpus not present")
