@@ -692,6 +692,7 @@ class MergeMultilineLog(Processor):
         EndPattern: str | None = None,
         UnmatchedContentTreatment: str = "single_line",
         ChunkRows: int | None = None,
+        Engine: str = "sql",
     ) -> None:
         if not (StartPattern or ContinuePattern or EndPattern):
             raise ValueError("at least one of Start/Continue/EndPattern required")
@@ -726,6 +727,9 @@ class MergeMultilineLog(Processor):
         if ChunkRows is not None and ChunkRows != "auto" and ChunkRows < 2:
             raise ValueError("ChunkRows must be >= 2 (or 'auto')")
         self.chunk_rows = ChunkRows
+        if Engine not in ("sql", "pandas"):
+            raise ValueError("Engine must be 'sql' or 'pandas'")
+        self.engine = Engine
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if df.isStreaming:
@@ -744,6 +748,8 @@ class MergeMultilineLog(Processor):
         if self.chunk_rows is not None:
             return self._call_fsm_chunked(df)
         if self.continue_pattern or self.end_pattern:
+            if self.engine == "sql":
+                return self._call_fsm_sql(df)
             return self._call_fsm(df)
         return self._call_start_only(df)
 
@@ -812,6 +818,176 @@ class MergeMultilineLog(Processor):
             )
 
         return flagged.groupBy(gk).applyInPandas(fn, out_schema)
+
+    def _call_fsm_sql(self, df: DataFrame) -> DataFrame:
+        """Pure-SQL FSM engine (r5): the merge recurrence
+        p' = (p & u) | (~p & v) is solved in closed form with window
+        functions — every line is a SET (u==v, to value u), a TOGGLE
+        (~u & v), or IDENTITY, so the state after line i is the u-value
+        at the last SET xor the parity of TOGGLEs since it (the same
+        closed form as the numpy `_scan_open_state`, expressed as
+        last(...ignorenulls) + cumulative sums over ONE window spec).
+        Per-mode member/boundary/close flags and the event-id cumsum are
+        plain column expressions, and the final groupBy(group, event)
+        re-uses the window's hash partitioning (subset key → no second
+        exchange), so the whole operator is ONE shuffle with zero
+        Python — no Arrow transfer, no pandas. Differentially pinned
+        against the pandas engine and the reference FSM transcription.
+        """
+        src = F.col(self.source_key)
+        has_s = self.start_pattern is not None
+        has_c = self.continue_pattern is not None
+        has_e = self.end_pattern is not None
+        single_line = self.unmatched != "discard"
+        gk, okey, sk = self.group_key, self.order_key, self.source_key
+
+        def flag(pattern):
+            return (
+                F.coalesce(src.rlike(pattern), F.lit(False))
+                if pattern
+                else F.lit(False)
+            )
+
+        flagged = df.select(
+            gk,
+            okey,
+            src.alias("__v__"),
+            flag(self.start_pattern).alias("__s__"),
+            flag(self.continue_pattern).alias("__c__"),
+            flag(self.end_pattern).alias("__e__"),
+        )
+        s, c, e = F.col("__s__"), F.col("__c__"), F.col("__e__")
+        # per-mode transition vectors (mirrors _mode_uv)
+        if has_e and not has_s and not has_c:
+            u, v, p0 = e, e, True
+        elif has_c and has_e and not has_s:
+            u, v, p0 = c, c, False
+        elif has_s and has_e and not has_c:
+            u, v, p0 = ~e, s, False
+        elif has_s and has_c and not has_e:
+            u, v, p0 = c | s, s, False
+        else:  # start+continue+end
+            u, v, p0 = c, s, False
+        w = Window.partitionBy(gk).orderBy(okey)
+        wincl = w.rowsBetween(Window.unboundedPreceding, 0)
+        # only-End / Continue+End SET the state every line (u == v), so
+        # p is just the lagged flag — skip the toggle-parity machinery
+        set_every_line = (has_e and not has_s and not has_c) or (
+            has_c and has_e and not has_s
+        )
+        if set_every_line:
+            step3 = flagged.withColumn("__p__", F.lag(u, 1, p0).over(w))
+        else:
+            is_set = u == v
+            toggle = ~u & v
+            step1 = flagged.select(
+                "*",
+                F.sum(toggle.cast("long")).over(wincl).alias("__tog__"),
+            ).withColumn("__setu__", F.when(is_set, u))
+            # p_after(i) = u@lastSET(≤i) xor parity of toggles since it;
+            # both last()s share one window spec → one Window node
+            step2 = step1.select(
+                "*",
+                F.coalesce(
+                    F.last("__setu__", ignorenulls=True).over(wincl),
+                    F.lit(p0),
+                ).alias("__base__"),
+                F.coalesce(
+                    F.last(
+                        F.when(
+                            F.col("__setu__").isNotNull(), F.col("__tog__")
+                        ),
+                        ignorenulls=True,
+                    ).over(wincl),
+                    F.lit(0),
+                ).alias("__tset__"),
+            )
+            # boolean xor as != (both sides non-null by construction)
+            p_after = F.col("__base__") != (
+                ((F.col("__tog__") - F.col("__tset__")) % 2) == 1
+            )
+            step3 = step2.withColumn(
+                "__p__", F.lag(p_after, 1, p0).over(w)
+            )
+        p = F.col("__p__")
+        # per-mode line flags (mirrors _mode_line_flags)
+        standalone = F.lit(False)
+        if has_e and not has_s and not has_c:
+            member, boundary, close_ok = F.lit(True), p, e
+        elif has_c and has_e and not has_s:
+            member, boundary, close_ok = p | c, ~p & c, p & ~c & e
+            standalone = ~p & ~c & e
+        elif has_s and has_e and not has_c:
+            member, boundary, close_ok = p | s, ~p & s, p & e
+        elif has_s and has_c and not has_e:
+            member, boundary, close_ok = s | (p & c), s & (~p | ~c), F.lit(True)
+        else:
+            member, boundary, close_ok = p | s, ~p & s, p & ~c & e
+        unmatched = ~member & ~standalone
+        # one pass: event id + a per-line ordinal (unique negative ids
+        # for single-emitted lines, so ONE groupBy covers merged events,
+        # broken events, unmatched singles, and standalone completes —
+        # no union, no recomputation of the window chain)
+        step4 = step3.select(
+            gk,
+            okey,
+            "__v__",
+            member.alias("__m__"),
+            standalone.alias("__sa__"),
+            unmatched.alias("__um__"),
+            close_ok.alias("__cl__"),
+            F.sum(boundary.cast("long")).over(wincl).alias("__evt__"),
+            F.row_number().over(w).alias("__rn__"),
+        )
+        # event completeness = any close line among the event's MEMBER
+        # lines (non-members never have __cl__ true — mode algebra);
+        # same gk hash partitioning → local sort only, no new exchange
+        w_evt = Window.partitionBy(gk, "__evt__")
+        step5 = step4.withColumn(
+            "__complete__",
+            F.max((F.col("__m__") & F.col("__cl__")).cast("int")).over(w_evt)
+            == 1,
+        )
+        mc = F.col("__m__") & F.col("__complete__")
+        keep = mc | F.col("__sa__") | (
+            F.lit(single_line)
+            & (F.col("__um__") | (F.col("__m__") & ~F.col("__complete__")))
+        )
+        final_evt = F.when(mc, F.col("__evt__")).otherwise(-F.col("__rn__"))
+        merged = (
+            step5.filter(keep)
+            .groupBy(gk, final_evt.alias("__fe__"))
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(okey).alias("o"), F.col("__v__").alias("v")
+                        )
+                    )
+                ).alias("pieces"),
+            )
+            .select(
+                gk,
+                # 1-piece events (incl. singles) keep the raw value —
+                # null preserved, matching every other engine's contract
+                F.when(
+                    F.size("pieces") == 1, F.element_at("pieces", 1)["v"]
+                )
+                .otherwise(
+                    F.array_join(
+                        F.transform(
+                            F.col("pieces"),
+                            lambda x: F.coalesce(x["v"], F.lit("")),
+                        ),
+                        "\n",
+                    )
+                )
+                .alias(sk),
+                F.element_at(F.col("pieces"), 1)["o"].alias(okey),
+                F.size("pieces").cast("long").alias("n_merged"),
+            )
+        )
+        return merged
 
     def _call_fsm(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import types as T
@@ -966,7 +1142,11 @@ class MergeMultilineLog(Processor):
         small_df = df.join(big, g, "left_anti")
         big_df = df.join(big, g, "left_semi")
         if self.continue_pattern or self.end_pattern:
-            plain = self._call_fsm(small_df)
+            plain = (
+                self._call_fsm_sql(small_df)
+                if self.engine == "sql"
+                else self._call_fsm(small_df)
+            )
         else:
             plain = self._call_start_only(small_df)
         return plain.unionByName(
@@ -1244,6 +1424,21 @@ class MergeMultilineLog(Processor):
         )
 
         # -- pass 4: assemble events (skew = event size, not group size) -
+        return self._assemble_events(records)
+
+    def _assemble_events(self, records: DataFrame) -> DataFrame:
+        """Shared event assembly over a line-record frame
+        (GroupKey, __evt__, OrderKey, __v__, __ok__, __direct__):
+        member lines group by (group, event id) — pieces sort + join,
+        completeness = any line with ``__ok__``; incomplete events fall
+        back to the unmatched treatment per line; ``__direct__`` lines
+        pass through as their own events. Used by the chunk-parallel
+        path (events stitch across chunks through the same groupBy).
+        The pure-SQL engine assembles inline instead: it folds singles
+        into the same groupBy via unique negative event ids, so it
+        needs no union and keeps the group-key partitioning."""
+        gk, okey, sk = self.group_key, self.order_key, self.source_key
+        single_line = self.unmatched != "discard"
         directs = records.filter(F.col("__direct__")).select(
             gk,
             F.col("__v__").alias(sk),

@@ -106,21 +106,39 @@ class TestRound2PlanShapes:
         assert "Exchange" not in plan
 
     def test_merge_fsm_single_shuffle_jvm_flags(self, spark):
-        """Continue+End FSM: exactly one Exchange (the group-key
-        repartition), an in-partition sort, then partition-level
-        MapInPandas (one Python call per Arrow batch, not per group);
-        regex flags computed BEFORE the shuffle so pandas sees only
-        booleans."""
+        """Continue+End FSM, both engines, one Exchange each.
+
+        sql (default, r5): closed-form window scan — ZERO Python nodes;
+        the event groupBy reuses the window's group-key hash
+        partitioning (subset key), so the whole operator is one
+        Exchange of pure JVM operators.
+
+        pandas: group-key repartition, in-partition sort, then
+        partition-level MapInPandas (one Python call per Arrow batch,
+        not per group); regex flags computed BEFORE the shuffle so
+        pandas sees only booleans."""
         from loongcollector_spark.operators.splits import MergeMultilineLog
 
         df = spark.createDataFrame(
             [("g", 0, "x")], "src string, off int, content string"
         )
-        proc = MergeMultilineLog(
+        kw = dict(
             SourceKey="content", GroupKey="src", OrderKey="off",
             ContinuePattern="c", EndPattern="e",
         )
-        plan = proc(df)._jdf.queryExecution().executedPlan().toString()
+        sql_plan = (
+            MergeMultilineLog(Engine="sql", **kw)(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert sql_plan.count("Exchange hashpartitioning") == 1
+        assert "MapInPandas" not in sql_plan
+        assert "FlatMapGroupsInPandas" not in sql_plan
+        assert "rlike" in sql_plan.lower()
+
+        plan = (
+            MergeMultilineLog(Engine="pandas", **kw)(df)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
         assert plan.count("Exchange hashpartitioning") == 1
         # the rlike flag projection sits below the partition-level
         # MapInPandas and its in-partition sort
@@ -335,6 +353,47 @@ class TestHotConversationSkew:
             (r.src, r.off): (r.content, r.n_merged)
             for r in auto(df).collect()
         } == plain
+
+    def test_sql_engine_equals_pandas_engine(self, spark):
+        """The r5 pure-SQL FSM engine (closed-form window scan, zero
+        Python) must equal the pandas engine on every Continue/End mode
+        x treatment over a seeded multi-group sequence with nulls."""
+        import random
+
+        from loongcollector_spark.operators.splits import MergeMultilineLog
+
+        rng = random.Random(99)
+        rows = []
+        for g in ("g1", "g2", "g3"):
+            for i in range(50):
+                rows.append(
+                    (g, i, rng.choice(["S a", "c b", "E c", "x d", None]))
+                )
+        rows += [("tiny", 0, "c t"), ("tiny", 1, "E t")]
+        df = spark.createDataFrame(
+            rows, "src string, off long, content string"
+        )
+        modes = [
+            dict(StartPattern=r"^S", EndPattern=r"^E"),
+            dict(StartPattern=r"^S", ContinuePattern=r"^c"),
+            dict(StartPattern=r"^S", ContinuePattern=r"^c", EndPattern=r"^E"),
+            dict(ContinuePattern=r"^c", EndPattern=r"^E"),
+            dict(EndPattern=r"^E"),
+        ]
+        for mode in modes:
+            for treatment in ("single_line", "discard"):
+                outs = {}
+                for eng in ("sql", "pandas"):
+                    proc = MergeMultilineLog(
+                        SourceKey="content", GroupKey="src", OrderKey="off",
+                        UnmatchedContentTreatment=treatment, Engine=eng,
+                        **mode,
+                    )
+                    outs[eng] = sorted(
+                        (r.src, r.off, r.content, r.n_merged)
+                        for r in proc(df).collect()
+                    )
+                assert outs["sql"] == outs["pandas"], (mode, treatment)
 
     def test_multiline_fsm_chunked_modes_differential(self, spark):
         """Chunk-parallel == plain across every FSM mode and treatment on
