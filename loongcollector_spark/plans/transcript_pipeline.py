@@ -218,8 +218,14 @@ class TranscriptPipeline:
         parsed = self.parse(transcripts)
         enriched = self.enrich(parsed)
         sinks = self.route(enriched)
-        sinks["__metrics__"] = self.metrics(
-            {k: v for k, v in sinks.items()}
+        # fused metrics (r5): per-sink row sets equal the exploded
+        # multicast's (tested), so the per-sink aggregates come from ONE
+        # scan of the cached parent + ONE shuffle over the exploded
+        # frame instead of metrics()'s 3 cache scans + 3 unioned
+        # aggregations. sink_all is the unconditional route == the
+        # cached parent itself.
+        sinks["__metrics__"] = self.metrics_single_pass(
+            self.router.route_multicast_exploded(sinks["sink_all"])
         )
         return sinks
 
