@@ -298,6 +298,49 @@ def q_exact_dedup(spark, sf_dir):
     )
 
 
+def q_sample_hash_bernoulli(spark, sf_dir):
+    """Deterministic Bernoulli sample (functions/sampling.py): keep a
+    document iff its md5 hex-prefix bucket < rate. Content-hash law —
+    reproducible across runs/cluster sizes, unlike DataFrame.sample;
+    value-oracle-able because md5 agrees byte-for-byte across engines
+    and hex prefixes compare like the integers they encode."""
+    from loongcollector_spark.functions.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, 0.25, key_col="doc_id", salt="s5").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by cumulative hash
+    intervals (functions/sampling.py hash_split); returns per-(split,
+    lang) counts — the reproducible-split contract a training corpus
+    needs (a new document batch joins the same law)."""
+    from loongcollector_spark.functions.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        hash_split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="sp"
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_sample_stratified_quota(spark, sf_dir):
+    """Exact per-stratum quota: the 100 smallest hash buckets per lang
+    (ties by doc_id) — deterministic per-group top-k, one
+    hash-partitioned window (functions/sampling.py)."""
+    from loongcollector_spark.functions.sampling import stratified_quota_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_quota_sample(
+        docs, ["lang"], quota=100, key_col="doc_id", salt="q"
+    ).select("doc_id", "lang")
+
+
 def q_doc_token_stats(spark, sf_dir):
     """Token counting + quality scoring signals, built-ins only."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1771,6 +1814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pair_sim_topk": q_embedding_pair_sim,
         "dedup_clusters_cc": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
+        "sample_hash_bernoulli": q_sample_hash_bernoulli,
+        "sample_hash_split": q_sample_hash_split,
+        "sample_stratified_quota": q_sample_stratified_quota,
         "multimodal_decode_stats": q_multimodal_decode,
         "streaming_parse_enrich": q_streaming_parse_enrich,
     }
@@ -1921,6 +1967,35 @@ SELECT md5(text) AS text_md5,
        min(doc_id) AS keep_doc_id,
        count(*) AS n_dupes
 FROM documents GROUP BY 1"""
+
+    # -- deterministic sampling (md5 hex-prefix buckets agree across
+    #    engines; hex strings compare like the integers they encode) ----
+    sql["sample_hash_bernoulli"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE substring(md5(cast(doc_id AS VARCHAR) || 's5'), 1, 8) < '40000000'"""
+
+    sql["sample_hash_split"] = """
+SELECT CASE
+         WHEN substring(md5(cast(doc_id AS VARCHAR) || 'sp'), 1, 8)
+              < 'cccccccc' THEN 'train'
+         WHEN substring(md5(cast(doc_id AS VARCHAR) || 'sp'), 1, 8)
+              < 'e6666666' THEN 'val'
+         ELSE 'test'
+       END AS split,
+       lang,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2"""
+
+    sql["sample_stratified_quota"] = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substring(md5(cast(doc_id AS VARCHAR) || 'q'), 1, 8),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 100"""
 
     # -- text analysis -----------------------------------------------------
     from loongcollector_spark.functions.textstats import LANG_MARKERS

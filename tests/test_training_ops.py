@@ -1489,3 +1489,107 @@ class TestMjpegFrameDecode:
 
         with _pytest.raises(NotImplementedError, match="codec"):
             decode_mjpeg_frames(_encode_mp4())
+
+
+class TestDeterministicSampling:
+    """functions/sampling.py: md5 hex-prefix sampling — deterministic,
+    partition-independent, oracle-portable."""
+
+    def _docs(self, spark, n=4000):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.pmod(F.col("id"), 5)).cast("string").alias("lang"),
+        )
+
+    def test_bernoulli_rate_and_determinism(self, spark):
+        from loongcollector_spark.functions.sampling import hash_sample
+
+        docs = self._docs(spark)
+        a = {r.doc_id for r in hash_sample(docs, 0.25, salt="t").collect()}
+        # repartitioning must not change the kept set (content law)
+        b = {
+            r.doc_id
+            for r in hash_sample(docs.repartition(13), 0.25, salt="t").collect()
+        }
+        assert a == b
+        # measured rate within binomial noise (4000 draws, p=.25: sd≈27)
+        assert abs(len(a) - 1000) < 110
+        # independent salts decorrelate: overlap ≈ rate² of the corpus
+        c = {r.doc_id for r in hash_sample(docs, 0.25, salt="u").collect()}
+        assert abs(len(a & c) - 250) < 80
+
+    def test_bernoulli_matches_hashlib(self, spark):
+        """The Spark predicate equals a pure-Python md5 recomputation —
+        the same independence the DuckDB oracle relies on."""
+        import hashlib
+
+        from loongcollector_spark.functions.sampling import hash_sample
+
+        docs = self._docs(spark, 500)
+        got = {r.doc_id for r in hash_sample(docs, 0.3, salt="x").collect()}
+        thresh = format(int(0.3 * 16**8), "08x")
+        want = {
+            i
+            for i in range(500)
+            if hashlib.md5(f"{i}x".encode()).hexdigest()[:8] < thresh
+        }
+        assert got == want
+
+    def test_split_partitions_every_row_once(self, spark):
+        from loongcollector_spark.functions.sampling import hash_split
+
+        docs = self._docs(spark)
+        out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r.split: r.n for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert sum(counts.values()) == 4000
+        assert abs(counts["train"] - 3200) < 120
+        assert abs(counts["val"] - 400) < 90
+        assert abs(counts["test"] - 400) < 90
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(docs, {"a": 0.5, "b": 0.6})
+
+    def test_stratified_quota_exact_and_stable(self, spark):
+        from loongcollector_spark.functions.sampling import (
+            stratified_quota_sample,
+        )
+
+        docs = self._docs(spark)  # 5 langs x 800 docs
+        out = stratified_quota_sample(docs, ["lang"], quota=50)
+        per = {r.lang: r.n for r in out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert per == {str(i): 50 for i in range(5)}
+        # short stratum keeps all rows
+        tiny = docs.where(F.col("doc_id") < 3)
+        assert stratified_quota_sample(tiny, ["lang"], quota=50).count() == 3
+        # determinism under repartition
+        a = sorted(r.doc_id for r in out.collect())
+        b = sorted(
+            r.doc_id
+            for r in stratified_quota_sample(
+                docs.repartition(17), ["lang"], quota=50
+            ).collect()
+        )
+        assert a == b
+
+    def test_plan_shapes(self, spark):
+        """sample/split: narrow (zero Exchange, codegen'd); stratified:
+        exactly one hash-partitioning Exchange (the per-stratum window)."""
+        from loongcollector_spark.functions.sampling import (
+            hash_sample,
+            hash_split,
+            stratified_quota_sample,
+        )
+
+        docs = self._docs(spark)
+        for df in (
+            hash_sample(docs, 0.5),
+            hash_split(docs, {"a": 0.5, "b": 0.5}),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+        plan = (
+            stratified_quota_sample(docs, ["lang"], quota=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
