@@ -1720,14 +1720,19 @@ def q_multimodal_decode(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER matters: the driver runs only the first 50 entries.
-    # r5 rotation (VERDICT r4 #7): (1) round-5 new queries + every query
-    # whose code path round 5 touched (chunked FSM rewrite, start-only
-    # null fix, SPL dialect fixes, minhash family), (2) the 33 rows whose
-    # last driver check is r3 (oldest first — they have local MATCHes but
-    # the driver artifact is the durable record), (3) oldest r4-window
-    # rows to fill the 50, (4) r4-green remainder that safely ages out.
+    # r5 rotation (VERDICT r4 #7): (1) round-5 new queries (deterministic
+    # sampling trio, SPL dialect) + every query whose code path round 5
+    # touched (SQL FSM engine + chunked FSM rewrite, fused multicast
+    # metrics, start-only null fix, minhash family), (2) the 33 rows
+    # whose last driver check is r3 (oldest first — they have local
+    # MATCHes but the driver artifact is the durable record), (3) oldest
+    # r4-window rows to fill the 50, (4) r4-green remainder that safely
+    # ages out.
     return {
         # -- round-5 new / touched --
+        "sample_hash_bernoulli": q_sample_hash_bernoulli,
+        "sample_hash_split": q_sample_hash_split,
+        "sample_stratified_quota": q_sample_stratified_quota,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
         "spl_scalar_dialect": q_spl_scalar_dialect,
         "merge_multiline_conversation": q_merge_conversation,
@@ -1814,9 +1819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pair_sim_topk": q_embedding_pair_sim,
         "dedup_clusters_cc": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
-        "sample_hash_bernoulli": q_sample_hash_bernoulli,
-        "sample_hash_split": q_sample_hash_split,
-        "sample_stratified_quota": q_sample_stratified_quota,
         "multimodal_decode_stats": q_multimodal_decode,
         "streaming_parse_enrich": q_streaming_parse_enrich,
     }
