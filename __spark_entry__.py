@@ -341,6 +341,22 @@ def q_sample_stratified_quota(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (functions/packing.py):
+    concatenate-and-cut over a deterministic hash order, one row per
+    (document, bin it overlaps) with the token count landing in that
+    bin — closed-form window cumsum + explode, one shuffle, no
+    Python; the per-shard stream offset is the writer's seek position."""
+    from loongcollector_spark.functions.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    return pack_sequences(
+        docs, budget=256, token_col="n_tokens", shard_cols=["source"]
+    )
+
+
 def q_doc_token_stats(spark, sf_dir):
     """Token counting + quality scoring signals, built-ins only."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1733,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_bernoulli": q_sample_hash_bernoulli,
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified_quota": q_sample_stratified_quota,
+        "pack_sequences_budget": q_pack_sequences,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
         "spl_scalar_dialect": q_spl_scalar_dialect,
         "merge_multiline_conversation": q_merge_conversation,
@@ -1987,6 +2004,27 @@ SELECT CASE
        lang,
        count(*) AS n_docs
 FROM documents GROUP BY 1, 2"""
+
+    sql["pack_sequences_budget"] = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+), ordered AS (
+  SELECT source, doc_id, t,
+         CAST(sum(t) OVER (
+           PARTITION BY source
+           ORDER BY substring(md5(cast(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS BIGINT) AS cum
+  FROM toks WHERE t > 0
+)
+SELECT source, doc_id, u.bin_id,
+       least(cum, (u.bin_id + 1) * 256)
+         - greatest(cum - t, u.bin_id * 256) AS tokens_in_bin,
+       (cum - 1) // 256 - (cum - t) // 256 + 1 AS n_bins_spanned,
+       cum - t AS start_offset
+FROM ordered,
+     UNNEST(generate_series((cum - t) // 256, (cum - 1) // 256)) AS u(bin_id)"""
 
     sql["sample_stratified_quota"] = """
 SELECT doc_id, lang FROM (

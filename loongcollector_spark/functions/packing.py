@@ -1,0 +1,91 @@
+"""Token-budget sequence packing for training-data pipelines.
+
+Engine-added operator (no reference analogue): the standard
+concatenate-and-cut packing used to build fixed-length training
+sequences — all documents of a shard are laid end-to-end in a
+DETERMINISTIC order (md5 hex-prefix of the key, ties by key — the same
+content-hash law as :mod:`sampling`), and the token stream is cut every
+``budget`` tokens. Documents MAY span a cut; the output has one row per
+(document, bin it overlaps) with the token count that lands in that
+bin, so downstream writers can materialize each bin's byte ranges.
+
+Why this formulation scales: greedy no-split bin packing is a
+sequential recurrence (where a bin closes depends on everything before
+it), but concatenate-and-cut is a closed-form function of the running
+token total — one window cumsum per shard + an explode over the spanned
+bin range. One shuffle, no Python, no iteration, and the per-shard
+sequentiality is bounded by shard size, which the caller controls
+(shard by hash of the key for uniform ~executor-sized shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _bucket_hex
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    shard_cols: list[str] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Assign each document to the ``budget``-token bin(s) it occupies.
+
+    Output columns: the shard columns, ``key_col``, ``bin_id`` (0-based
+    within the shard), ``tokens_in_bin``, ``n_bins_spanned`` (how many
+    bins this document touches), plus ``start_offset`` (the document's start
+    position in the shard's concatenated token stream — the writer-side
+    seek position). Zero-token documents are dropped (they occupy no
+    stream position). Deterministic: same corpus → same packing, on any
+    cluster size or partitioning.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    shard_cols = list(shard_cols or [])
+    tok = F.col(token_col).cast("long")
+    w = (
+        (
+            Window.partitionBy(*shard_cols)
+            if shard_cols
+            else Window.partitionBy(F.lit(1))
+        )
+        .orderBy(_bucket_hex(F.col(key_col), salt), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok).over(w)
+    b = F.col("bin_id")
+    # window columns first, THEN the generator: a generator cannot share
+    # a projection with window expressions
+    positioned = df.where(tok > 0).select(
+        *shard_cols,
+        key_col,
+        tok.alias("__tok__"),
+        (cum - tok).alias("start_offset"),
+        cum.alias("__cum__"),
+    )
+    placed = positioned.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_offset") / budget),
+                F.floor((F.col("__cum__") - 1) / budget),
+            )
+        ).alias("bin_id"),
+    )
+    in_bin = F.least(F.col("__cum__"), (b + 1) * budget) - F.greatest(
+        F.col("start_offset"), b * budget
+    )
+    return placed.select(
+        *shard_cols,
+        key_col,
+        "bin_id",
+        in_bin.alias("tokens_in_bin"),
+        (F.floor((F.col("__cum__") - 1) / budget) - F.floor(F.col("start_offset") / budget) + 1)
+        .alias("n_bins_spanned"),
+        "start_offset",
+    )

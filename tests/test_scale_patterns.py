@@ -108,15 +108,15 @@ class TestRound2PlanShapes:
     def test_merge_fsm_single_shuffle_jvm_flags(self, spark):
         """Continue+End FSM, both engines, one Exchange each.
 
-        sql (default, r5): closed-form window scan — ZERO Python nodes;
+        sql (r5, opt-in): closed-form window scan — ZERO Python nodes;
         the event groupBy reuses the window's group-key hash
         partitioning (subset key), so the whole operator is one
         Exchange of pure JVM operators.
 
-        pandas: group-key repartition, in-partition sort, then
-        partition-level MapInPandas (one Python call per Arrow batch,
-        not per group); regex flags computed BEFORE the shuffle so
-        pandas sees only booleans."""
+        pandas (default): group-key repartition, in-partition sort,
+        then partition-level MapInPandas (one Python call per Arrow
+        batch, not per group); regex flags computed BEFORE the shuffle
+        so pandas sees only booleans."""
         from loongcollector_spark.operators.splits import MergeMultilineLog
 
         df = spark.createDataFrame(

@@ -1593,3 +1593,93 @@ class TestDeterministicSampling:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSequencePacking:
+    """functions/packing.py: concatenate-and-cut token packing."""
+
+    def _docs(self, spark):
+        rows = [(i, "s%d" % (i % 3), 10 + (i * 7) % 90) for i in range(300)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tokens long"
+        )
+
+    def test_stream_conservation_and_bins(self, spark):
+        """Every token lands in exactly one bin: per-doc tokens_in_bin
+        sums to the doc's tokens; per-(shard, bin) totals are exactly
+        the budget for all but each shard's LAST bin."""
+        from loongcollector_spark.functions.packing import pack_sequences
+
+        docs = self._docs(spark)
+        out = pack_sequences(docs, budget=128, shard_cols=["source"]).cache()
+        per_doc = {
+            r.doc_id: r.s
+            for r in out.groupBy("doc_id")
+            .agg(F.sum("tokens_in_bin").alias("s"))
+            .collect()
+        }
+        want = {r.doc_id: r.n_tokens for r in docs.collect()}
+        assert per_doc == want
+        per_bin = (
+            out.groupBy("source", "bin_id")
+            .agg(F.sum("tokens_in_bin").alias("s"))
+            .collect()
+        )
+        last = {}
+        for r in per_bin:
+            last[r.source] = max(last.get(r.source, -1), r.bin_id)
+        for r in per_bin:
+            if r.bin_id < last[r.source]:
+                assert r.s == 128, (r.source, r.bin_id, r.s)
+            else:
+                assert 0 < r.s <= 128
+        out.unpersist()
+
+    def test_spanning_and_offsets(self, spark):
+        """A doc longer than the budget spans ceil-consistent bins and
+        n_bins_spanned matches its row count; offsets are the running
+        stream positions in hash order."""
+        from loongcollector_spark.functions.packing import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(1, 300), (2, 50), (3, 700)], "doc_id long, n_tokens long"
+        )
+        out = pack_sequences(docs, budget=256).collect()
+        rows_per = {}
+        for r in out:
+            rows_per.setdefault(r.doc_id, []).append(r)
+        for did, rs in rows_per.items():
+            assert len(rs) == rs[0].n_bins_spanned
+            assert sum(x.tokens_in_bin for x in rs) == {1: 300, 2: 50, 3: 700}[did]
+        # offsets: ordered by hash, contiguous (stream has no holes)
+        firsts = sorted({r.doc_id: r.start_offset for r in out}.items(),
+                        key=lambda kv: kv[1])
+        sizes = {1: 300, 2: 50, 3: 700}
+        acc = 0
+        for did, off in firsts:
+            assert off == acc
+            acc += sizes[did]
+
+    def test_deterministic_and_zero_dropped(self, spark):
+        from loongcollector_spark.functions.packing import pack_sequences
+
+        docs = self._docs(spark).union(
+            spark.createDataFrame([(999, "s0", 0)],
+                                  "doc_id long, source string, n_tokens long")
+        )
+        a = sorted(map(tuple, pack_sequences(
+            docs, 64, shard_cols=["source"]).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            docs.repartition(11), 64, shard_cols=["source"]).collect()))
+        assert a == b
+        assert not any(t[1] == 999 for t in a)  # zero-token doc dropped
+
+    def test_plan_single_exchange(self, spark):
+        from loongcollector_spark.functions.packing import pack_sequences
+
+        plan = (
+            pack_sequences(self._docs(spark), 128, shard_cols=["source"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "InPandas" not in plan
