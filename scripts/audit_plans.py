@@ -141,6 +141,89 @@ def main() -> None:
         ],
     ))
 
+    fsm_sql = MergeMultilineLog(
+        SourceKey="text", GroupKey="conv_id", OrderKey="turn_idx",
+        StartPattern=r"^\{", EndPattern=r"\|", Engine="sql",
+    )(t)
+    p = plan_of(fsm_sql)
+    sections.append((
+        "multiline merge, SQL engine (closed-form window scan, r5)",
+        p,
+        [
+            ("zero Python nodes (no MapInPandas / FlatMapGroupsInPandas)",
+             "InPandas" not in p),
+            ("one Exchange for the operator (+ derivation): the event "
+             "groupBy reuses the window's group-key hash partitioning",
+             n_nodes(p, r"\(\d+\) Exchange") <= 2),
+            ("regex flags (rlike) evaluated once, below the windows",
+             "rlike" in p.lower() or "RLIKE" in p),
+        ],
+    ))
+
+    fused = pipe.run(t)["__metrics__"]
+    p = plan_of(fused)
+    sections.append((
+        "cached-multicast fused metrics (r5: one exploded agg off the "
+        "cached parent instead of 3 unioned cache scans)",
+        p,
+        [
+            ("single scan: no Union of per-sink aggregations",
+             "Union" not in p),
+            ("reads the persisted parent (InMemoryTableScan)",
+             "InMemoryTableScan" in p),
+            ("partial aggregation before the exchange",
+             "HashAggregate" in p),
+        ],
+    ))
+
+    from loongcollector_spark.functions.sampling import (  # noqa: E402
+        hash_sample,
+        stratified_quota_sample,
+    )
+    from loongcollector_spark.functions.packing import (  # noqa: E402
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(hash_sample(docs, 0.25))
+    sections.append((
+        "deterministic hash sample (md5 hex-prefix threshold)",
+        p,
+        [
+            ("pure narrow filter: zero Exchange", "Exchange" not in p),
+            ("no codegen fallback", "CodegenFallback" not in p),
+        ],
+    ))
+    p = plan_of(stratified_quota_sample(docs, ["lang"], quota=100))
+    sections.append((
+        "stratified quota sample (per-stratum top-k by hash rank)",
+        p,
+        [
+            ("one hash-partitioning Exchange (the stratum window)",
+             n_nodes(p, r"\(\d+\) Exchange") == 1),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+    p = plan_of(
+        pack_sequences(
+            docs.withColumn(
+                "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            ),
+            budget=256,
+            shard_cols=["source"],
+        )
+    )
+    sections.append((
+        "sequence packing (window cumsum + spanned-bin explode)",
+        p,
+        [
+            ("one hash-partitioning Exchange (the shard window)",
+             n_nodes(p, r"\(\d+\) Exchange") == 1),
+            ("Generate/explode present", "Generate" in p),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+
     scan = (
         spark.read.parquet(f"{SF}/events.parquet")
         .filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
