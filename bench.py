@@ -293,6 +293,31 @@ def main() -> None:
             )
         ),
     )
+    # deterministic sampling + sequence packing at corpus scale (r5):
+    # hash_sample is the narrow md5-filter floor; pack_sequences is one
+    # shard-window cumsum + spanned-bin explode over all 2M turns
+    from loongcollector_spark.functions.packing import pack_sequences
+    from loongcollector_spark.functions.sampling import hash_sample
+
+    keyed = corpus.withColumn(
+        "k", F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+    )
+    timed(
+        "hash_sample_2m",
+        lambda: noop_write(hash_sample(keyed, 0.1, key_col="k")),
+    )
+    packable = keyed.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).withColumn("shard", F.pmod(F.xxhash64("conv_id"), F.lit(64)))
+    timed(
+        "pack_sequences_2m",
+        lambda: noop_write(
+            pack_sequences(
+                packable, budget=8192, shard_cols=["shard"], key_col="k"
+            )
+        ),
+    )
+
     trans = transcripts_from_events(spark, sf_dir)
     timed(
         "sf_transcripts_pipeline",

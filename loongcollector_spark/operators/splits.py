@@ -1120,12 +1120,12 @@ class MergeMultilineLog(Processor):
         aggs = [F.count(F.lit(1)).alias("__n__")]
         if numeric_ok:
             aggs += [F.min(okey).alias("__mn__"), F.max(okey).alias("__mx__")]
-        # one row per group; materialized once (localCheckpoint) so the
-        # auto probe, the dense check, and the routing joins don't each
-        # re-scan the input
-        sizes = df.groupBy(g).agg(*aggs).localCheckpoint(eager=True)
         chunk_rows = self.chunk_rows
         if chunk_rows == "auto":
+            # auto needs TWO passes over the per-group stats (global max
+            # to pick the plan, then the big-group filter), so the
+            # group-sizes table is materialized once (localCheckpoint)
+            sizes = df.groupBy(g).agg(*aggs).localCheckpoint(eager=True)
             row = sizes.agg(F.max("__n__").alias("m")).collect()[0]
             max_n = row["m"] or 0
             if max_n <= _AUTO_MIN_GROUP:
@@ -1135,19 +1135,45 @@ class MergeMultilineLog(Processor):
                 chunk_rows = max(
                     _AUTO_MIN_GROUP // 4, -(-max_n // (2 * max(par, 1)))
                 )
+            big_stats = sizes.filter(F.col("__n__") > chunk_rows) if chunk_rows else None
+        else:
+            # explicit ChunkRows: ONE metadata job — aggregate, keep only
+            # the big groups (bounded by the skew count), collect. No
+            # checkpoint write, and no re-scan to build the routing list.
+            big_stats = df.groupBy(g).agg(*aggs).filter(
+                F.col("__n__") > chunk_rows
+            )
         if chunk_rows is None:
             if self.continue_pattern or self.end_pattern:
                 return self._call_fsm(df)
             return self._call_start_only(df)
-        big_stats = sizes.filter(F.col("__n__") > chunk_rows)
+        stat_rows = big_stats.limit(100_001).collect()
+        if not stat_rows:
+            # no group exceeds ChunkRows → the 3-shuffle machinery (and
+            # the routing joins) buy nothing; run the plain path whole
+            if self.continue_pattern or self.end_pattern:
+                return (
+                    self._call_fsm_sql(df)
+                    if self.engine == "sql"
+                    else self._call_fsm(df)
+                )
+            return self._call_start_only(df)
         group_mins = None
-        if numeric_ok:
-            stat_rows = big_stats.collect()  # metadata-sized: big groups
-            if len(stat_rows) <= 100_000 and all(
-                r["__mx__"] - r["__mn__"] + 1 == r["__n__"] for r in stat_rows
-            ):
-                group_mins = {r[g]: r["__mn__"] for r in stat_rows}
-        big = F.broadcast(big_stats.select(g))
+        if numeric_ok and len(stat_rows) <= 100_000 and all(
+            r["__mx__"] - r["__mn__"] + 1 == r["__n__"] for r in stat_rows
+        ):
+            group_mins = {r[g]: r["__mn__"] for r in stat_rows}
+        if len(stat_rows) <= 100_000:
+            # routing list rebuilt driver-side: the joins broadcast a
+            # literal frame instead of recomputing the aggregation
+            big = F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [[r[g]] for r in stat_rows],
+                    T.StructType([in_schema[g]]),
+                )
+            )
+        else:  # pathological ChunkRows: fall back to the dataframe route
+            big = F.broadcast(big_stats.select(g))
         small_df = df.join(big, g, "left_anti")
         big_df = df.join(big, g, "left_semi")
         if self.continue_pattern or self.end_pattern:
