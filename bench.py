@@ -306,9 +306,14 @@ def main() -> None:
         "hash_sample_2m",
         lambda: noop_write(hash_sample(keyed, 0.1, key_col="k")),
     )
+    # shard by the UNIQUE key, count ∝ rows (~31k rows/shard): a group
+    # key would serialize the hot conversation's shard, and a fixed
+    # shard count pays the O(n log n) window-sort factor at 10x
+    # (BENCH.md §sampling+packing linearity)
+    n_shards = max(bench_rows // 31_250, 1)
     packable = keyed.withColumn(
         "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    ).withColumn("shard", F.pmod(F.xxhash64("conv_id"), F.lit(64)))
+    ).withColumn("shard", F.pmod(F.xxhash64("k"), F.lit(n_shards)))
     timed(
         "pack_sequences_2m",
         lambda: noop_write(

@@ -16,6 +16,14 @@ token total — one window cumsum per shard + an explode over the spanned
 bin range. One shuffle, no Python, no iteration, and the per-shard
 sequentiality is bounded by shard size, which the caller controls
 (shard by hash of the key for uniform ~executor-sized shards).
+
+Shard guidance (measured, BENCH.md §sampling+packing linearity): keep
+shard COUNT proportional to corpus size with a bounded per-shard row
+target (tens of thousands of rows) — a fixed shard count pays the
+window sort's O(n log n) factor as data grows, and sharding by a
+skewed group key (one hot conversation) serializes that shard. With
+row-proportional sharding the measured per-row cost IMPROVES at 10×
+rows (0.73 → 0.42 µs/row at 20M, local[32]).
 """
 
 from __future__ import annotations
