@@ -286,6 +286,48 @@ class TestStreaming:
         )
         assert got_m == want_m
 
+    def test_streaming_hash_sample_equals_batch(self, spark, tmp_path):
+        """The deterministic sampling law is a pure narrow filter, so it
+        composes with Structured Streaming unchanged: streaming output
+        rows == the batch sample of the same input (the content-hash
+        law is trigger-count- and partitioning-independent)."""
+        from loongcollector_spark.functions.sampling import hash_sample
+        from loongcollector_spark.sources.transcripts import (
+            transcripts_from_events,
+        )
+
+        src_path = str(tmp_path / "hs_src")
+        transcripts_from_events(spark, SF_DIR).write.parquet(src_path)
+        static = spark.read.parquet(src_path).withColumn(
+            "k", F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+        )
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(src_path).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_path)
+            .withColumn(
+                "k", F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+            )
+        )
+        q = (
+            hash_sample(stream, 0.2, key_col="k")
+            .writeStream.format("memory")
+            .queryName("lc_hs_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r.k for r in spark.sql("SELECT k FROM lc_hs_stream").collect()
+        )
+        want = sorted(
+            r.k for r in hash_sample(static, 0.2, key_col="k").collect()
+        )
+        assert got == want and got
+
     def test_stateful_rate_limit(self, spark, tmp_path):
         from loongcollector_spark.sources.transcripts import transcripts_from_events
         from loongcollector_spark.streaming.pipeline import stateful_rate_limit
