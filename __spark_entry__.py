@@ -298,6 +298,24 @@ def q_exact_dedup(spark, sf_dir):
     )
 
 
+def q_minhash_lsh_md5(spark, sf_dir):
+    """MinHash-LSH with a FULL cross-engine value oracle (functions/
+    dedup.py minhash_lsh_candidates_md5): the md5 hex-prefix hash
+    family makes signature, banding, bucket pairs, and Jaccard verify
+    all reproducible in DuckDB — the end-to-end correctness anchor for
+    the pipeline whose production twin uses xxhash64 (rows-only row
+    dedup_minhash_lsh, golden-vectored)."""
+    from loongcollector_spark.functions.dedup import minhash_lsh_candidates_md5
+
+    # fixed 200-doc subset: the synthetic corpus shares vocabulary, so
+    # unigram near-dup candidates are dense — the bound keeps the
+    # oracle workload constant across scale factors
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 200
+    )
+    return minhash_lsh_candidates_md5(docs)
+
+
 def q_sample_hash_bernoulli(spark, sf_dir):
     """Deterministic Bernoulli sample (functions/sampling.py): keep a
     document iff its md5 hex-prefix bucket < rate. Content-hash law —
@@ -1746,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ages out.
     return {
         # -- round-5 new / touched --
+        "dedup_minhash_lsh_md5": q_minhash_lsh_md5,
         "sample_hash_bernoulli": q_sample_hash_bernoulli,
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified_quota": q_sample_stratified_quota,
@@ -1986,6 +2005,36 @@ SELECT md5(text) AS text_md5,
        min(doc_id) AS keep_doc_id,
        count(*) AS n_dupes
 FROM documents GROUP BY 1"""
+
+    # -- md5-family MinHash-LSH: the WHOLE pipeline recomputed in DuckDB
+    sql["dedup_minhash_lsh_md5"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(
+      trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+')) AS sh
+  FROM documents WHERE doc_id < 200
+), sigm AS (
+  SELECT doc_id, m.i AS member,
+         min(substring(md5(s.s || '#' || m.i), 1, 16)) AS mh
+  FROM toks, UNNEST(sh) AS s(s), UNNEST(generate_series(0, 15)) AS m(i)
+  GROUP BY doc_id, m.i
+), bandv AS (
+  SELECT doc_id, member // 4 AS band,
+         string_agg(mh, '|' ORDER BY member) AS bv
+  FROM sigm GROUP BY doc_id, member // 4
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandv a JOIN bandv b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard_sim FROM (
+  SELECT id_a, id_b,
+         round(len(list_intersect(ta.sh, tb.sh))
+               / CAST(len(list_distinct(list_concat(ta.sh, tb.sh)))
+                      AS DOUBLE), 6) AS jaccard_sim
+  FROM cand
+  JOIN toks ta ON ta.doc_id = id_a
+  JOIN toks tb ON tb.doc_id = id_b
+) WHERE jaccard_sim >= 0.5"""
 
     # -- deterministic sampling (md5 hex-prefix buckets agree across
     #    engines; hex strings compare like the integers they encode) ----

@@ -213,6 +213,95 @@ def minhash_lsh_candidates(
     )["verified"]
 
 
+def minhash_lsh_candidates_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Cross-engine value-oracle-able MinHash-LSH variant (r5).
+
+    Family member i = MIN over word shingles of the 16-hex-char md5
+    prefix of ``shingle || '#i'``. md5 agrees byte-for-byte across
+    engines and hex prefixes compare lexicographically like the
+    integers they encode, so EVERY stage — signature, banding, bucket
+    pair generation, exact-Jaccard verify — is reproducible in ANSI SQL
+    (the DuckDB driver oracle runs the whole pipeline independently).
+
+    The production near-dup path stays :func:`minhash_lsh_candidates`
+    (xxhash64: ONE string traversal per shingle + codegen-cheap long
+    mixes, hot-bucket cap); this variant pays K md5 traversals and
+    skips the cap — it exists as the end-to-end correctness anchor for
+    the same pipeline shape, not as the scale path. Returns
+    (id_a, id_b, jaccard_sim), id_a < id_b, jaccard rounded to 6
+    decimals and filtered on the ROUNDED value (cross-engine float
+    rule)."""
+    rpb = num_hashes // bands
+    if rpb * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    sh = shingles(F.col(text_col), 1)  # distinct words, oracle-parity
+
+    def member(i):
+        # single-param lambda + captured literal: a two-param transform
+        # lambda would bind its second arg to the ELEMENT INDEX (see
+        # shingle_hashes NB) and silently replace the member tag
+        tag = F.lit(f"#{i}")
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.substring(
+                    F.md5(F.concat(s, tag).cast("binary")), 1, 16
+                ),
+            )
+        )
+
+    docs_sig = df.select(
+        F.col(id_col).alias("id"),
+        sh.alias("sh"),
+    ).select(
+        "id", "sh", F.array(*[member(i) for i in range(num_hashes)]).alias("sig")
+    )
+    banded = docs_sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.slice(F.col("sig"), b * rpb + 1, rpb), "|"
+                        ).alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(jaccard(F.col("sha"), F.col("shb")), 6)
+    return pairs.select(
+        "id_a", "id_b", sim.alias("jaccard_sim")
+    ).where(F.col("jaccard_sim") >= min_jaccard)
+
+
 class UnconvergedClusteringError(RuntimeError):
     """min-label propagation hit max_iterations with labels still moving:
     the returned clustering would split at least one true component."""

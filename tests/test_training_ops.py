@@ -1683,3 +1683,61 @@ class TestSequencePacking:
         )
         assert plan.count("Exchange hashpartitioning") == 1
         assert "InPandas" not in plan
+
+
+class TestMinhashMd5Family:
+    def test_exact_dups_pair_at_one(self, spark):
+        """Identical docs collide in every band and verify at 1.0;
+        unrelated docs with disjoint vocab produce no pair."""
+        from loongcollector_spark.functions.dedup import (
+            minhash_lsh_candidates_md5,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma delta"),
+                (3, "zeta eta theta iota"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in minhash_lsh_candidates_md5(df).collect()
+        }
+        assert got == {(1, 2): 1.0}
+
+    def test_matches_hashlib_signature(self, spark):
+        """Member hashes equal a pure-Python md5 recomputation — the
+        independence the DuckDB oracle relies on."""
+        import hashlib
+
+        from loongcollector_spark.functions import dedup
+
+        df = spark.createDataFrame([(7, "one two two three")],
+                                   "doc_id long, text string")
+        from pyspark.sql import functions as F
+
+        sh = dedup.shingles(F.col("text"), 1)
+        row = df.select(sh.alias("sh")).select(
+            "sh",
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("sh"),
+                        (lambda tag: lambda s: F.substring(
+                            F.md5(F.concat(s, tag).cast("binary")), 1, 16
+                        ))(F.lit(f"#{i}")),
+                    )
+                ).alias(f"m{i}")
+                for i in range(4)
+            ],
+        ).collect()[0]
+        words = set(row["sh"])
+        assert words == {"one", "two", "three"}
+        for i in range(4):
+            want = min(
+                hashlib.md5(f"{w}#{i}".encode()).hexdigest()[:16]
+                for w in words
+            )
+            assert row[f"m{i}"] == want, i
