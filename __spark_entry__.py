@@ -316,6 +316,22 @@ def q_minhash_lsh_md5(spark, sf_dir):
     return minhash_lsh_candidates_md5(docs)
 
 
+def q_simhash_md5(spark, sf_dir):
+    """SimHash near-dup pairs with a FULL cross-engine value oracle
+    (functions/dedup.py simhash_near_dup_pairs_md5): md5 hex-digit bit
+    family -> 64-bit majority sketch -> 4x16-bit block banding ->
+    exact Hamming verify, every stage recomputed independently by the
+    DuckDB oracle. Correctness anchor for the xxhash64 production
+    sketch (simhash64, pytest + golden vectors)."""
+    from loongcollector_spark.functions.dedup import simhash_near_dup_pairs_md5
+
+    # fixed 200-doc subset — same bound rationale as dedup_minhash_lsh_md5
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 200
+    )
+    return simhash_near_dup_pairs_md5(docs)
+
+
 def q_sample_hash_bernoulli(spark, sf_dir):
     """Deterministic Bernoulli sample (functions/sampling.py): keep a
     document iff its md5 hex-prefix bucket < rate. Content-hash law —
@@ -1765,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 new / touched --
         "dedup_minhash_lsh_md5": q_minhash_lsh_md5,
+        "dedup_simhash_md5": q_simhash_md5,
         "sample_hash_bernoulli": q_sample_hash_bernoulli,
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified_quota": q_sample_stratified_quota,
@@ -2035,6 +2052,43 @@ SELECT id_a, id_b, jaccard_sim FROM (
   JOIN toks ta ON ta.doc_id = id_a
   JOIN toks tb ON tb.doc_id = id_b
 ) WHERE jaccard_sim >= 0.5"""
+
+    # -- md5-family SimHash: bit majority, block banding, Hamming verify,
+    #    all recomputed from scratch (hex-digit bit tests, no int casts)
+    sql["dedup_simhash_md5"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(
+      trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), '\s+')) AS sh
+  FROM documents WHERE doc_id < 200
+), th AS (
+  SELECT doc_id, md5(s.s) AS h FROM toks, UNNEST(sh) AS s(s)
+), bitv AS (
+  SELECT doc_id, m.b,
+         CASE WHEN 2 * count(*) FILTER (WHERE strpos(
+                ['89abcdef','4567cdef','2367abef','13579bdf'][m.b % 4 + 1],
+                substring(h, m.b // 4 + 1, 1)) > 0) > count(*)
+              THEN '1' ELSE '0' END AS bit
+  FROM th, UNNEST(generate_series(0, 63)) AS m(b)
+  GROUP BY doc_id, m.b
+), bits AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS bitstr
+  FROM bitv GROUP BY doc_id
+), blk AS (
+  SELECT doc_id, bitstr, k.k AS blk, substring(bitstr, k.k*16 + 1, 16) AS key
+  FROM bits, UNNEST(generate_series(0, 3)) AS k(k)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.bitstr AS ba, b.bitstr AS bb
+  FROM blk a JOIN blk b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(generate_series(1, 64),
+              i -> substring(ba, i, 1) <> substring(bb, i, 1)))
+              AS INTEGER) AS hamming
+  FROM cand
+) WHERE hamming <= 3"""
 
     # -- deterministic sampling (md5 hex-prefix buckets agree across
     #    engines; hex strings compare like the integers they encode) ----

@@ -302,6 +302,116 @@ def minhash_lsh_candidates_md5(
     ).where(F.col("jaccard_sim") >= min_jaccard)
 
 
+# hex digits whose bit (8, 4, 2, 1) is set — lexical bit tests over md5
+# hex strings stay byte-identical in every engine that has md5
+_HEX_BIT_MEMBERS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
+
+
+def simhash_bits_md5(hashes: Column, n: Column) -> Column:
+    """64-char '0'/'1' SimHash bit string from an array of md5 hex
+    strings (bit b = bit ``8 >> (b % 4)`` of hex digit ``b // 4 + 1``,
+    MSB-first over the first 16 hex chars): bit b is '1' iff a STRICT
+    majority of the hashes have it set. Pure hex-digit membership tests
+    — no integer conversion — so a DuckDB oracle recomputes the exact
+    string from ``md5()`` + ``strpos()`` (reference SimHash semantics:
+    sign of the per-bit +/-1 vote; cf. minhash_lsh_candidates_md5 for
+    why the md5 family exists alongside the xxhash64 production path)."""
+    bits = []
+    for b in range(64):
+        pos = b // 4 + 1
+        memb = _HEX_BIT_MEMBERS[b % 4]
+
+        def _set(pos=pos, memb=memb):
+            # one-arg lambda: 2-arg transform/filter lambdas bind the
+            # second param to the ELEMENT INDEX (shingle_hashes NB)
+            return lambda h: F.contains(F.lit(memb), F.substring(h, pos, 1))
+
+        bits.append(
+            F.when(F.size(F.filter(hashes, _set())) * 2 > n, F.lit("1"))
+            .otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
+def simhash_near_dup_pairs_md5(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_max: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with a FULL cross-engine value oracle:
+    md5-hex bit family (:func:`simhash_bits_md5`) over distinct word
+    shingles, 4×16-bit block banding (pigeonhole: Hamming ≤ 3 over 64
+    bits guarantees one identical 16-bit block), exact Hamming verify
+    on candidates. Returns (id_a, id_b, hamming), id_a < id_b,
+    hamming ≤ ``hamming_max``.
+
+    Same banded-self-join shape as MinHash-LSH — the block join moves
+    (id, bits) only, never text — so the plan scales like the
+    production :func:`simhash64` (xxhash64 sketch) while every stage is
+    reproducible in the DuckDB driver oracle."""
+    if hamming_max > 3:
+        raise ValueError(
+            "4-block banding only guarantees recall for hamming_max <= 3"
+        )
+    docs = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), 1).alias("sh")
+    )
+    # hs referenced 64x — its own projection so CollapseProject keeps
+    # the md5 work materialized instead of inlining it per bit
+    hashed = docs.select(
+        "id",
+        F.transform(F.col("sh"), lambda s: F.md5(s.cast("binary"))).alias("hs"),
+        F.size("sh").alias("n"),
+    )
+    bits = hashed.select(
+        "id", simhash_bits_md5(F.col("hs"), F.col("n")).alias("bits")
+    )
+    blocks = bits.select(
+        "id",
+        "bits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.substring(F.col("bits"), k * 16 + 1, 16).alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bits", F.col("bb.blk").alias("blk"), F.col("bb.key").alias("key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.bits").alias("ba"),
+            F.col("b.bits").alias("bb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("ba"), ""),
+            F.split(F.col("bb"), ""),
+            lambda x, y: (x != y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= hamming_max
+    )
+
+
 class UnconvergedClusteringError(RuntimeError):
     """min-label propagation hit max_iterations with labels still moving:
     the returned clustering would split at least one true component."""

@@ -1741,3 +1741,69 @@ class TestMinhashMd5Family:
                 for w in words
             )
             assert row[f"m{i}"] == want, i
+
+
+class TestSimhashMd5Family:
+    def test_exact_dups_hamming_zero(self, spark):
+        """Identical docs share every block and verify at Hamming 0;
+        disjoint-vocab docs produce no candidate pair."""
+        from loongcollector_spark.functions.dedup import (
+            simhash_near_dup_pairs_md5,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma delta"),
+                (3, "zeta eta theta iota kappa wholly different vocabulary"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_near_dup_pairs_md5(df).collect()
+        }
+        assert got == {(1, 2): 0}
+
+    def test_bits_match_pure_python(self, spark):
+        """The 64-bit majority string equals a hashlib recomputation —
+        the independence the DuckDB oracle relies on."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.functions import dedup
+
+        df = spark.createDataFrame(
+            [(9, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        sh = dedup.shingles(F.col("text"), 1)
+        row = df.select(
+            sh.alias("sh"),
+            dedup.simhash_bits_md5(
+                F.transform(sh, lambda s: F.md5(s.cast("binary"))),
+                F.size(sh),
+            ).alias("bits"),
+        ).collect()[0]
+        hs = [hashlib.md5(w.encode()).hexdigest() for w in row["sh"]]
+        want = "".join(
+            "1"
+            if 2 * sum(h[b // 4] in dedup._HEX_BIT_MEMBERS[b % 4] for h in hs)
+            > len(hs)
+            else "0"
+            for b in range(64)
+        )
+        assert row["bits"] == want
+
+    def test_hamming_max_guard(self, spark):
+        """4-block banding cannot guarantee recall past Hamming 3."""
+        import pytest
+
+        from loongcollector_spark.functions.dedup import (
+            simhash_near_dup_pairs_md5,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="hamming_max"):
+            simhash_near_dup_pairs_md5(df, hamming_max=4)
