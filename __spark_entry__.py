@@ -363,6 +363,26 @@ def q_sample_hash_split(spark, sf_dir):
     )
 
 
+def q_sample_domain_mix(spark, sf_dir):
+    """Deterministic corpus-mixture reweighting (functions/sampling.py
+    domain_mix_sample): per-domain keep rates as one inline-literal CASE
+    threshold over the hash bucket — downsample noisy sources, keep
+    curated ones, same verdict at any cluster size. Returns per-source
+    kept counts plus a total row-identity column set small enough to
+    hash."""
+    from loongcollector_spark.functions.sampling import domain_mix_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mix_sample(
+        docs,
+        {"src0": 0.9, "src1": 0.5, "src2": 0.1},
+        domain_col="source",
+        key_col="doc_id",
+        salt="mix1",
+        default_rate=0.25,
+    ).select("doc_id", "source", "lang")
+
+
 def q_sample_stratified_quota(spark, sf_dir):
     """Exact per-stratum quota: the 100 smallest hash buckets per lang
     (ties by doc_id) — deterministic per-group top-k, one
@@ -1783,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_md5": q_minhash_lsh_md5,
         "dedup_simhash_md5": q_simhash_md5,
         "sample_hash_bernoulli": q_sample_hash_bernoulli,
+        "sample_domain_mix": q_sample_domain_mix,
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified_quota": q_sample_stratified_quota,
         "pack_sequences_budget": q_pack_sequences,
@@ -2128,6 +2149,17 @@ SELECT source, doc_id, u.bin_id,
        cum - t AS start_offset
 FROM ordered,
      UNNEST(generate_series((cum - t) // 256, (cum - 1) // 256)) AS u(bin_id)"""
+
+    # thresholds = format(int(rate * 16**8), '08x') — exact, engine-free
+    sql["sample_domain_mix"] = """
+SELECT doc_id, source, lang FROM documents
+WHERE substring(md5(cast(doc_id AS VARCHAR) || 'mix1'), 1, 8) <
+  CASE source
+    WHEN 'src0' THEN 'e6666666'
+    WHEN 'src1' THEN '80000000'
+    WHEN 'src2' THEN '19999999'
+    ELSE '40000000'
+  END"""
 
     sql["sample_stratified_quota"] = """
 SELECT doc_id, lang FROM (

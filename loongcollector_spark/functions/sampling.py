@@ -97,6 +97,39 @@ def hash_split(
     return df.withColumn(out_col, out)
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus-mixture reweighting: keep a row iff its hash
+    bucket falls below the rate of its DOMAIN (source/lang/crawl-snapshot
+    …). The standard training-data move — downsample boilerplate-heavy
+    domains, keep curated ones — as a pure content-hash law: same
+    (key, domain) → same verdict on every run and every cluster size,
+    and two mixes over the same corpus with different salts are
+    independent draws. Rates are keep-probabilities in [0, 1] (this
+    subsamples; upsampling is a repeat-explode, not a filter). Domains
+    absent from ``rates`` get ``default_rate``.
+
+    Physical shape: a narrow whole-stage-codegen filter — the per-domain
+    threshold is an inline literal CASE over the (small) rates dict, the
+    same inline-literal-map idiom as DictMap ≤64 entries — no join, no
+    shuffle, stream-compatible."""
+    bucket = _bucket_hex(F.col(key_col), salt)
+    thr = None
+    for dom, rate in rates.items():
+        cond = F.col(domain_col) == F.lit(dom)
+        t = F.lit(_threshold_hex(rate))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = F.lit(_threshold_hex(default_rate))
+    thr = default_t if thr is None else thr.otherwise(default_t)
+    return df.where(bucket < thr)
+
+
 def stratified_quota_sample(
     df: DataFrame,
     strata_cols: list[str],

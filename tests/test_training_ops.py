@@ -1572,10 +1572,53 @@ class TestDeterministicSampling:
         )
         assert a == b
 
+    def test_domain_mix_law_and_rates(self, spark):
+        """Per-domain keep sets equal a pure-Python md5 recomputation;
+        absent domains get the default rate; rates land within binomial
+        noise."""
+        import hashlib
+
+        from loongcollector_spark.functions.sampling import domain_mix_sample
+
+        docs = self._docs(spark)  # lang 0..4 as the domain, 800 each
+        rates = {"0": 0.9, "1": 0.1}
+        out = domain_mix_sample(
+            docs, rates, domain_col="lang", salt="m", default_rate=0.5
+        )
+        got = {(r.doc_id, r.lang) for r in out.collect()}
+
+        def thresh(r):
+            return format(min(int(r * 16**8), 16**8 - 1), "08x")
+
+        want = {
+            (i, str(i % 5))
+            for i in range(4000)
+            if hashlib.md5(f"{i}m".encode()).hexdigest()[:8]
+            < thresh(rates.get(str(i % 5), 0.5))
+        }
+        assert got == want
+        per = {r.lang: r.n for r in out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert abs(per["0"] - 720) < 60   # 800 x 0.9
+        assert abs(per["1"] - 80) < 55    # 800 x 0.1
+        for lang in ("2", "3", "4"):
+            assert abs(per[lang] - 400) < 85  # default 0.5
+        # determinism under repartition (content law)
+        again = {
+            (r.doc_id, r.lang)
+            for r in domain_mix_sample(
+                docs.repartition(13), rates, domain_col="lang", salt="m",
+                default_rate=0.5,
+            ).collect()
+        }
+        assert again == got
+
     def test_plan_shapes(self, spark):
-        """sample/split: narrow (zero Exchange, codegen'd); stratified:
-        exactly one hash-partitioning Exchange (the per-stratum window)."""
+        """sample/split/mix: narrow (zero Exchange, codegen'd);
+        stratified: exactly one hash-partitioning Exchange (the
+        per-stratum window)."""
         from loongcollector_spark.functions.sampling import (
+            domain_mix_sample,
             hash_sample,
             hash_split,
             stratified_quota_sample,
@@ -1585,6 +1628,7 @@ class TestDeterministicSampling:
         for df in (
             hash_sample(docs, 0.5),
             hash_split(docs, {"a": 0.5, "b": 0.5}),
+            domain_mix_sample(docs, {"0": 0.9}, domain_col="lang"),
         ):
             plan = df._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan
