@@ -383,6 +383,25 @@ def q_sample_domain_mix(spark, sf_dir):
     ).select("doc_id", "source", "lang")
 
 
+def q_sample_domain_resample(spark, sf_dir):
+    """Deterministic mixture RESAMPLING incl. upsampling (functions/
+    sampling.py domain_mix_resample): rate 2.5 -> floor copies + one
+    more iff hash bucket < frac(rate); rate 0.5 -> Bernoulli filter;
+    returns every output copy with its ordinal so the oracle hashes the
+    exact multiset."""
+    from loongcollector_spark.functions.sampling import domain_mix_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mix_resample(
+        docs,
+        {"src0": 2.5, "src1": 0.5},
+        domain_col="source",
+        key_col="doc_id",
+        salt="rs1",
+        default_rate=1.0,
+    ).select("doc_id", "source", "copy_n")
+
+
 def q_sample_stratified_quota(spark, sf_dir):
     """Exact per-stratum quota: the 100 smallest hash buckets per lang
     (ties by doc_id) — deterministic per-group top-k, one
@@ -1804,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_md5": q_simhash_md5,
         "sample_hash_bernoulli": q_sample_hash_bernoulli,
         "sample_domain_mix": q_sample_domain_mix,
+        "sample_domain_resample": q_sample_domain_resample,
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified_quota": q_sample_stratified_quota,
         "pack_sequences_budget": q_pack_sequences,
@@ -2160,6 +2180,25 @@ WHERE substring(md5(cast(doc_id AS VARCHAR) || 'mix1'), 1, 8) <
     WHEN 'src2' THEN '19999999'
     ELSE '40000000'
   END"""
+
+    # copies = floor(rate) + (bucket < frac(rate)); generate_series(1, 0)
+    # is EMPTY in DuckDB (Spark needs the explicit empty-array guard)
+    sql["sample_domain_resample"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         substring(md5(cast(doc_id AS VARCHAR) || 'rs1'), 1, 8) AS b
+  FROM documents
+), nc AS (
+  SELECT doc_id, source,
+         CASE source
+           WHEN 'src0' THEN 2 + CASE WHEN b < '80000000' THEN 1 ELSE 0 END
+           WHEN 'src1' THEN 0 + CASE WHEN b < '80000000' THEN 1 ELSE 0 END
+           ELSE 1
+         END AS n
+  FROM d
+)
+SELECT doc_id, source, CAST(c.c AS INTEGER) AS copy_n
+FROM nc, UNNEST(generate_series(1, n)) AS c(c)"""
 
     sql["sample_stratified_quota"] = """
 SELECT doc_id, lang FROM (

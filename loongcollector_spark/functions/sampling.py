@@ -130,6 +130,60 @@ def domain_mix_sample(
     return df.where(bucket < thr)
 
 
+def domain_mix_resample(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 1.0,
+    copy_col: str = "copy_n",
+) -> DataFrame:
+    """Deterministic mixture resampling with UPSAMPLING: a domain rate
+    r means every row yields ``floor(r)`` copies plus one more iff its
+    hash bucket < ``frac(r)`` — so r = 2.3 triples 30% of rows and
+    doubles the rest (expected multiplicity exactly r), r = 0.4 is the
+    :func:`domain_mix_sample` filter, r = 1 is identity. The epoch-
+    mixture law training corpora actually use (quality domains repeat,
+    bulk crawl thins) as a pure content-hash function: same (key,
+    domain) → same copy count everywhere, no RNG state.
+
+    Output repeats input rows with ``copy_col`` = 1..n tagging the
+    copy ordinal (so downstream shuffles can decorrelate copies by
+    salting on it). Shape: one generate-explode over an inline CASE —
+    narrow, no shuffle; output size is sum(r_d × n_d), the caller's
+    chosen blow-up."""
+    for dom, rate in rates.items():
+        if rate < 0:
+            raise ValueError(f"rate for {dom!r} must be >= 0")
+    if default_rate < 0:
+        raise ValueError("default_rate must be >= 0")
+    bucket = _bucket_hex(F.col(key_col), salt)
+
+    def n_copies(rate: float) -> Column:
+        base = int(rate)
+        frac = rate - base
+        return F.lit(base) + (bucket < F.lit(_threshold_hex(frac))).cast("int")
+
+    expr = None
+    for dom, rate in rates.items():
+        cond = F.col(domain_col) == F.lit(dom)
+        expr = (
+            F.when(cond, n_copies(rate))
+            if expr is None
+            else expr.when(cond, n_copies(rate))
+        )
+    n = n_copies(default_rate) if expr is None else expr.otherwise(
+        n_copies(default_rate)
+    )
+    # NB sequence(1, 0) is DESCENDING [1, 0] in Spark — zero-copy rows
+    # must produce an EMPTY array (explode then drops them)
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(copies))
+
+
 def stratified_quota_sample(
     df: DataFrame,
     strata_cols: list[str],

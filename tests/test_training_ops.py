@@ -1613,6 +1613,52 @@ class TestDeterministicSampling:
         }
         assert again == got
 
+    def test_domain_resample_multiplicity_law(self, spark):
+        """Copy counts equal the pure-Python law: floor(rate) + one more
+        iff bucket < frac(rate); rate 1.0 is identity; rate 0 drops all
+        (sequence(1,0) must NOT produce the Spark descending [1,0])."""
+        import hashlib
+        from collections import Counter
+
+        from loongcollector_spark.functions.sampling import (
+            domain_mix_resample,
+        )
+
+        docs = self._docs(spark, 1000)
+        rates = {"0": 2.5, "1": 0.5, "2": 0.0}
+        out = domain_mix_resample(
+            docs, rates, domain_col="lang", salt="r", default_rate=1.0
+        )
+        got = Counter((r.doc_id, r.lang) for r in out.collect())
+        # copy ordinals are 1..n exactly
+        ords = {
+            (r.doc_id, r.copy_n) for r in out.where("lang = '0'").collect()
+        }
+        for (i, _), n in got.items():
+            if i % 5 == 0:
+                assert {(i, k) in ords for k in range(1, n + 1)} == {True}
+
+        def thresh(r):
+            return format(min(int(r * 16**8), 16**8 - 1), "08x")
+
+        want = Counter()
+        for i in range(1000):
+            rate = rates.get(str(i % 5), 1.0)
+            base = int(rate)
+            n = base + (
+                hashlib.md5(f"{i}r".encode()).hexdigest()[:8]
+                < thresh(rate - base)
+            )
+            if n >= 1:
+                want[(i, str(i % 5))] = n
+        assert got == want
+        # expected multiplicity ≈ rate per domain (200 rows each)
+        per = Counter(lang for (_, lang) in got.elements())
+        assert abs(per["0"] - 500) < 70
+        assert abs(per["1"] - 100) < 55
+        assert per["2"] == 0
+        assert per["3"] == 200 and per["4"] == 200
+
     def test_plan_shapes(self, spark):
         """sample/split/mix: narrow (zero Exchange, codegen'd);
         stratified: exactly one hash-partitioning Exchange (the
