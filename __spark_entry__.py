@@ -414,6 +414,27 @@ def q_sample_stratified_quota(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_context_window_stats(spark, sf_dir):
+    """Context-window assembly stats (functions/packing.py): for each
+    assistant turn, the maximal contiguous run of turns ending at it
+    whose total bpe-ish token cost (+1/turn separator) fits a 128-token
+    budget — the training-example construction law over transcripts.
+    Closed-form: one conversation-keyed shuffle, a cumsum window and a
+    RANGE frame over the running cost; no iteration, no Python."""
+    from loongcollector_spark.functions import textstats
+    from loongcollector_spark.functions.packing import context_window_stats
+
+    t = _transcripts(spark, sf_dir).withColumn(
+        "n_tokens", textstats.bpe_ish_token_count(F.col("text"))
+    )
+    out = context_window_stats(t, budget=128)
+    return out.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ctx_turns",
+        F.col("ctx_cost").cast("long").alias("ctx_cost"),
+        "ctx_start_turn", "truncated",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (functions/packing.py):
     concatenate-and-cut over a deterministic hash order, one row per
@@ -1827,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_split": q_sample_hash_split,
         "sample_stratified_quota": q_sample_stratified_quota,
         "pack_sequences_budget": q_pack_sequences,
+        "context_window_stats": q_context_window_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
         "spl_scalar_dialect": q_spl_scalar_dialect,
         "merge_multiline_conversation": q_merge_conversation,
@@ -2169,6 +2191,34 @@ SELECT source, doc_id, u.bin_id,
        cum - t AS start_offset
 FROM ordered,
      UNNEST(generate_series((cum - t) // 256, (cum - 1) // 256)) AS u(bin_id)"""
+
+    sql["context_window_stats"] = _T + r"""
+, tok AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))
+              AS BIGINT) + 1 AS cost
+  FROM transcripts
+), c AS (
+  SELECT conv_id, turn_idx, role, cost,
+         CAST(sum(cost) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS BIGINT) AS cum
+  FROM tok
+), w AS (
+  SELECT conv_id, turn_idx, role, cost, cum,
+         count(*) OVER rng AS m,
+         min(cum) OVER rng AS mincum
+  FROM c
+  WINDOW rng AS (PARTITION BY conv_id ORDER BY cum
+                 RANGE BETWEEN 128 PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx,
+       CAST(m - 1 + CASE WHEN cum <= 128 THEN 1 ELSE 0 END AS INT) AS ctx_turns,
+       CAST(cum - CASE WHEN cum <= 128 THEN 0 ELSE mincum END AS BIGINT)
+           AS ctx_cost,
+       CAST(turn_idx - (m - 1 + CASE WHEN cum <= 128 THEN 1 ELSE 0 END) + 1
+            AS INT) AS ctx_start_turn,
+       cost > 128 AS truncated
+FROM w WHERE role = 'assistant'"""
 
     # thresholds = format(int(rate * 16**8), '08x') — exact, engine-free
     sql["sample_domain_mix"] = """

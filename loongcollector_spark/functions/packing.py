@@ -97,3 +97,75 @@ def pack_sequences(
         .alias("n_bins_spanned"),
         "start_offset",
     )
+
+
+def context_window_stats(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    turn_overhead: int = 1,
+) -> DataFrame:
+    """Context-assembly stats: the maximal turn suffix that fits a budget.
+
+    Training-example construction law for multi-turn transcripts: a
+    target turn's context window is the LONGEST contiguous run of turns
+    ending at (and including) that turn whose total cost fits
+    ``budget``, where a turn's cost is ``token_col + turn_overhead``
+    (the overhead models the per-turn separator/role tokens and, being
+    >= 1, keeps the running total strictly increasing so the window
+    frame below is exact).
+
+    Closed form, no iteration: with ``cum`` the per-conversation running
+    cost (one window cumsum), the turns that fit ending at row *i* are
+    exactly the rows *k <= i* with ``cum[k] >= cum[i] - budget`` —
+    countable with a single RANGE frame over ``cum`` — plus the whole
+    prefix when ``cum[i] <= budget`` (the virtual ``cum = 0``
+    predecessor). Two sorts inside ONE conversation-keyed shuffle; scale
+    is bounded by conversation length, never corpus size.
+
+    Output per input row: ``ctx_turns`` (turns in the window, target
+    included; 0 means the target alone overflows), ``ctx_cost`` (their
+    total cost), ``ctx_start_turn`` (first included ordinal — assumes
+    ``order_col`` is dense per conversation, as transcripts' turn_idx
+    is), ``truncated`` (target alone overflows the budget).
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if turn_overhead < 1:
+        raise ValueError(
+            "turn_overhead must be >= 1 (keeps the running cost strictly "
+            "increasing; model it as the per-turn separator tokens)"
+        )
+    cost = F.col(token_col).cast("long") + F.lit(int(turn_overhead))
+    w_cum = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.withColumn("__cost__", cost).withColumn(
+        "__cum__", F.sum("__cost__").over(w_cum)
+    )
+    w_rng = (
+        Window.partitionBy(conv_col)
+        .orderBy("__cum__")
+        .rangeBetween(-int(budget), Window.currentRow)
+    )
+    whole = F.col("__cum__") <= budget
+    m = F.count(F.lit(1)).over(w_rng)
+    mincum = F.min("__cum__").over(w_rng)
+    out = staged.withColumn(
+        "ctx_turns",
+        (m - 1 + F.when(whole, F.lit(1)).otherwise(F.lit(0))).cast("int"),
+    ).withColumn(
+        "ctx_cost", F.col("__cum__") - F.when(whole, F.lit(0)).otherwise(mincum)
+    )
+    return (
+        out.withColumn(
+            "ctx_start_turn",
+            (F.col(order_col) - F.col("ctx_turns") + 1).cast("int"),
+        )
+        .withColumn("truncated", F.col("__cost__") > budget)
+        .drop("__cost__", "__cum__")
+    )

@@ -1897,3 +1897,76 @@ class TestSimhashMd5Family:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="hamming_max"):
             simhash_near_dup_pairs_md5(df, hamming_max=4)
+
+
+class TestContextWindowStats:
+    """context_window_stats (functions/packing.py) — hand-computed law."""
+
+    def _run(self, spark, rows, budget, overhead=1):
+        from loongcollector_spark.functions.packing import (
+            context_window_stats,
+        )
+
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, n_tokens long"
+        )
+        out = context_window_stats(
+            df, budget=budget, turn_overhead=overhead
+        )
+        return {
+            r["turn_idx"]: r
+            for r in out.where(F.col("conv_id") == "c").collect()
+        }
+
+    def test_hand_computed(self, spark):
+        # costs (tokens+1): 5, 3, 10, 4 → cum 5, 8, 18, 22; budget 12
+        rows = [("c", 0, 4), ("c", 1, 2), ("c", 2, 9), ("c", 3, 3)]
+        got = self._run(spark, rows, budget=12)
+        # i=0: whole prefix fits (5<=12) → 1 turn, cost 5, start 0
+        assert (got[0]["ctx_turns"], got[0]["ctx_cost"]) == (1, 5)
+        assert got[0]["ctx_start_turn"] == 0
+        # i=1: whole prefix fits (8<=12) → both turns
+        assert (got[1]["ctx_turns"], got[1]["ctx_cost"]) == (2, 8)
+        assert got[1]["ctx_start_turn"] == 0
+        # i=2: turns 1..2 cost 13 > 12 → only turn 2 (cost 10)
+        assert (got[2]["ctx_turns"], got[2]["ctx_cost"]) == (1, 10)
+        assert got[2]["ctx_start_turn"] == 2
+        # i=3: turns 2..3 cost 14 > 12 → only turn 3 (cost 4)
+        assert (got[3]["ctx_turns"], got[3]["ctx_cost"]) == (1, 4)
+        assert not got[3]["truncated"]
+
+    def test_overflowing_turn(self, spark):
+        # cost 21 > budget 12: nothing fits, truncated; next turn
+        # restarts cleanly after the oversized one
+        rows = [("c", 0, 20), ("c", 1, 2)]
+        got = self._run(spark, rows, budget=12)
+        assert (got[0]["ctx_turns"], got[0]["ctx_cost"]) == (0, 0)
+        assert got[0]["truncated"]
+        assert got[0]["ctx_start_turn"] == 1  # empty-window convention
+        assert (got[1]["ctx_turns"], got[1]["ctx_cost"]) == (1, 3)
+
+    def test_exact_budget_boundary(self, spark):
+        # cum hits the budget exactly → still fits (<=)
+        rows = [("c", 0, 5), ("c", 1, 5)]  # costs 6, 6; cum 6, 12
+        got = self._run(spark, rows, budget=12)
+        assert (got[1]["ctx_turns"], got[1]["ctx_cost"]) == (2, 12)
+
+    def test_zero_token_turns_cost_overhead(self, spark):
+        # zero-token turns still cost the separator → strictly
+        # increasing cum keeps the RANGE frame exact
+        rows = [("c", 0, 0), ("c", 1, 0), ("c", 2, 0)]
+        got = self._run(spark, rows, budget=2)
+        assert (got[2]["ctx_turns"], got[2]["ctx_cost"]) == (2, 2)
+
+    def test_validation(self, spark):
+        from loongcollector_spark.functions.packing import (
+            context_window_stats,
+        )
+
+        df = spark.createDataFrame(
+            [("c", 0, 1)], "conv_id string, turn_idx int, n_tokens long"
+        )
+        with pytest.raises(ValueError, match="budget"):
+            context_window_stats(df, budget=0)
+        with pytest.raises(ValueError, match="turn_overhead"):
+            context_window_stats(df, budget=5, turn_overhead=0)
