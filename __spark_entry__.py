@@ -435,6 +435,35 @@ def q_context_window_stats(spark, sf_dir):
     )
 
 
+def q_sessionize_gap(spark, sf_dir):
+    """Time-gap sessionization (functions/sessions.py): a session break
+    wherever the inter-turn gap exceeds 24h — closed-form prefix sum of
+    a lag-gap indicator, one conversation-keyed Exchange."""
+    from loongcollector_spark.functions.sessions import sessionize
+
+    out = sessionize(_transcripts(spark, sf_dir), gap_seconds=86400)
+    return out.select(
+        "conv_id", "turn_idx", "session_idx", "session_turn_idx"
+    )
+
+
+def q_agent_loop_runs(spark, sf_dir):
+    """Degenerate agent-loop signal (functions/sessions.py): run-length
+    encoding of consecutive turns with the same (role, tool) — the
+    gaps-and-islands identity, one window + one groupBy."""
+    from loongcollector_spark.functions.sessions import consecutive_runs
+
+    out = consecutive_runs(
+        _transcripts(spark, sf_dir), ["role", "tool"], min_len=2
+    )
+    return out.select(
+        "conv_id", "role", "tool",
+        F.col("run_start_turn").cast("int").alias("run_start_turn"),
+        F.col("run_end_turn").cast("int").alias("run_end_turn"),
+        "run_len",
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (functions/packing.py):
     concatenate-and-cut over a deterministic hash order, one row per
@@ -1849,6 +1878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_quota": q_sample_stratified_quota,
         "pack_sequences_budget": q_pack_sequences,
         "context_window_stats": q_context_window_stats,
+        "sessionize_gap": q_sessionize_gap,
+        "agent_loop_runs": q_agent_loop_runs,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
         "spl_scalar_dialect": q_spl_scalar_dialect,
         "merge_multiline_conversation": q_merge_conversation,
@@ -2191,6 +2222,45 @@ SELECT source, doc_id, u.bin_id,
        cum - t AS start_offset
 FROM ordered,
      UNNEST(generate_series((cum - t) // 256, (cum - 1) // 256)) AS u(bin_id)"""
+
+    sql["sessionize_gap"] = _T + """
+, g AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 86400
+              THEN 1 ELSE 0 END AS nw
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), s AS (
+  SELECT conv_id, turn_idx,
+         CAST(sum(nw) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS INT) AS session_idx
+  FROM g
+)
+SELECT conv_id, turn_idx, session_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id, session_idx
+                               ORDER BY turn_idx) - 1 AS INT)
+           AS session_turn_idx
+FROM s"""
+
+    sql["agent_loop_runs"] = _T + """
+, g AS (
+  SELECT conv_id, turn_idx, role, tool,
+         CASE WHEN lag(turn_idx) OVER w IS NULL THEN 1
+              WHEN role IS DISTINCT FROM lag(role) OVER w
+                OR tool IS DISTINCT FROM lag(tool) OVER w THEN 1
+              ELSE 0 END AS nw
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), r AS (
+  SELECT *, sum(nw) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS run_id
+  FROM g
+)
+SELECT conv_id, role, tool,
+       CAST(min(turn_idx) AS INT) AS run_start_turn,
+       CAST(max(turn_idx) AS INT) AS run_end_turn,
+       CAST(count(*) AS INT) AS run_len
+FROM r GROUP BY conv_id, run_id, role, tool
+HAVING count(*) >= 2"""
 
     sql["context_window_stats"] = _T + r"""
 , tok AS (

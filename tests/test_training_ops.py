@@ -1970,3 +1970,109 @@ class TestContextWindowStats:
             context_window_stats(df, budget=0)
         with pytest.raises(ValueError, match="turn_overhead"):
             context_window_stats(df, budget=5, turn_overhead=0)
+
+
+class TestSessions:
+    """sessionize + consecutive_runs (functions/sessions.py)."""
+
+    def test_sessionize_gap_law(self, spark):
+        import datetime as dt
+
+        from loongcollector_spark.functions.sessions import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("c", 0, t0),
+            ("c", 1, t0 + dt.timedelta(seconds=10)),     # same session
+            ("c", 2, t0 + dt.timedelta(seconds=200)),    # gap 190 > 100
+            ("c", 3, t0 + dt.timedelta(seconds=100)),    # NEGATIVE gap
+            ("c", 4, t0 + dt.timedelta(seconds=301)),    # gap 201 > 100
+            ("d", 0, t0),                                # other conv
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts timestamp"
+        )
+        got = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["session_idx"], r["session_turn_idx"]
+            )
+            for r in sessionize(df, gap_seconds=100).collect()
+        }
+        assert got[("c", 0)] == (0, 0)
+        assert got[("c", 1)] == (0, 1)
+        assert got[("c", 2)] == (1, 0)
+        assert got[("c", 3)] == (1, 1)  # out-of-order ts never splits
+        assert got[("c", 4)] == (2, 0)
+        assert got[("d", 0)] == (0, 0)
+
+    def test_gap_boundary_is_strict(self, spark):
+        import datetime as dt
+
+        from loongcollector_spark.functions.sessions import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("c", 0, t0), ("c", 1, t0 + dt.timedelta(seconds=100))]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts timestamp"
+        )
+        out = sessionize(df, gap_seconds=100).collect()
+        assert {r["session_idx"] for r in out} == {0}  # == gap stays
+
+    def test_consecutive_runs_rle(self, spark):
+        from loongcollector_spark.functions.sessions import (
+            consecutive_runs,
+        )
+
+        rows = [
+            ("c", 0, "user", "browser"),
+            ("c", 1, "user", "browser"),
+            ("c", 2, "user", "search"),   # tool change breaks the run
+            ("c", 3, "tool", "search"),
+            ("c", 4, "tool", "search"),
+            ("c", 5, "tool", "search"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, tool string"
+        )
+        out = consecutive_runs(df, ["role", "tool"])
+        got = sorted(
+            (r["run_start_turn"], r["run_end_turn"], r["run_len"])
+            for r in out.collect()
+        )
+        assert got == [(0, 1, 2), (2, 2, 1), (3, 5, 3)]
+        only_loops = consecutive_runs(df, ["role", "tool"], min_len=3)
+        assert [
+            (r["run_start_turn"], r["run_len"])
+            for r in only_loops.collect()
+        ] == [(3, 3)]
+
+    def test_runs_null_safe_keys(self, spark):
+        from loongcollector_spark.functions.sessions import (
+            consecutive_runs,
+        )
+
+        rows = [("c", 0, None), ("c", 1, None), ("c", 2, "x")]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, tool string"
+        )
+        got = sorted(
+            (r["run_start_turn"], r["run_len"])
+            for r in consecutive_runs(df, ["tool"]).collect()
+        )
+        assert got == [(0, 2), (2, 1)]  # NULL == NULL inside a run
+
+    def test_validation(self, spark):
+        from loongcollector_spark.functions.sessions import (
+            consecutive_runs,
+            sessionize,
+        )
+
+        df = spark.createDataFrame(
+            [("c", 0, None)], "conv_id string, turn_idx int, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="gap_seconds"):
+            sessionize(df, gap_seconds=-1)
+        with pytest.raises(ValueError, match="key_cols"):
+            consecutive_runs(df, [])
+        with pytest.raises(ValueError, match="min_len"):
+            consecutive_runs(df, ["ts"], min_len=0)
