@@ -464,6 +464,30 @@ def q_agent_loop_runs(spark, sf_dir):
     )
 
 
+def q_conversation_rollup(spark, sf_dir):
+    """Per-conversation rollup: turns, 24h-gap sessions, assistant
+    turns, bpe-ish token total and wall-clock span — sessionize's
+    window + ONE partial-aggregated groupBy on the same key (the
+    Exchange is reused; no second shuffle)."""
+    from loongcollector_spark.functions import textstats
+    from loongcollector_spark.functions.sessions import sessionize
+
+    t = sessionize(_transcripts(spark, sf_dir), gap_seconds=86400)
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        (F.max("session_idx") + 1).cast("int").alias("n_sessions"),
+        F.sum((F.col("role") == "assistant").cast("int"))
+        .cast("int")
+        .alias("n_assistant_turns"),
+        F.sum(textstats.bpe_ish_token_count(F.col("text")))
+        .cast("long")
+        .alias("total_tokens"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("span_seconds"),
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (functions/packing.py):
     concatenate-and-cut over a deterministic hash order, one row per
@@ -1880,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_window_stats": q_context_window_stats,
         "sessionize_gap": q_sessionize_gap,
         "agent_loop_runs": q_agent_loop_runs,
+        "conversation_rollup": q_conversation_rollup,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
         "spl_scalar_dialect": q_spl_scalar_dialect,
         "merge_multiline_conversation": q_merge_conversation,
@@ -2261,6 +2286,31 @@ SELECT conv_id, role, tool,
        CAST(count(*) AS INT) AS run_len
 FROM r GROUP BY conv_id, run_id, role, tool
 HAVING count(*) >= 2"""
+
+    sql["conversation_rollup"] = _T + r"""
+, g AS (
+  SELECT conv_id, turn_idx, role, text, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx))) AS BIGINT)
+                   > 86400
+              THEN 1 ELSE 0 END AS nw
+  FROM transcripts
+), s AS (
+  SELECT *, sum(nw) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+            AS session_idx
+  FROM g
+)
+SELECT conv_id,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(max(session_idx) + 1 AS INT) AS n_sessions,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS INT)
+           AS n_assistant_turns,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')))
+            AS BIGINT) AS total_tokens,
+       CAST(floor(epoch(max(ts))) AS BIGINT)
+         - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_seconds
+FROM s GROUP BY conv_id"""
 
     sql["context_window_stats"] = _T + r"""
 , tok AS (
