@@ -283,6 +283,36 @@ def main() -> None:
         ),
     )
 
+    # transcript-window family (r5): sessionize → rollup and the
+    # context-assembly RANGE frame — both one conversation-keyed
+    # Exchange over the 2M corpus; the rows pin the per-turn window
+    # cost the flagship's training-data consumers pay
+    def run_window_ops():
+        from loongcollector_spark.functions import textstats
+        from loongcollector_spark.functions.packing import (
+            context_window_stats,
+        )
+        from loongcollector_spark.functions.sessions import sessionize
+
+        s = sessionize(corpus, gap_seconds=86400)
+        noop_write(
+            s.groupBy("conv_id").agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.max("session_idx").alias("max_s"),
+            )
+        )
+        noop_write(
+            context_window_stats(
+                corpus.withColumn(
+                    "n_tokens",
+                    textstats.bpe_ish_token_count(F.col("text")),
+                ),
+                budget=128,
+            )
+        )
+
+    timed("transcript_window_ops", run_window_ops)
+
     # --- operator queries over the sf-dir tables -------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(

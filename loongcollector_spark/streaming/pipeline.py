@@ -86,6 +86,37 @@ class StreamingTranscriptPipeline:
             )
         )
 
+    def session_rollup_stream(
+        self, stream: DataFrame, gap: str = "24 hours"
+    ) -> DataFrame:
+        """Streaming twin of :func:`functions.sessions.sessionize`'s
+        rollup, via Spark's NATIVE ``session_window``: turns whose
+        time gaps stay under ``gap`` merge into one session; output is
+        (conv_id, session_start, session_end, n_turns).
+
+        Equivalence law vs the batch operator (tested, incl. the exact
+        boundary): on turn streams whose ``ts`` is non-decreasing in
+        turn order, the session sets match batch ``sessionize`` exactly
+        — session_window merges touching windows, so a gap EXACTLY
+        equal to the threshold stays one session, the same as the batch
+        rule's strict ``>``. Late turns beyond the watermark are
+        dropped (streaming-only semantics)."""
+        evt = stream.withColumn("__evt_ts__", F.col("ts").cast("timestamp"))
+        return (
+            evt.withWatermark("__evt_ts__", self.late_threshold)
+            .groupBy(
+                F.col("conv_id"),
+                F.session_window(F.col("__evt_ts__"), gap).alias("sw"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_turns"))
+            .select(
+                "conv_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_turns",
+            )
+        )
+
     def start_to_memory(self, spark, path: str, name: str = "lc_stream",
                         mode: str = "append") -> "StreamingQuery":  # noqa: F821
         """Test harness: run the parse+enrich stream into a memory sink."""

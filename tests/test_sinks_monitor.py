@@ -898,3 +898,104 @@ class TestForeachBatchMultilineMerge:
                     ).collect()
                 )
                 assert got == want, (mode, treatment, trial, lines, chunks)
+
+
+class TestStreamingSessionWindow:
+    """Native session_window == batch sessionize on time-ordered turns."""
+
+    def test_session_window_equals_batch_sessionize(self, spark, tmp_path):
+        from loongcollector_spark.functions.sessions import sessionize
+        from loongcollector_spark.sources.transcripts import (
+            transcripts_from_events,
+        )
+        from loongcollector_spark.streaming.pipeline import (
+            StreamingTranscriptPipeline,
+        )
+
+        src = str(tmp_path / "sw_src")
+        transcripts_from_events(spark, SF_DIR).write.parquet(src)
+        static = spark.read.parquet(src)
+
+        # batch law: per-(conv, session) first-ts + turn count; ts is
+        # non-decreasing in turn_idx in this corpus (checked below), so
+        # turn order == time order and the two operators must agree
+        w_ok = sessionize(static, gap_seconds=86400)
+        from pyspark.sql import Window as W
+
+        mono = static.withColumn(
+            "__p__",
+            F.lag("ts").over(
+                W.partitionBy("conv_id").orderBy("turn_idx")
+            ),
+        )
+        assert mono.where(F.col("ts") < F.col("__p__")).count() == 0
+
+        want = sorted(
+            (r["conv_id"], str(r["session_start"]), r["n_turns"])
+            for r in w_ok.groupBy("conv_id", "session_idx")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.count(F.lit(1)).alias("n_turns"),
+            )
+            .collect()
+        )
+
+        sp = StreamingTranscriptPipeline(late_threshold="0 seconds")
+        stream = sp.read_stream(spark, src, max_files=1)
+        q = (
+            sp.session_rollup_stream(stream, gap="86400 seconds")
+            .writeStream.format("memory")
+            .queryName("lc_sw_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            (r["conv_id"], str(r["session_start"]), r["n_turns"])
+            for r in spark.sql(
+                "SELECT conv_id, session_start, n_turns FROM lc_sw_stream"
+            ).collect()
+        )
+        assert got == want and got
+
+    def test_exact_gap_boundary_merges_like_batch(self, spark, tmp_path):
+        """gap == threshold: session_window merges touching windows —
+        the SAME session as batch sessionize's strict-> rule."""
+        import datetime as dt
+
+        from loongcollector_spark.functions.sessions import sessionize
+        from loongcollector_spark.streaming.pipeline import (
+            StreamingTranscriptPipeline,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("c", 0, "user", "x", "browser", t0),
+            ("c", 1, "user", "x", "browser", t0 + dt.timedelta(seconds=100)),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        )
+        src = str(tmp_path / "swb_src")
+        df.write.parquet(src)
+        batch = sessionize(df, gap_seconds=100)
+        assert {r["session_idx"] for r in batch.collect()} == {0}
+
+        sp = StreamingTranscriptPipeline(late_threshold="0 seconds")
+        stream = sp.read_stream(spark, src)
+        q = (
+            sp.session_rollup_stream(stream, gap="100 seconds")
+            .writeStream.format("memory")
+            .queryName("lc_swb_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT n_turns FROM lc_swb_stream"
+        ).collect()
+        assert [r["n_turns"] for r in got] == [2]  # one merged session
