@@ -224,6 +224,59 @@ def main() -> None:
         ],
     ))
 
+    from loongcollector_spark.functions import textstats  # noqa: E402
+    from loongcollector_spark.functions.packing import (  # noqa: E402
+        context_window_stats,
+    )
+    from loongcollector_spark.functions.sessions import (  # noqa: E402
+        consecutive_runs,
+        sessionize,
+    )
+
+    p = plan_of(sessionize(t, gap_seconds=86400))
+    sections.append((
+        "sessionize (lag-gap prefix sum, r5)",
+        p,
+        [
+            ("one conv-key Exchange (+ derivation): both windows and the "
+             "session ordinal share the partitioning",
+             n_nodes(p, r"\(\d+\) Exchange") <= 2),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+    p = plan_of(
+        context_window_stats(
+            t.withColumn(
+                "n_tokens", textstats.bpe_ish_token_count(F.col("text"))
+            ),
+            budget=128,
+        )
+    )
+    sections.append((
+        "context-window assembly (cumsum + RANGE frame, r5)",
+        p,
+        [
+            ("one conv-key Exchange (+ derivation): the RANGE window "
+             "reuses the cumsum window's partitioning",
+             n_nodes(p, r"\(\d+\) Exchange") <= 2),
+            ("two Window nodes (cumsum, then RANGE frame over it)",
+             n_nodes(p, r"\(\d+\) Window") >= 2),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+    p = plan_of(consecutive_runs(t, ["role", "tool"], min_len=2))
+    sections.append((
+        "consecutive-run RLE (gaps-and-islands, r5)",
+        p,
+        [
+            ("run groupBy reuses the window's conv-key Exchange "
+             "(+ derivation)", n_nodes(p, r"\(\d+\) Exchange") <= 2),
+            ("partial aggregation before any exchange",
+             "HashAggregate" in p),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+
     scan = (
         spark.read.parquet(f"{SF}/events.parquet")
         .filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
