@@ -488,6 +488,63 @@ def q_conversation_rollup(spark, sf_dir):
     )
 
 
+def q_turn_order_audit(spark, sf_dir):
+    """Per-conversation turn-ordering integrity (functions/convstats.py):
+    duplicate turn_idx, numbering gaps, timestamp inversions, base
+    index — one conversation-keyed window + groupBy on the same key
+    (single Exchange); the ingestion gate for any transcript job."""
+    from loongcollector_spark.functions.convstats import turn_order_audit
+
+    return turn_order_audit(_transcripts(spark, sf_dir))
+
+
+def q_role_transition_matrix(spark, sf_dir):
+    """Corpus-level role→next-role Markov transition counts
+    (functions/convstats.py): one lead window per conversation, then a
+    bounded-key groupBy ((#roles+1)² rows) that is pure map-side
+    partial aggregation; last turns transition to '<end>'."""
+    from loongcollector_spark.functions.convstats import (
+        role_transition_matrix,
+    )
+
+    return role_transition_matrix(_transcripts(spark, sf_dir))
+
+
+def q_conversation_fingerprint(spark, sf_dir):
+    """Conversation-level exact dedup (functions/convstats.py): ordered
+    (role, text) serialization with control-char separators → md5
+    digest, copy counts + keep-first marking per digest group. The
+    conversation cousin of exact_dedup; the digest shuffle carries one
+    short row per conversation, never turns."""
+    from loongcollector_spark.functions.convstats import (
+        conversation_fingerprint,
+    )
+
+    return conversation_fingerprint(_transcripts(spark, sf_dir))
+
+
+def q_conversation_quality(spark, sf_dir):
+    """Per-conversation training-quality filter (functions/convstats.py):
+    turn count, assistant fraction, mean assistant turn length,
+    duplicated-turn-text fraction, composite keep — one
+    partial-aggregated groupBy, the conversation-level cousin of the
+    Gopher/C4 document filters."""
+    from loongcollector_spark.functions.convstats import (
+        conversation_quality_signals,
+    )
+
+    return conversation_quality_signals(_transcripts(spark, sf_dir))
+
+
+def q_tool_usage_stats(spark, sf_dir):
+    """Per-tool usage profile (functions/convstats.py): call counts,
+    conversation reach, mean relative position in-conversation — one
+    conversation window + one bounded-key (#tools) groupBy."""
+    from loongcollector_spark.functions.convstats import tool_usage_stats
+
+    return tool_usage_stats(_transcripts(spark, sf_dir))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing (functions/packing.py):
     concatenate-and-cut over a deterministic hash order, one row per
@@ -1905,6 +1962,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_gap": q_sessionize_gap,
         "agent_loop_runs": q_agent_loop_runs,
         "conversation_rollup": q_conversation_rollup,
+        "turn_order_audit": q_turn_order_audit,
+        "role_transition_matrix": q_role_transition_matrix,
+        "conversation_fingerprint": q_conversation_fingerprint,
+        "conversation_quality_filter": q_conversation_quality,
+        "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
         "spl_scalar_dialect": q_spl_scalar_dialect,
         "merge_multiline_conversation": q_merge_conversation,
@@ -2311,6 +2373,81 @@ SELECT conv_id,
        CAST(floor(epoch(max(ts))) AS BIGINT)
          - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_seconds
 FROM s GROUP BY conv_id"""
+
+    sql["turn_order_audit"] = _T + """
+, g AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN ts < lag(ts) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx, ts)
+              THEN 1 ELSE 0 END AS inv
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(count(*) AS INT) AS n_turns,
+       CAST(count(*) - count(DISTINCT turn_idx) AS INT) AS n_dup_turns,
+       CAST(max(turn_idx) - min(turn_idx) + 1 - count(DISTINCT turn_idx)
+            AS INT) AS n_gaps,
+       CAST(sum(inv) AS INT) AS n_ts_inversions,
+       min(turn_idx) = 0 AS base_ok,
+       (count(*) = count(DISTINCT turn_idx)
+        AND max(turn_idx) - min(turn_idx) + 1 = count(DISTINCT turn_idx)
+        AND sum(inv) = 0 AND min(turn_idx) = 0) AS is_clean
+FROM g GROUP BY conv_id"""
+
+    sql["role_transition_matrix"] = _T + """
+, g AS (
+  SELECT role,
+         coalesce(lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  '<end>') AS next_role
+  FROM transcripts
+)
+SELECT role, next_role, CAST(count(*) AS BIGINT) AS n_transitions
+FROM g GROUP BY role, next_role"""
+
+    sql["conversation_fingerprint"] = _T + """
+, per AS (
+  SELECT conv_id,
+         md5(string_agg(role || chr(31) || text, chr(30)
+                        ORDER BY turn_idx)) AS conv_digest,
+         CAST(count(*) AS INT) AS n_turns
+  FROM transcripts GROUP BY conv_id
+)
+SELECT conv_id, conv_digest, n_turns,
+       CAST(count(*) OVER (PARTITION BY conv_digest) AS INT) AS n_copies,
+       conv_id = min(conv_id) OVER (PARTITION BY conv_digest) AS keep
+FROM per"""
+
+    sql["conversation_quality_filter"] = _T + """
+, q AS (
+  SELECT conv_id,
+         CAST(count(*) AS INT) AS n_turns,
+         round(avg(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END), 6)
+             AS assistant_frac,
+         round(avg(CASE WHEN role = 'assistant' THEN length(text) END), 6)
+             AS mean_assistant_chars,
+         round(1 - count(DISTINCT text) / count(*), 6) AS dup_text_frac
+  FROM transcripts GROUP BY conv_id
+)
+SELECT *,
+       (n_turns BETWEEN 2 AND 64
+        AND assistant_frac BETWEEN 0.1 AND 0.9
+        AND dup_text_frac <= 0.5) AS keep
+FROM q"""
+
+    sql["tool_usage_stats"] = _T + """
+, p AS (
+  SELECT tool, conv_id,
+         CASE WHEN max(turn_idx) OVER w > min(turn_idx) OVER w
+              THEN CAST(turn_idx - min(turn_idx) OVER w AS DOUBLE)
+                   / (max(turn_idx) OVER w - min(turn_idx) OVER w)
+              ELSE 0.0 END AS rel
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id)
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       round(avg(rel), 6) AS mean_rel_position
+FROM p WHERE tool <> 'none' GROUP BY tool"""
 
     sql["context_window_stats"] = _T + r"""
 , tok AS (

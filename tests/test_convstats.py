@@ -1,0 +1,182 @@
+"""Conversation-level stats / audit / dedup (functions/convstats.py).
+
+Hand-built dirty fixture: duplicate turn_idx, a numbering gap, a
+timestamp inversion, a 1-based conversation, an exact duplicate
+conversation, and a degenerate repeating conversation — every signal
+asserted against hand-computed values.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from loongcollector_spark.functions import convstats
+
+_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    rows = [
+        # c1: clean 3-turn conversation (user → assistant → user)
+        ("c1", 0, "user", "hi", "none", _t(0)),
+        ("c1", 1, "assistant", "hello there", "search", _t(1)),
+        ("c1", 2, "user", "bye", "none", _t(2)),
+        # c2: duplicate turn_idx 1 (two rows), gap (no 2, then 3),
+        # and a timestamp inversion at turn 3
+        ("c2", 0, "user", "a", "none", _t(0)),
+        ("c2", 1, "assistant", "b", "code", _t(1)),
+        ("c2", 1, "assistant", "b2", "code", _t(2)),
+        ("c2", 3, "user", "c", "none", _t(0, 30)),  # ts < 01:00 → inversion
+        # c3: 1-based numbering, otherwise clean
+        ("c3", 1, "user", "x", "none", _t(0)),
+        ("c3", 2, "assistant", "y", "none", _t(1)),
+        # c4: exact copy of c1's (role, text) sequence — dup conversation
+        ("c4", 0, "user", "hi", "none", _t(5)),
+        ("c4", 1, "assistant", "hello there", "search", _t(6)),
+        ("c4", 2, "user", "bye", "none", _t(7)),
+        # c5: degenerate loop — same assistant text repeated 4×
+        ("c5", 0, "assistant", "loop", "code", _t(0)),
+        ("c5", 1, "assistant", "loop", "code", _t(1)),
+        ("c5", 2, "assistant", "loop", "code", _t(2)),
+        ("c5", 3, "assistant", "loop", "code", _t(3)),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA).cache()
+
+
+class TestTurnOrderAudit:
+    def test_signals(self, dirty):
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.turn_order_audit(dirty).collect()
+        }
+        c1 = out["c1"]
+        assert (c1["n_dup_turns"], c1["n_gaps"], c1["n_ts_inversions"]) == (0, 0, 0)
+        assert c1["base_ok"] and c1["is_clean"]
+        c2 = out["c2"]
+        assert c2["n_turns"] == 4
+        assert c2["n_dup_turns"] == 1  # 4 rows, 3 distinct idx
+        assert c2["n_gaps"] == 1  # {0,1,3} misses 2
+        assert c2["n_ts_inversions"] == 1  # 00:30 after 02:00
+        assert c2["base_ok"] and not c2["is_clean"]
+        c3 = out["c3"]
+        assert not c3["base_ok"] and not c3["is_clean"]
+        assert (c3["n_dup_turns"], c3["n_gaps"]) == (0, 0)
+
+    def test_dup_idx_ordering_deterministic(self, dirty):
+        # duplicate turn_idx rows are tie-broken by ts, so the lag
+        # comparison is stable under any input partitioning
+        a = convstats.turn_order_audit(dirty.repartition(7)).collect()
+        b = convstats.turn_order_audit(dirty.coalesce(1)).collect()
+        key = lambda rows: sorted(map(tuple, rows))  # noqa: E731
+        assert key(a) == key(b)
+
+
+class TestRoleTransitionMatrix:
+    def test_counts(self, dirty):
+        out = {
+            (r["role"], r["next_role"]): r["n_transitions"]
+            for r in convstats.role_transition_matrix(dirty).collect()
+        }
+        # u→a: c1, c2, c3, c4; a→u: c1, c2, c4
+        assert out[("user", "assistant")] == 4
+        assert out[("assistant", "user")] == 3
+        assert out[("user", "<end>")] == 3  # c1, c2, c4 end on user
+        # c5: three a→a plus terminal
+        assert out[("assistant", "assistant")] >= 3
+        # row sums over `role` == turn counts
+        assert sum(out.values()) == dirty.count()
+
+
+class TestConversationFingerprint:
+    def test_dup_marking(self, dirty):
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.conversation_fingerprint(dirty).collect()
+        }
+        assert out["c1"]["conv_digest"] == out["c4"]["conv_digest"]
+        assert out["c1"]["n_copies"] == 2 and out["c4"]["n_copies"] == 2
+        assert out["c1"]["keep"] and not out["c4"]["keep"]  # keep-first
+        assert out["c2"]["n_copies"] == 1 and out["c2"]["keep"]
+        assert out["c5"]["n_turns"] == 4
+        digs = {v["conv_digest"] for v in out.values()}
+        assert len(digs) == 4  # c1==c4, the rest distinct
+
+    def test_order_sensitivity(self, spark):
+        rows = [
+            ("a", 0, "user", "x", "none", _t(0)),
+            ("a", 1, "user", "y", "none", _t(1)),
+            ("b", 0, "user", "y", "none", _t(0)),
+            ("b", 1, "user", "x", "none", _t(1)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        out = convstats.conversation_fingerprint(df).collect()
+        digs = {r["conv_id"]: r["conv_digest"] for r in out}
+        assert digs["a"] != digs["b"]  # same multiset, different order
+
+
+class TestQualitySignals:
+    def test_signals_and_keep(self, dirty):
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.conversation_quality_signals(dirty).collect()
+        }
+        c1 = out["c1"]
+        assert c1["n_turns"] == 3
+        assert c1["assistant_frac"] == pytest.approx(1 / 3, abs=1e-6)
+        assert c1["mean_assistant_chars"] == 11.0  # "hello there"
+        assert c1["dup_text_frac"] == 0.0
+        assert c1["keep"]
+        c5 = out["c5"]
+        assert c5["dup_text_frac"] == 0.75  # 4 rows, 1 distinct
+        assert not c5["keep"]  # repetition + assistant_frac 1.0
+        assert out["c3"]["mean_assistant_chars"] == 1.0  # "y"
+
+    def test_no_assistant_mean_is_null(self, spark):
+        rows = [
+            ("u", 0, "user", "q1", "none", _t(0)),
+            ("u", 1, "user", "q2", "none", _t(1)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        (r,) = convstats.conversation_quality_signals(df).collect()
+        assert r["mean_assistant_chars"] is None
+        assert not r["keep"]  # assistant_frac 0 < min band
+
+    def test_turn_bounds(self, spark):
+        rows = [("solo", 0, "assistant", "only", "none", _t(0))]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        (r,) = convstats.conversation_quality_signals(df).collect()
+        assert not r["keep"]  # n_turns < min_turns
+
+
+class TestToolUsageStats:
+    def test_profile(self, dirty):
+        out = {
+            r["tool"]: r.asDict()
+            for r in convstats.tool_usage_stats(dirty).collect()
+        }
+        assert "none" not in out
+        s = out["search"]
+        # c1 turn 1 of 0..2 → 0.5; c4 same → mean 0.5
+        assert s["n_calls"] == 2 and s["n_convs"] == 2
+        assert s["mean_rel_position"] == pytest.approx(0.5, abs=1e-6)
+        c = out["code"]
+        # c2: idx 1,1 of 0..3 → 1/3, 1/3; c5: 0,1/3,2/3,1
+        assert c["n_calls"] == 6 and c["n_convs"] == 2
+        exp = (1 / 3 + 1 / 3 + 0 + 1 / 3 + 2 / 3 + 1) / 6
+        assert c["mean_rel_position"] == pytest.approx(exp, abs=1e-6)
+
+    def test_single_turn_conversation_position_zero(self, spark):
+        rows = [("solo", 5, "assistant", "x", "db", _t(0))]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        (r,) = convstats.tool_usage_stats(df).collect()
+        assert r["mean_rel_position"] == 0.0
