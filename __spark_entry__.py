@@ -523,6 +523,42 @@ def q_conversation_fingerprint(spark, sf_dir):
     return conversation_fingerprint(_transcripts(spark, sf_dir))
 
 
+def q_conversation_fingerprint_xor(spark, sf_dir):
+    """Scale variant of conversation_fingerprint (functions/convstats.py):
+    position-bound per-turn md5→int64 hashes XOR-folded with bit_xor —
+    commutative, so the conversation agg partial-aggregates map-side
+    and a hot conversation never materializes in one reducer; dedup
+    window keys on (digest, n_turns)."""
+    from loongcollector_spark.functions.convstats import (
+        conversation_fingerprint_xor,
+    )
+
+    return conversation_fingerprint_xor(_transcripts(spark, sf_dir))
+
+
+def q_conversation_gate(spark, sf_dir):
+    """Fused per-conversation export gate (functions/convstats.py):
+    audit + quality + XOR-digest dedup in ONE turns-sized Exchange —
+    the ordering window, the stats groupBy (single count_distinct;
+    order-distinct derived from the window lag) and the map-side
+    bit_xor fold all share the conversation partitioning; composite
+    keep = is_clean AND quality_ok AND dedup_keep."""
+    from loongcollector_spark.functions.convstats import conversation_gate
+
+    return conversation_gate(_transcripts(spark, sf_dir))
+
+
+def q_training_export(spark, sf_dir):
+    """Turn-level training export (functions/convstats.py): the turn
+    stream of gate-surviving conversations with digit-run redaction
+    (the cheap PII floor) and per-turn bpe-ish token budgets — gate +
+    conversation-keyed semi-join: two turns-sized shuffles end to end
+    at any corpus size."""
+    from loongcollector_spark.functions.convstats import training_export
+
+    return training_export(_transcripts(spark, sf_dir))
+
+
 def q_conversation_quality(spark, sf_dir):
     """Per-conversation training-quality filter (functions/convstats.py):
     turn count, assistant fraction, mean assistant turn length,
@@ -1965,6 +2001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_order_audit": q_turn_order_audit,
         "role_transition_matrix": q_role_transition_matrix,
         "conversation_fingerprint": q_conversation_fingerprint,
+        "conversation_fingerprint_xor": q_conversation_fingerprint_xor,
+        "conversation_gate": q_conversation_gate,
+        "training_export_turns": q_training_export,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2416,6 +2455,69 @@ SELECT conv_id, conv_digest, n_turns,
        CAST(count(*) OVER (PARTITION BY conv_digest) AS INT) AS n_copies,
        conv_id = min(conv_id) OVER (PARTITION BY conv_digest) AS keep
 FROM per"""
+
+    sql["conversation_fingerprint_xor"] = _T + """
+, per AS (
+  SELECT conv_id,
+         bit_xor(('0x' || substr(md5(CAST(turn_idx AS VARCHAR) || chr(31)
+                                     || role || chr(31) || text), 1, 15)
+                 )::BIGINT) AS conv_digest_xor,
+         CAST(count(*) AS INT) AS n_turns
+  FROM transcripts GROUP BY conv_id
+)
+SELECT conv_id, conv_digest_xor, n_turns,
+       CAST(count(*) OVER (PARTITION BY conv_digest_xor, n_turns) AS INT)
+           AS n_copies,
+       conv_id = min(conv_id) OVER (PARTITION BY conv_digest_xor, n_turns)
+           AS keep
+FROM per"""
+
+    _GATE_CTE = """
+, l AS (
+  SELECT *, lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts)
+                AS prev_ts
+  FROM transcripts
+), g AS (
+  SELECT conv_id,
+         CAST(count(*) AS INT) AS n_turns,
+         CAST(count(*) - count(DISTINCT turn_idx) AS INT) AS n_dup_turns,
+         CAST(max(turn_idx) - min(turn_idx) + 1 - count(DISTINCT turn_idx)
+              AS INT) AS n_gaps,
+         CAST(sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS INT)
+             AS n_ts_inversions,
+         min(turn_idx) = 0 AS base_ok,
+         round(avg(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END), 6)
+             AS assistant_frac,
+         round(1 - count(DISTINCT text) / count(*), 6) AS dup_text_frac,
+         bit_xor(('0x' || substr(md5(CAST(turn_idx AS VARCHAR) || chr(31)
+                                     || role || chr(31) || text), 1, 15)
+                 )::BIGINT) AS conv_digest_xor
+  FROM l GROUP BY conv_id
+), k AS (
+  SELECT *,
+         (n_dup_turns = 0 AND n_gaps = 0 AND n_ts_inversions = 0
+          AND base_ok) AS is_clean,
+         (n_turns BETWEEN 2 AND 64
+          AND assistant_frac BETWEEN 0.1 AND 0.9
+          AND dup_text_frac <= 0.5) AS quality_ok,
+         conv_id = min(conv_id)
+             OVER (PARTITION BY conv_digest_xor, n_turns) AS dedup_keep
+  FROM g
+), gate AS (
+  SELECT *, (is_clean AND quality_ok AND dedup_keep) AS keep FROM k
+)"""
+
+    sql["conversation_gate"] = _T + _GATE_CTE + """
+SELECT * FROM gate"""
+
+    sql["training_export_turns"] = _T + _GATE_CTE + r"""
+SELECT t.conv_id, t.turn_idx, t.role, t.tool,
+       regexp_replace(t.text, '\d{4,}', '<num>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(
+           regexp_replace(t.text, '\d{4,}', '<num>', 'g'),
+           '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS INT) AS n_tokens
+FROM transcripts t
+JOIN (SELECT conv_id FROM gate WHERE keep) e USING (conv_id)"""
 
     sql["conversation_quality_filter"] = _T + """
 , q AS (

@@ -313,6 +313,32 @@ def main() -> None:
 
     timed("transcript_window_ops", run_window_ops)
 
+    # conversation-stats family (r5): the ingestion-gate audit + the
+    # quality filter share one conversation-keyed Exchange each; the
+    # fingerprint pair pins serialize-vs-XOR-fold — the 20%-hot
+    # conversation (400k turns) materializes in ONE reducer on the
+    # serialize path but partial-aggregates map-side on the XOR path
+    from loongcollector_spark.functions.convstats import (
+        conversation_fingerprint,
+        conversation_fingerprint_xor,
+        conversation_quality_signals,
+        turn_order_audit,
+    )
+
+    def run_conv_stats():
+        noop_write(turn_order_audit(corpus))
+        noop_write(conversation_quality_signals(corpus))
+
+    timed("conversation_stats_audit_quality", run_conv_stats)
+    timed(
+        "conversation_fingerprint_serialize",
+        lambda: noop_write(conversation_fingerprint(corpus)),
+    )
+    timed(
+        "conversation_fingerprint_xor",
+        lambda: noop_write(conversation_fingerprint_xor(corpus)),
+    )
+
     # --- operator queries over the sf-dir tables -------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     timed(

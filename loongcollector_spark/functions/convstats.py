@@ -20,6 +20,10 @@ always-on data-quality signals):
   copy-count + keep-first marking per digest group. The conversation
   cousin of :func:`loongcollector_spark.functions.dedup.exact_dedup`
   (document-level).
+- :func:`conversation_fingerprint_xor` — the scale variant: a
+  position-bound per-turn hash XOR-folded map-side (partial
+  aggregation), so a hot conversation never materializes in one
+  reducer; same dedup marking, int64 digest.
 - :func:`conversation_quality_signals` — per-conversation training
   filter: turn count, assistant fraction, mean assistant turn length,
   duplicated-turn-text fraction, and the composite ``keep`` flag —
@@ -28,6 +32,11 @@ always-on data-quality signals):
 - :func:`tool_usage_stats` — per-tool call counts, conversation
   reach, and mean relative position inside the conversation (early
   vs late tool use).
+- :func:`conversation_gate` / :func:`training_export` — the fused
+  end-to-end export: audit + quality + XOR dedup computed in ONE
+  turns-sized Exchange, then the turn stream of surviving
+  conversations with digit-run redaction and per-turn token budgets
+  (two turns-sized shuffles total at any corpus size).
 
 Scale notes (10^12 turns): every operator here is one
 conversation-keyed Exchange (window + partial-aggregated groupBy on
@@ -172,6 +181,74 @@ def conversation_fingerprint(
     )
 
 
+def conversation_fingerprint_xor(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale variant of :func:`conversation_fingerprint`: XOR-fold of
+    position-bound per-turn hashes — no conversation materialization.
+
+    :func:`conversation_fingerprint` collect_lists each conversation's
+    full ``(order, role, text)`` turn set into one reducer before
+    serializing. Correct, and the digest shuffle is small — but the
+    single reducer that receives a *hot* conversation (a 4M-turn agent
+    loop at the 10× bench scale) must hold all of its text at once.
+    This variant never materializes a conversation: each turn hashes
+    independently (``md5(order <US> role <US> text)`` → first 15 hex
+    chars → int64, 60 bits) and the fold is ``bit_xor``, which is
+    commutative/associative and therefore **partial-aggregates
+    map-side** — the hot conversation's turns combine inside each scan
+    task and the conversation-keyed Exchange carries one 16-byte
+    partial row per (task, conversation), never text.
+
+    Position binding (``order_col`` participates in the per-turn hash)
+    keeps the commutative fold order-sensitive: swapping two turns
+    changes both per-turn hashes. Caveat: two *identical*
+    ``(order, role, text)`` rows cancel under XOR — gate upstream on
+    :func:`turn_order_audit` ``n_dup_turns == 0`` (the audit is the
+    documented first stage of transcript ingestion). The dedup window
+    keys on ``(digest, n_turns)`` to narrow accidental collisions.
+
+    Output schema matches :func:`conversation_fingerprint` with
+    ``conv_digest_xor: long`` in place of the md5 hex digest.
+    """
+    turn_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    _FIELD_SEP,
+                    F.col(order_col).cast("string"),
+                    F.col(role_col),
+                    F.col(text_col),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per_conv = (
+        df.select(F.col(conv_col), turn_h.alias("__h__"))
+        .groupBy(conv_col)
+        .agg(
+            F.bit_xor("__h__").alias("conv_digest_xor"),
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+        )
+    )
+    wd = Window.partitionBy("conv_digest_xor", "n_turns")
+    return per_conv.select(
+        conv_col,
+        "conv_digest_xor",
+        "n_turns",
+        F.count(F.lit(1)).over(wd).cast("int").alias("n_copies"),
+        (F.col(conv_col) == F.min(conv_col).over(wd)).alias("keep"),
+    )
+
+
 def conversation_quality_signals(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -217,6 +294,174 @@ def conversation_quality_signals(
         F.col("n_turns").between(min_turns, max_turns)
         & F.col("assistant_frac").between(min_assistant_frac, max_assistant_frac)
         & (F.col("dup_text_frac") <= max_dup_text_frac),
+    )
+
+
+def conversation_gate(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_turns: int = 2,
+    max_turns: int = 64,
+    min_assistant_frac: float = 0.1,
+    max_assistant_frac: float = 0.9,
+    max_dup_text_frac: float = 0.5,
+) -> DataFrame:
+    """Fused per-conversation export gate: audit + quality + dedup in
+    ONE turns-sized Exchange.
+
+    Running :func:`turn_order_audit`, :func:`conversation_quality_signals`
+    and :func:`conversation_fingerprint_xor` separately scans and
+    shuffles the turn stream three times. Their aggregations all key on
+    the conversation, so this operator computes every signal in one
+    pass: the ordering window (timestamp inversions) and a single
+    groupBy share one conversation-keyed Exchange, the XOR digest
+    folds in the same aggregation, and the dedup window runs over the
+    already-collapsed one-row-per-conversation frame (a second,
+    conversations-sized shuffle). Output: one row per conversation with
+    the audit signals, the quality signals, the digest dedup marking,
+    and the composite ``keep`` =
+    ``is_clean AND quality_ok AND dedup_keep``.
+
+    The intended consumer is :func:`training_export`, which semi-joins
+    the turn stream against ``keep`` conversations — so the full
+    audit→filter→dedup→export chain costs two turns-sized shuffles
+    total (this gate + the join) at any corpus size.
+    """
+    # Two count_distincts on DIFFERENT columns (turn_idx, text) would
+    # force Spark's Expand plan (3x rows + extra shuffles). The ordering
+    # window makes duplicate order values ADJACENT, so the order-column
+    # distinct count is sum(order != lag(order)) — window-derived, free
+    # on the Exchange the inversion lag already pays for. That leaves
+    # count_distinct(text) as the single distinct aggregate, which
+    # Spark plans as two aggregate phases on the same conv-keyed
+    # partitioning: one turns-sized Exchange end to end.
+    w = Window.partitionBy(conv_col).orderBy(order_col, ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    inv = F.when(F.col(ts_col) < prev_ts, F.lit(1)).otherwise(F.lit(0))
+    prev_idx = F.lag(order_col).over(w)
+    new_idx = F.when(
+        prev_idx.isNull() | (prev_idx != F.col(order_col)), F.lit(1)
+    ).otherwise(F.lit(0))
+    turn_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    _FIELD_SEP,
+                    F.col(order_col).cast("string"),
+                    F.col(role_col),
+                    F.col(text_col),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    is_a = (F.col(role_col) == "assistant").cast("int")
+    g = (
+        df.withColumn("__inv__", inv)
+        .withColumn("__new_idx__", new_idx)
+        .withColumn("__h__", turn_h)
+        .groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            (
+                F.count(F.lit(1)) - F.sum("__new_idx__")
+            ).cast("int").alias("n_dup_turns"),
+            (
+                F.max(order_col) - F.min(order_col) + 1
+                - F.sum("__new_idx__")
+            ).cast("int").alias("n_gaps"),
+            F.sum("__inv__").cast("int").alias("n_ts_inversions"),
+            (F.min(order_col) == F.lit(0)).alias("base_ok"),
+            F.round(F.avg(is_a), 6).alias("assistant_frac"),
+            F.round(
+                1 - F.count_distinct(F.col(text_col)) / F.count(F.lit(1)), 6
+            ).alias("dup_text_frac"),
+            F.bit_xor("__h__").alias("conv_digest_xor"),
+        )
+    )
+    is_clean = (
+        (F.col("n_dup_turns") == 0)
+        & (F.col("n_gaps") == 0)
+        & (F.col("n_ts_inversions") == 0)
+        & F.col("base_ok")
+    )
+    quality_ok = (
+        F.col("n_turns").between(min_turns, max_turns)
+        & F.col("assistant_frac").between(min_assistant_frac, max_assistant_frac)
+        & (F.col("dup_text_frac") <= max_dup_text_frac)
+    )
+    wd = Window.partitionBy("conv_digest_xor", "n_turns")
+    return (
+        g.withColumn("is_clean", is_clean)
+        .withColumn("quality_ok", quality_ok)
+        .withColumn(
+            "dedup_keep", F.col(conv_col) == F.min(conv_col).over(wd)
+        )
+        .withColumn(
+            "keep",
+            F.col("is_clean") & F.col("quality_ok") & F.col("dedup_keep"),
+        )
+    )
+
+
+def training_export(
+    df: DataFrame,
+    gate: DataFrame | None = None,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    redact_pattern: str = r"\d{4,}",
+    redact_token: str = "<num>",
+    **gate_kwargs,
+) -> DataFrame:
+    """Turn-level training-data export: the turn stream of every
+    conversation that passes :func:`conversation_gate`, with long digit
+    runs redacted (the cheap PII floor — ids, phone numbers, card
+    numbers) and a per-turn token-budget estimate attached.
+
+    Two turns-sized shuffles end to end: the gate's conversation
+    aggregation and the keep-set semi-join (conversation-keyed; the
+    keep side is one short row per surviving conversation, so at
+    10^12 turns this is a plain shuffled semi-join on ``conv_col`` —
+    never a broadcast of a corpus-sized set). Redaction and token
+    counting are narrow projections on top.
+    """
+    from loongcollector_spark.functions.textstats import (
+        bpe_ish_token_count,
+    )
+
+    if gate is None:
+        gate = conversation_gate(
+            df,
+            conv_col=conv_col,
+            order_col=order_col,
+            role_col=role_col,
+            text_col=text_col,
+            **gate_kwargs,
+        )
+    keep = gate.where(F.col("keep")).select(conv_col)
+    redacted = F.regexp_replace(
+        F.col(text_col), redact_pattern, redact_token
+    )
+    return (
+        df.join(keep, conv_col, "left_semi")
+        .select(
+            F.col(conv_col),
+            F.col(order_col),
+            F.col(role_col),
+            F.col(tool_col),
+            redacted.alias("text_redacted"),
+            bpe_ish_token_count(redacted).cast("int").alias("n_tokens"),
+        )
     )
 
 

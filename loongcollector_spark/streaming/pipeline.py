@@ -96,11 +96,23 @@ class StreamingTranscriptPipeline:
 
         Equivalence law vs the batch operator (tested, incl. the exact
         boundary): on turn streams whose ``ts`` is non-decreasing in
-        turn order, the session sets match batch ``sessionize`` exactly
-        — session_window merges touching windows, so a gap EXACTLY
-        equal to the threshold stays one session, the same as the batch
-        rule's strict ``>``. Late turns beyond the watermark are
-        dropped (streaming-only semantics)."""
+        turn order, AND whose watermark delay (``late_threshold``)
+        covers the maximum cross-batch event-time disorder, the session
+        sets match batch ``sessionize`` exactly — session_window merges
+        touching windows, so a gap EXACTLY equal to the threshold stays
+        one session, the same as the batch rule's strict ``>``.
+
+        The second condition is load-bearing across micro-batches: the
+        watermark is GLOBAL, so with a short delay a conversation's
+        open session can be evicted from state because *other*
+        conversations carried later timestamps in an earlier batch —
+        its next turn then opens a fresh session (a split batch would
+        never produce) or is dropped as late. For an availableNow
+        replay of a static directory, ``late_threshold`` ≥ the corpus
+        time-span guarantees exact equality; in continuous production
+        the delay is the operator's late-data tolerance and sessions
+        older than it are finalized best-effort (streaming-only
+        semantics)."""
         evt = stream.withColumn("__evt_ts__", F.col("ts").cast("timestamp"))
         return (
             evt.withWatermark("__evt_ts__", self.late_threshold)

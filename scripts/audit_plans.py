@@ -277,6 +277,39 @@ def main() -> None:
         ],
     ))
 
+    from loongcollector_spark.functions.convstats import (  # noqa: E402
+        conversation_fingerprint_xor,
+        turn_order_audit,
+    )
+
+    p = plan_of(turn_order_audit(t))
+    sections.append((
+        "turn-order audit (conversation integrity gate, r5)",
+        p,
+        [
+            ("one conv-key Exchange (+ derivation): the lag window and "
+             "the stats groupBy share the partitioning",
+             n_nodes(p, r"\(\d+\) Exchange") <= 2),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+    p = plan_of(conversation_fingerprint_xor(t))
+    sections.append((
+        "conversation fingerprint, XOR-fold scale variant (r5)",
+        p,
+        [
+            ("bit_xor partial-aggregates MAP-SIDE (a hot conversation "
+             "combines inside each scan task; the Exchange carries one "
+             "16-byte partial per task×conversation, never text)",
+             "partial_bit_xor" in p),
+            ("no conversation materialization (no collect_list)",
+             "collect_list" not in p),
+            ("conv agg Exchange + digest window Exchange (+ derivation)",
+             n_nodes(p, r"\(\d+\) Exchange") <= 3),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+
     scan = (
         spark.read.parquet(f"{SF}/events.parquet")
         .filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))

@@ -124,6 +124,65 @@ class TestConversationFingerprint:
         assert digs["a"] != digs["b"]  # same multiset, different order
 
 
+class TestConversationFingerprintXor:
+    def test_agrees_with_serialize_variant(self, dirty):
+        ser = {
+            r["conv_id"]: (r["n_turns"], r["n_copies"], r["keep"])
+            for r in convstats.conversation_fingerprint(dirty).collect()
+        }
+        xor = {
+            r["conv_id"]: (r["n_turns"], r["n_copies"], r["keep"])
+            for r in convstats.conversation_fingerprint_xor(dirty).collect()
+        }
+        assert ser == xor
+
+    def test_order_sensitivity(self, spark):
+        rows = [
+            ("a", 0, "user", "x", "none", _t(0)),
+            ("a", 1, "user", "y", "none", _t(1)),
+            ("b", 0, "user", "y", "none", _t(0)),
+            ("b", 1, "user", "x", "none", _t(1)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        out = convstats.conversation_fingerprint_xor(df).collect()
+        digs = {r["conv_id"]: r["conv_digest_xor"] for r in out}
+        assert digs["a"] != digs["b"]  # commutative fold, position-bound
+
+    def test_partial_aggregation_no_materialization(self, dirty):
+        # the whole point: the conversation agg partial-aggregates
+        # map-side (bit_xor is commutative) and nothing collect_lists
+        plan = (
+            convstats.conversation_fingerprint_xor(dirty)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "collect_list" not in plan
+        assert "partial_bit_xor" in plan
+
+    def test_numbering_base_sensitivity_documented(self, spark):
+        # unlike the serialize variant, the xor digest binds the RAW
+        # order value: a 1-based copy of a 0-based conversation is a
+        # different digest (gate on turn_order_audit.is_clean upstream)
+        rows = [
+            ("a", 0, "user", "x", "none", _t(0)),
+            ("a", 1, "user", "y", "none", _t(1)),
+            ("b", 1, "user", "x", "none", _t(0)),
+            ("b", 2, "user", "y", "none", _t(1)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        ser = {
+            r["conv_id"]: r["conv_digest"]
+            for r in convstats.conversation_fingerprint(df).collect()
+        }
+        xor = {
+            r["conv_id"]: r["conv_digest_xor"]
+            for r in convstats.conversation_fingerprint_xor(df).collect()
+        }
+        assert ser["a"] == ser["b"]  # serialize: numbering-agnostic
+        assert xor["a"] != xor["b"]  # xor: canonical numbering required
+
+
 class TestQualitySignals:
     def test_signals_and_keep(self, dirty):
         out = {
@@ -156,6 +215,88 @@ class TestQualitySignals:
         df = spark.createDataFrame(rows, _SCHEMA)
         (r,) = convstats.conversation_quality_signals(df).collect()
         assert not r["keep"]  # n_turns < min_turns
+
+
+class TestConversationGate:
+    def test_agrees_with_component_operators(self, dirty):
+        gate = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.conversation_gate(dirty).collect()
+        }
+        audit = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.turn_order_audit(dirty).collect()
+        }
+        quality = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.conversation_quality_signals(dirty).collect()
+        }
+        xor = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.conversation_fingerprint_xor(dirty).collect()
+        }
+        for c in gate:
+            for col in ("n_dup_turns", "n_gaps", "n_ts_inversions", "base_ok"):
+                assert gate[c][col] == audit[c][col], (c, col)
+            assert gate[c]["is_clean"] == audit[c]["is_clean"]
+            for col in ("n_turns", "assistant_frac", "dup_text_frac"):
+                assert gate[c][col] == quality[c][col], (c, col)
+            assert gate[c]["quality_ok"] == quality[c]["keep"]
+            assert gate[c]["conv_digest_xor"] == xor[c]["conv_digest_xor"]
+            assert gate[c]["dedup_keep"] == xor[c]["keep"]
+            assert gate[c]["keep"] == (
+                audit[c]["is_clean"] and quality[c]["keep"] and xor[c]["keep"]
+            )
+
+    def test_single_turns_exchange(self, dirty):
+        # the whole point of the fusion: audit+quality+digest share ONE
+        # conversation-keyed Exchange; only the dedup window adds a
+        # second (conversations-sized) one
+        plan = (
+            convstats.conversation_gate(dirty)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+        assert "collect_list" not in plan
+
+
+class TestTrainingExport:
+    def test_exports_only_kept_conversations(self, dirty):
+        gate = convstats.conversation_gate(dirty)
+        kept = {r["conv_id"] for r in gate.where("keep").collect()}
+        out = convstats.training_export(dirty).collect()
+        assert {r["conv_id"] for r in out} == kept
+        # every turn of each surviving conversation is exported
+        n_by_conv = {
+            r["conv_id"]: r["n_turns"] for r in gate.collect()
+        }
+        from collections import Counter
+
+        got = Counter(r["conv_id"] for r in out)
+        assert dict(got) == {c: n_by_conv[c] for c in kept}
+
+    def test_redaction_and_token_count(self, spark):
+        rows = [
+            ("a", 0, "user", "call 5551234567 now", "none", _t(0)),
+            ("a", 1, "assistant", "ok 123 done", "none", _t(1)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        out = {
+            r["turn_idx"]: r.asDict()
+            for r in convstats.training_export(
+                df, min_turns=1, min_assistant_frac=0.0
+            ).collect()
+        }
+        assert out[0]["text_redacted"] == "call <num> now"
+        # "call", "<", "num", ">", "now" → 5 bpe-ish tokens
+        assert out[0]["n_tokens"] == 5
+        # short digit runs (<4) survive redaction
+        assert out[1]["text_redacted"] == "ok 123 done"
+        assert out[1]["n_tokens"] == 3  # "ok", "123" (one digit run), "done"
 
 
 class TestToolUsageStats:

@@ -591,7 +591,7 @@ class TestFileSources:
         q = src.writeStream.foreachBatch(handle).trigger(
             availableNow=True
         ).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "query did not finish"
         got = set(results)
         assert ("a.log", "START one\ncont a") in got
         assert ("a.log", "START two") in got

@@ -165,7 +165,7 @@ class TestStreaming:
 
         pipe = StreamingTranscriptPipeline()
         q = pipe.start_to_memory(spark, src_path, name="lc_test_stream")
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "query did not finish"
         got = spark.sql(
             "SELECT count(*) AS n, sum(CASE WHEN error_class='' THEN 1 ELSE 0 END) AS ok "
             "FROM lc_test_stream"
@@ -238,7 +238,7 @@ class TestStreaming:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
+            assert q.awaitTermination(600), "query did not finish"
 
         run_stream()  # phase 1: files A (+ one replayed epoch)
         n_phase1 = {
@@ -319,7 +319,7 @@ class TestStreaming:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "query did not finish"
         got = sorted(
             r.k for r in spark.sql("SELECT k FROM lc_hs_stream").collect()
         )
@@ -344,7 +344,7 @@ class TestStreaming:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "query did not finish"
         counts = spark.sql(
             "SELECT role, count(*) AS n FROM lc_rl_stream GROUP BY role"
         ).collect()
@@ -386,7 +386,7 @@ class TestSaltedAgg:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "query did not finish"
         got = spark.sql(
             "SELECT sum(n_rows) AS n FROM lc_wm_metrics"
         ).collect()[0]
@@ -432,7 +432,7 @@ class TestStatefulMultilineMerge:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "query did not finish"
         got = {
             (r.src, r.off): (r.content, r.n_merged)
             for r in spark.sql("SELECT * FROM lc_ml_stream").collect()
@@ -693,7 +693,7 @@ class TestForeachBatchMultilineMerge:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "query did not finish"
         fbm.flush(spark)
         got = {
             (r.grp, r.off): (r.content, r.n_merged)
@@ -913,7 +913,10 @@ class TestStreamingSessionWindow:
         )
 
         src = str(tmp_path / "sw_src")
-        transcripts_from_events(spark, SF_DIR).write.parquet(src)
+        # 4 source files → 4 micro-batches under max_files=1: still a
+        # real cross-batch merge test, but bounded wall-clock — 32
+        # one-file batches overran the await under full-suite load
+        transcripts_from_events(spark, SF_DIR).repartition(4).write.parquet(src)
         static = spark.read.parquet(src)
 
         # batch law: per-(conv, session) first-ts + turn count; ts is
@@ -940,7 +943,11 @@ class TestStreamingSessionWindow:
             .collect()
         )
 
-        sp = StreamingTranscriptPipeline(late_threshold="0 seconds")
+        # retention ≥ corpus span: the 4 batches arrive in RANDOM time
+        # order (repartition), so exact batch equality needs the
+        # watermark to never evict open session state (see the
+        # operator's equivalence law)
+        sp = StreamingTranscriptPipeline(late_threshold="3650 days")
         stream = sp.read_stream(spark, src, max_files=1)
         q = (
             sp.session_rollup_stream(stream, gap="86400 seconds")
@@ -950,7 +957,7 @@ class TestStreamingSessionWindow:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(600), "availableNow query did not finish"
         got = sorted(
             (r["conv_id"], str(r["session_start"]), r["n_turns"])
             for r in spark.sql(
@@ -980,7 +987,9 @@ class TestStreamingSessionWindow:
             " tool string, ts timestamp",
         )
         src = str(tmp_path / "swb_src")
-        df.write.parquet(src)
+        # one file → one micro-batch: the boundary law is tested
+        # without cross-batch watermark effects (covered above)
+        df.coalesce(1).write.parquet(src)
         batch = sessionize(df, gap_seconds=100)
         assert {r["session_idx"] for r in batch.collect()} == {0}
 
@@ -994,7 +1003,7 @@ class TestStreamingSessionWindow:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "query did not finish"
         got = spark.sql(
             "SELECT n_turns FROM lc_swb_stream"
         ).collect()
