@@ -559,6 +559,29 @@ def q_training_export(spark, sf_dir):
     return training_export(_transcripts(spark, sf_dir))
 
 
+def q_lm_bigram_ppl(spark, sf_dir):
+    """Corpus-self-trained add-k bigram LM pseudo-perplexity per
+    document (functions/lm.py) — the CCNet/KenLM perplexity-filter
+    pattern as pure DataFrame aggregations: token stream → min-count
+    vocab with <unk> closure → bigram counts (history counts derived
+    from the bigram table) → per-doc mean NLL, all map-side
+    partial-aggregated; vocab/bigram tables broadcast only when AQE
+    sees they fit."""
+    from loongcollector_spark.functions.lm import bigram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_score(docs)
+
+
+def q_lm_perplexity_filter(spark, sf_dir):
+    """The CCNet gate on top of the bigram score: keep documents whose
+    pseudo-perplexity is at most the threshold (noise scores high)."""
+    from loongcollector_spark.functions.lm import perplexity_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_filter(docs, max_pseudo_ppl=31.0)
+
+
 def q_conversation_quality(spark, sf_dir):
     """Per-conversation training-quality filter (functions/convstats.py):
     turn count, assistant fraction, mean assistant turn length,
@@ -1644,6 +1667,34 @@ def q_metrics_single_pass(spark, sf_dir):
     )
 
 
+def q_metrics_from_snapshot(spark, sf_dir):
+    """Per-sink metrics aggregated from the WRITTEN routed snapshot
+    (plans/transcript_pipeline.py write_routed → parquet partitioned by
+    sink → metrics_from_snapshot): the 10^12-turn strategy — the
+    metrics pass is a pruned columnar scan of the committed snapshot
+    (ReadSchema = 4 slim columns + the __sink__ partition value)
+    instead of a second parse over raw text, and the counters can
+    never disagree with what was durably written (the reference's
+    flusher self-monitor counts shipped rows). Values must equal
+    pipeline_metrics_single_pass."""
+    import shutil
+    import tempfile
+
+    p = tp.TranscriptPipeline()
+    routed = p.run_single_pass(_transcripts(spark, sf_dir))
+    path = tempfile.mkdtemp(prefix="lc_routed_snapshot_")
+    try:
+        p.write_routed(routed, path)
+        out = p.metrics_from_snapshot(spark, path).select(
+            "conv_prefix", "ts_hour", "error_class", "n_rows", "n_bytes",
+            "sink",
+        )
+        out = out.localCheckpoint()  # materialize before the dir vanishes
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def q_exclusive_tagged_route(spark, sf_dir):
     """Single-pass router: first matching route tags the row (the
     partitionBy-write strategy for disjoint sinks)."""
@@ -2004,6 +2055,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_fingerprint_xor": q_conversation_fingerprint_xor,
         "conversation_gate": q_conversation_gate,
         "training_export_turns": q_training_export,
+        "lm_bigram_ppl": q_lm_bigram_ppl,
+        "lm_perplexity_filter": q_lm_perplexity_filter,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2024,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_expand_flatten": q_json_expand_map,
         "logstore_router_regex": q_logstore_router,
         "pipeline_metrics_single_pass": q_metrics_single_pass,
+        "pipeline_metrics_from_snapshot": q_metrics_from_snapshot,
         "prom_parse_relabel": q_prom_parse_relabel,
         "route_exclusive_tagged": q_exclusive_tagged_route,
         "route_multicast_exploded": q_multicast_exploded,
@@ -2519,6 +2573,45 @@ SELECT t.conv_id, t.turn_idx, t.role, t.tool,
 FROM transcripts t
 JOIN (SELECT conv_id FROM gate WHERE keep) e USING (conv_id)"""
 
+    _LM_CTE = r"""
+WITH docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         FROM docs),
+arr AS (SELECT doc_id, list_prepend('<s>', list_append(t, '</s>')) AS a
+        FROM toks),
+stream AS (
+  SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+  FROM arr, UNNEST(generate_series(1, len(a)-1)) AS u(i)
+),
+uni AS (SELECT tok, count(*) AS c
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+vocab AS (SELECT tok FROM uni WHERE c >= 2),
+vv AS (SELECT count(*) + 2 AS v FROM vocab),
+mapped AS (
+  SELECT s.doc_id,
+    CASE WHEN s.w1='<s>' THEN s.w1
+         WHEN v1.tok IS NOT NULL THEN s.w1 ELSE '<unk>' END AS w1m,
+    CASE WHEN s.w2='</s>' THEN s.w2
+         WHEN v2.tok IS NOT NULL THEN s.w2 ELSE '<unk>' END AS w2m
+  FROM stream s LEFT JOIN vocab v1 ON s.w1=v1.tok
+                LEFT JOIN vocab v2 ON s.w2=v2.tok
+),
+cb AS (SELECT w1m, w2m, count(*) AS cb FROM mapped GROUP BY 1,2),
+ch AS (SELECT w1m, CAST(sum(cb) AS BIGINT) AS ch FROM cb GROUP BY 1),
+scored AS (
+  SELECT m.doc_id, -ln((cb.cb + 0.5)/(ch.ch + 0.5*vv.v)) AS nll
+  FROM mapped m JOIN cb USING (w1m,w2m) JOIN ch USING (w1m) CROSS JOIN vv
+),
+ppl AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+         round(avg(nll),6) AS avg_nll, round(exp(avg(nll)),6) AS pseudo_ppl
+  FROM scored GROUP BY doc_id
+)"""
+    sql["lm_bigram_ppl"] = _LM_CTE + """
+SELECT * FROM ppl"""
+    sql["lm_perplexity_filter"] = _LM_CTE + """
+SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
     sql["conversation_quality_filter"] = _T + """
 , q AS (
   SELECT conv_id,
@@ -2848,6 +2941,8 @@ FROM transcripts WHERE text LIKE '{%'"""
     )
 
     sql["pipeline_metrics_single_pass"] = tp.oracle_metrics_sql()
+    # snapshot read-back must reproduce the inline metrics exactly
+    sql["pipeline_metrics_from_snapshot"] = tp.oracle_metrics_sql()
 
     sql["route_exclusive_tagged"] = (
         tp.oracle_enriched_sql()

@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 from pyspark.sql import functions as F
@@ -196,6 +198,19 @@ def main() -> None:
 
     timed("pipeline_multicast_cached", run_pipeline_cached)
 
+    # tertiary: the 10^12-turn strategy — REAL partitioned parquet write
+    # of the routed frame, metrics from the committed snapshot (pruned
+    # columnar read-back; the metrics pass never re-parses raw text and
+    # can never disagree with what was durably written)
+    snap_dir = tempfile.mkdtemp(prefix="lc_bench_snapshot_")
+
+    def run_pipeline_snapshot():
+        pipe.write_routed(pipe.run_single_pass(corpus), snap_dir)
+        noop_write(pipe.metrics_from_snapshot(spark, snap_dir))
+
+    timed("pipeline_write_readback", run_pipeline_snapshot)
+    shutil.rmtree(snap_dir, ignore_errors=True)
+
     total_routed = pipe.run_single_pass(corpus).count()
     extras["corpus_rows"] = n_corpus
     extras["routed_rows_multicast"] = total_routed
@@ -349,6 +364,13 @@ def main() -> None:
             )
         ),
     )
+    # corpus-self-trained bigram LM pseudo-perplexity (r5): the CCNet
+    # filter topology — three token-stream-sized shuffles (unigram,
+    # vocab map, bigram+score), all map-side partial-aggregated
+    from loongcollector_spark.functions.lm import bigram_lm_score
+
+    timed("lm_bigram_ppl_docs", lambda: noop_write(bigram_lm_score(docs)))
+
     # deterministic sampling + sequence packing at corpus scale (r5):
     # hash_sample is the narrow md5-filter floor; pack_sequences is one
     # shard-window cumsum + spanned-bin explode over all 2M turns

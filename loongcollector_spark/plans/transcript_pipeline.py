@@ -261,6 +261,33 @@ class TranscriptPipeline:
             .select("conv_prefix", "ts_hour", "error_class", "n_rows", "n_bytes", "sink")
         )
 
+    # -- snapshot-sourced metrics (the 10^12-turn strategy) ----------------
+    def write_routed(self, routed: DataFrame, path: str) -> None:
+        """The real sink write: one partitioned columnar commit of the
+        exploded routed frame (``partitionBy(__sink__)`` — each sink is
+        a partition directory, the parquet stand-in for the per-sink
+        Iceberg tables of the north star)."""
+        routed.write.partitionBy("__sink__").mode("overwrite").parquet(path)
+
+    def metrics_from_snapshot(self, spark: SparkSession, path: str) -> DataFrame:
+        """Per-sink metrics aggregated from the WRITTEN snapshot instead
+        of a second pass over raw text.
+
+        At 10^12 turns the metrics pass is the difference between
+        re-running the whole parse (4 anchored regexes + a Jackson
+        parse per row, the most expensive stage) and a columnar scan of
+        exactly the five columns the aggregation needs — Catalyst
+        prunes ``ReadSchema`` to (conv_id, ts, error_class, text) plus
+        the ``__sink__`` partition value, and partition pruning gives
+        per-sink metrics without touching other sinks' files. This is
+        also the exactly-once story: metrics computed from the
+        committed snapshot describe precisely the rows that were
+        durably written, so a retried/partial job can never publish
+        counters that disagree with the table contents (the reference's
+        flusher self-monitor counts what it shipped, not what it saw:
+        plugins/flusher self-monitor semantics)."""
+        return self.metrics_single_pass(spark.read.parquet(path))
+
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL — independent recomputation of each stage for the

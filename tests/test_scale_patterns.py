@@ -206,6 +206,44 @@ class TestHotConversationSkew:
         m = pipe.metrics_single_pass(routed)
         assert 0 < m.count() < 2000
 
+    def test_metrics_from_snapshot_equals_inline(self, spark, tmp_path):
+        """The 10^12-turn metrics strategy: aggregate the WRITTEN routed
+        snapshot (partitioned parquet read-back) — values must equal the
+        inline single-pass metrics, and the read-back scan must be
+        column-pruned (never re-materializes the parse outputs)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from loongcollector_spark.plans.transcript_pipeline import (
+            TranscriptPipeline,
+        )
+        from loongcollector_spark.sources.transcripts import (
+            generate_transcripts,
+        )
+
+        corpus = generate_transcripts(spark, 5_000, hot_frac=0.3)
+        pipe = TranscriptPipeline()
+        routed = pipe.run_single_pass(corpus)
+        path = str(tmp_path / "snap")
+        pipe.write_routed(routed, path)
+        snap = pipe.metrics_from_snapshot(spark, path)
+        cols = ["conv_prefix", "ts_hour", "error_class", "n_rows",
+                "n_bytes", "sink"]
+        a = sorted(
+            tuple(str(x) for x in r)
+            for r in pipe.metrics_single_pass(routed).select(*cols).collect()
+        )
+        b = sorted(
+            tuple(str(x) for x in r) for r in snap.select(*cols).collect()
+        )
+        assert a == b and len(a) > 0
+        # column pruning: the snapshot scan reads only the 4 metric
+        # columns (+ the __sink__ partition value) — none of the parsed
+        # fields come back off disk
+        plan = snap._jdf.queryExecution().executedPlan().toString()
+        scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert scan and "parsed_user" not in scan[0]
+        assert "conv_id" in scan[0] and "text" in scan[0]
+
     def test_multiline_fsm_giant_group(self, spark):
         from pyspark.sql import functions as F
 

@@ -2076,3 +2076,81 @@ class TestSessions:
             consecutive_runs(df, [])
         with pytest.raises(ValueError, match="min_len"):
             consecutive_runs(df, ["ts"], min_len=0)
+
+
+class TestBigramLm:
+    """functions/lm.py — corpus-self-trained add-k bigram LM scoring
+    (the CCNet/KenLM perplexity-filter pattern)."""
+
+    def test_hand_computed_model(self, spark):
+        # corpus: "a b" x2 and "a c" — vocab(min_count=2) = {a, b}
+        # (c occurs once → <unk>); V = |vocab| + 2 = 4
+        from loongcollector_spark.functions import lm
+
+        rows = [(1, "a b"), (2, "a b"), (3, "a c")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in lm.bigram_lm_score(df, min_count=2, add_k=0.5).collect()
+        }
+        # mapped bigram counts: (<s>,a)=3, (a,b)=2, (a,<unk>)=1,
+        # (b,</s>)=2, (<unk>,</s>)=1; histories: <s>=3, a=3, b=2, <unk>=1
+        k, V = 0.5, 4
+
+        def p(cb, ch):
+            return (cb + k) / (ch + k * V)
+
+        nll_doc1 = -(
+            math.log(p(3, 3)) + math.log(p(2, 3)) + math.log(p(2, 2))
+        ) / 3
+        nll_doc3 = -(
+            math.log(p(3, 3)) + math.log(p(1, 3)) + math.log(p(1, 1))
+        ) / 3
+        assert out[1]["n_bigrams"] == 3
+        assert out[1]["avg_nll"] == round(nll_doc1, 6)
+        assert out[2]["avg_nll"] == out[1]["avg_nll"]  # identical doc
+        assert out[3]["avg_nll"] == round(nll_doc3, 6)
+        assert out[3]["pseudo_ppl"] == round(math.exp(nll_doc3), 6)
+        # the unseen-continuation doc is LESS fluent under the model
+        assert out[3]["pseudo_ppl"] > out[1]["pseudo_ppl"]
+
+    def test_empty_doc_scores_single_frame_bigram(self, spark):
+        from loongcollector_spark.functions import lm
+
+        rows = [(1, "a b a b"), (2, ""), (3, None)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["n_bigrams"]
+            for r in lm.bigram_lm_score(df).collect()
+        }
+        # empty/NULL text still scores: the (<s>, </s>) bigram
+        assert out[2] == 1 and out[3] == 1 and len(out) == 3
+
+    def test_perplexity_filter_keeps_fluent_docs(self, docs):
+        from loongcollector_spark.functions import lm
+
+        scored = lm.bigram_lm_score(docs).cache()
+        med = scored.approxQuantile("pseudo_ppl", [0.5], 0.0)[0]
+        kept = lm.perplexity_filter(docs, max_pseudo_ppl=med)
+        n_keep = kept.filter("keep").count()
+        n = docs.count()
+        assert 0 < n_keep < n  # the threshold separates the corpus
+        # keep is exactly the thresholded score
+        bad = kept.filter(
+            (F.col("keep") & (F.col("pseudo_ppl") > med))
+            | (~F.col("keep") & (F.col("pseudo_ppl") <= med))
+        ).count()
+        assert bad == 0
+        scored.unpersist()
+
+    def test_no_python_nodes_and_partial_agg(self, docs):
+        from loongcollector_spark.functions import lm
+
+        plan = (
+            lm.bigram_lm_score(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InPandas" not in plan and "BatchEvalPython" not in plan
+        assert "partial_count" in plan  # map-side combine on the counts
