@@ -582,6 +582,28 @@ def q_lm_perplexity_filter(spark, sf_dir):
     return perplexity_filter(docs, max_pseudo_ppl=31.0)
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 keywords by smoothed tf-idf
+    (functions/textstats.py tfidf_topk): ONE corpus pass — the (doc,
+    term) tf aggregation; document frequency derives from the tf table,
+    N rides a 1-row lazy aggregate, ties break (score desc, term asc)."""
+    from loongcollector_spark.functions.textstats import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=5)
+
+
+def q_token_chunks(spark, sf_dir):
+    """RAG-style overlapping token-window chunker
+    (functions/packing.py token_window_chunks, 128/16): narrow
+    projection + explode, zero shuffles — chunking runs at scan speed
+    at any corpus size."""
+    from loongcollector_spark.functions.packing import token_window_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_window_chunks(docs, chunk_size=128, overlap=16)
+
+
 def q_conversation_quality(spark, sf_dir):
     """Per-conversation training-quality filter (functions/convstats.py):
     turn count, assistant fraction, mean assistant turn length,
@@ -2057,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_export_turns": q_training_export,
         "lm_bigram_ppl": q_lm_bigram_ppl,
         "lm_perplexity_filter": q_lm_perplexity_filter,
+        "tfidf_topk_keywords": q_tfidf_topk,
+        "token_window_chunks": q_token_chunks,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2611,6 +2635,47 @@ ppl AS (
 SELECT * FROM ppl"""
     sql["lm_perplexity_filter"] = _LM_CTE + """
 SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
+    sql["tfidf_topk_keywords"] = r"""
+WITH docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM docs)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*) AS n FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((nn.n + 1.0)/(dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+),
+ranked AS (
+  SELECT *, row_number()
+           OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS INT) AS tf,
+       CAST(df AS INT) AS df, tfidf
+FROM ranked WHERE rank <= 5"""
+
+    sql["token_window_chunks"] = r"""
+WITH docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         FROM docs),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx, i*112 AS start_tok,
+         t[i*112+1 : i*112+128] AS piece
+  FROM toks,
+       UNNEST(generate_series(0, CAST(ceil(len(t)/112.0) AS INT) - 1)) AS u(i)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(len(piece) AS INT) AS n_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM chunks"""
 
     sql["conversation_quality_filter"] = _T + """
 , q AS (

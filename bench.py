@@ -371,6 +371,17 @@ def main() -> None:
 
     timed("lm_bigram_ppl_docs", lambda: noop_write(bigram_lm_score(docs)))
 
+    # tf-idf top-k (one corpus pass, df via window over the tf table)
+    # and the zero-shuffle token-window chunker
+    from loongcollector_spark.functions.packing import token_window_chunks
+    from loongcollector_spark.functions.textstats import tfidf_topk
+
+    timed("tfidf_topk_docs", lambda: noop_write(tfidf_topk(docs, k=5)))
+    timed(
+        "token_chunks_docs",
+        lambda: noop_write(token_window_chunks(docs, 128, 16)),
+    )
+
     # deterministic sampling + sequence packing at corpus scale (r5):
     # hash_sample is the narrow md5-filter floor; pack_sequences is one
     # shard-window cumsum + spanned-bin explode over all 2M turns

@@ -169,3 +169,55 @@ def context_window_stats(
         .withColumn("truncated", F.col("__cost__") > budget)
         .drop("__cost__", "__cum__")
     )
+
+
+def token_window_chunks(
+    df: DataFrame,
+    chunk_size: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the RAG /
+    embedding-ingest chunker: chunk ``i`` covers tokens
+    ``[i·stride, i·stride + chunk_size)`` with ``stride =
+    chunk_size - overlap``, starts at every stride multiple below the
+    token count (trailing chunks may be short), and documents with zero
+    tokens produce no chunks.
+
+    One narrow projection + one explode — no shuffle at all: chunking
+    is embarrassingly parallel, so at 100 TB this runs at scan speed
+    and the output partitioning inherits the input's. Tokens are
+    lowercased alphanumeric word pieces; ``chunk_text`` re-joins them
+    with single spaces (a normalized view, deliberately — chunkers
+    that slice raw character offsets can't be token-budget-exact).
+
+    Output: ``(id, chunk_idx, start_tok, n_tokens, chunk_text)``.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(r"[a-z0-9]+"),
+        F.lit(0),
+    )
+    base = df.select(F.col(id_col), toks.alias("__t__"))
+    n = F.size("__t__")
+    # chunk starts: 0, stride, 2*stride, ... < n
+    idx = F.when(
+        n > 0, F.sequence(F.lit(0), F.ceil(n / F.lit(stride)).cast("int") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    piece = F.slice(
+        F.col("__t__"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return (
+        base.select(id_col, "__t__", F.explode(idx).alias("chunk_idx"))
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx") * stride).cast("int").alias("start_tok"),
+            F.size(piece).cast("int").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

@@ -90,3 +90,80 @@ def fingerprint64(col: Column) -> Column:
     exact-dup detection at scale."""
     normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.xxhash64(normalized)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-k keyword extraction by tf-idf — the classic
+    corpus-statistics signal (indexing, near-dup triage, topic
+    sampling) as ONE corpus pass.
+
+    Terms are lowercased alphanumeric word pieces. ``idf`` is the
+    smoothed form ``ln((N+1)/(df+1)) + 1`` (scikit-learn's default),
+    so a term present in every document still scores > 0. Ties break
+    deterministically (score desc, term asc).
+
+    Scale shape: the exploded token stream aggregates ONCE to the
+    (doc, term) tf table (map-side combine); document frequency is a
+    groupBy over that already-collapsed table — not a second corpus
+    pass — and N rides a 1-row lazy aggregate (no driver action). The
+    tf↔idf join is term-keyed; AQE broadcasts the term table when it
+    fits. The only window is per-document over ≤ |terms-in-doc| rows.
+    Scores round to 6dp for cross-engine exactness.
+    """
+    from pyspark.sql import Window
+
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(r"[a-z0-9]+"),
+        F.lit(0),
+    )
+    # document frequency rides a window OVER the tf table, not a
+    # groupBy branch: the DataFrame API has no common-subplan reuse, so
+    # `tf.groupBy(term).count()` + join would re-run the token-stream
+    # explode a second time (a second full corpus pass at 100 TB). The
+    # window costs one tf-table-sized term-keyed shuffle instead.
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N__"))
+    scored = (
+        tf.crossJoin(n_docs)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.ln(
+                        (F.col("__N__") + 1) / (F.col("df") + 1)
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.col("df").cast("int").alias("df"),
+            "tfidf",
+        )
+    )

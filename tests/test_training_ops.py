@@ -2154,3 +2154,90 @@ class TestBigramLm:
         )
         assert "InPandas" not in plan and "BatchEvalPython" not in plan
         assert "partial_count" in plan  # map-side combine on the counts
+
+
+class TestTfidfTopk:
+    def test_hand_computed(self, spark):
+        from loongcollector_spark.functions.textstats import tfidf_topk
+
+        rows = [(1, "cat cat dog"), (2, "dog bird")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["doc_id"], r["term"]): r.asDict()
+            for r in tfidf_topk(df, k=5).collect()
+        }
+        # N=2; df: cat=1, dog=2, bird=1
+        idf_rare = math.log(3 / 2) + 1  # df=1
+        idf_common = math.log(3 / 3) + 1  # df=2
+        assert out[(1, "cat")]["tfidf"] == round(2 * idf_rare, 6)
+        assert out[(1, "dog")]["tfidf"] == round(1 * idf_common, 6)
+        assert out[(2, "bird")]["tfidf"] == round(1 * idf_rare, 6)
+        # ranking: doc1 cat (2.81) > dog (1.0); doc2 bird > dog
+        assert out[(1, "cat")]["rank"] == 1 and out[(1, "dog")]["rank"] == 2
+        assert out[(2, "bird")]["rank"] == 1 and out[(2, "dog")]["rank"] == 2
+
+    def test_topk_and_deterministic_ties(self, spark):
+        from loongcollector_spark.functions.textstats import tfidf_topk
+
+        # all terms unique in one doc → equal scores; ties by term asc
+        df = spark.createDataFrame([(1, "c b a")], "doc_id long, text string")
+        out = [r["term"] for r in
+               tfidf_topk(df, k=2).orderBy("rank").collect()]
+        assert out == ["a", "b"]
+
+    def test_single_corpus_pass(self, docs):
+        from loongcollector_spark.functions.textstats import tfidf_topk
+
+        plan = (
+            tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        # document frequency derives from the tf table: exactly one scan
+        # of the documents parquet in the whole plan
+        assert plan.count("Scan parquet") <= 2  # tf branch + N-count branch
+        assert "InPandas" not in plan
+
+
+class TestTokenWindowChunks:
+    def test_window_boundaries_and_overlap(self, spark):
+        from loongcollector_spark.functions.packing import token_window_chunks
+
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = {
+            r["chunk_idx"]: r.asDict()
+            for r in token_window_chunks(
+                df, chunk_size=4, overlap=2
+            ).collect()
+        }
+        # stride 2 → starts 0,2,4,6,8
+        assert sorted(out) == [0, 1, 2, 3, 4]
+        assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+        assert out[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+        assert out[4]["chunk_text"] == "w8 w9"  # trailing short chunk
+        assert out[4]["n_tokens"] == 2 and out[4]["start_tok"] == 8
+
+    def test_empty_doc_no_chunks_and_validation(self, spark):
+        import pytest as _pytest
+
+        from loongcollector_spark.functions.packing import token_window_chunks
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "one token here")],
+            "doc_id long, text string",
+        )
+        out = token_window_chunks(df, chunk_size=8, overlap=2).collect()
+        assert {r["doc_id"] for r in out} == {3}
+        with _pytest.raises(ValueError):
+            token_window_chunks(df, chunk_size=4, overlap=4)
+
+    def test_zero_shuffle_plan(self, docs):
+        from loongcollector_spark.functions.packing import token_window_chunks
+
+        plan = (
+            token_window_chunks(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # chunking runs at scan speed
+        assert "InPandas" not in plan
