@@ -582,6 +582,18 @@ def q_lm_perplexity_filter(spark, sf_dir):
     return perplexity_filter(docs, max_pseudo_ppl=31.0)
 
 
+def q_turn_repetition(spark, sf_dir):
+    """Agent-loop repetition gate (functions/convstats.py
+    turn_repetition_signals): per-conversation exact/near repeat counts
+    and prev-turn Jaccard stats in ONE conversation-keyed Exchange —
+    the 'model stuck in a loop' failure-mode detector."""
+    from loongcollector_spark.functions.convstats import (
+        turn_repetition_signals,
+    )
+
+    return turn_repetition_signals(_transcripts(spark, sf_dir))
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document top-5 keywords by smoothed tf-idf
     (functions/textstats.py tfidf_topk): ONE corpus pass — the (doc,
@@ -2081,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_filter": q_lm_perplexity_filter,
         "tfidf_topk_keywords": q_tfidf_topk,
         "token_window_chunks": q_token_chunks,
+        "turn_repetition_loops": q_turn_repetition,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2635,6 +2648,37 @@ ppl AS (
 SELECT * FROM ppl"""
     sql["lm_perplexity_filter"] = _LM_CTE + """
 SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
+    sql["turn_repetition_loops"] = _T + r"""
+, tok AS (
+  SELECT conv_id, turn_idx, ts, text,
+         list_distinct(regexp_extract_all(lower(coalesce(text,'')),
+                                          '[a-z0-9]+')) AS t
+  FROM transcripts
+), lagd AS (
+  SELECT conv_id, text, t,
+         lag(text) OVER w AS pt, lag(t) OVER w AS ptoks
+  FROM tok WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, ts)
+), j AS (
+  SELECT conv_id,
+    CASE WHEN ptoks IS NULL THEN NULL
+         WHEN len(list_distinct(list_concat(t, ptoks))) = 0 THEN 1.0
+         ELSE round(CAST(len(list_intersect(t, ptoks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(t, ptoks))), 6)
+    END AS jac,
+    CASE WHEN pt IS NOT NULL AND text = pt THEN 1 ELSE 0 END AS ex
+  FROM lagd
+)
+SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+       CAST(sum(ex) AS INT) AS n_exact_repeats,
+       CAST(sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS INT)
+           AS n_near_repeats,
+       round(avg(jac), 6) AS mean_prev_jaccard,
+       max(jac) AS max_prev_jaccard,
+       (count(*) > 1 AND
+        sum(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) * 2 >= count(*) - 1)
+           AS loop_suspect
+FROM j GROUP BY conv_id"""
 
     sql["tfidf_topk_keywords"] = r"""
 WITH docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),

@@ -353,6 +353,14 @@ def main() -> None:
         "conversation_fingerprint_xor",
         lambda: noop_write(conversation_fingerprint_xor(corpus)),
     )
+    from loongcollector_spark.functions.convstats import (
+        turn_repetition_signals,
+    )
+
+    timed(
+        "turn_repetition_2m",
+        lambda: noop_write(turn_repetition_signals(corpus)),
+    )
 
     # --- operator queries over the sf-dir tables -------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

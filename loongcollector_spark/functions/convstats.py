@@ -465,6 +465,83 @@ def training_export(
     )
 
 
+def turn_repetition_signals(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    near_threshold: float = 0.8,
+) -> DataFrame:
+    """Agent-loop repetition gate: per-conversation signals for the
+    "model stuck in a loop" failure mode — consecutive turns that are
+    exact or near copies of the previous turn.
+
+    Per turn, the token-set Jaccard against the PREVIOUS turn in
+    conversation order (lowercased alphanumeric word pieces,
+    distinct); aggregated per conversation:
+
+    - ``n_exact_repeats`` — turns whose text equals the previous
+      turn's exactly,
+    - ``n_near_repeats`` — turns with Jaccard ≥ ``near_threshold``,
+    - ``mean_prev_jaccard`` / ``max_prev_jaccard`` — over the
+      ``n_turns - 1`` comparable turns (first turn excluded),
+    - ``loop_suspect`` — at least half of the comparable turns are
+      near-repeats (integer arithmetic; single-turn conversations are
+      never suspects).
+
+    Two empty turns in a row count as an exact repeat (Jaccard 1.0).
+
+    Scale shape: ONE conversation-keyed Exchange — the lag window and
+    the per-conversation groupBy share the partitioning (same fusion
+    as :func:`conversation_gate`); the token arrays ride the Exchange
+    once and the lag reuses them (measured: re-tokenizing the lagged
+    text post-shuffle to slim the Exchange costs ~1.8× — the second
+    regexp pass is dearer than shipping the array at transcript text
+    sizes). Jaccard rounds to 6dp before aggregating so results are
+    exact cross-engine.
+    """
+    w = Window.partitionBy(conv_col).orderBy(order_col, ts_col)
+    toks = F.array_distinct(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(r"[a-z0-9]+"),
+            F.lit(0),
+        )
+    )
+    base = df.withColumn("__toks__", toks)
+    prev_text = F.lag(text_col).over(w)
+    prev_toks = F.lag("__toks__").over(w)
+    inter = F.size(F.array_intersect(F.col("__toks__"), prev_toks))
+    uni = F.size(F.array_union(F.col("__toks__"), prev_toks))
+    jac = F.when(prev_toks.isNull(), F.lit(None).cast("double")).otherwise(
+        F.round(
+            F.when(uni == 0, F.lit(1.0)).otherwise(inter / uni), 6
+        )
+    )
+    exact = F.when(
+        F.col(text_col) == prev_text, F.lit(1)
+    ).otherwise(F.lit(0))
+    per_turn = base.select(
+        conv_col,
+        jac.alias("__jac__"),
+        exact.alias("__exact__"),
+    )
+    return per_turn.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.sum("__exact__").cast("int").alias("n_exact_repeats"),
+        F.sum(
+            F.when(F.col("__jac__") >= near_threshold, 1).otherwise(0)
+        ).cast("int").alias("n_near_repeats"),
+        F.round(F.avg("__jac__"), 6).alias("mean_prev_jaccard"),
+        F.max("__jac__").alias("max_prev_jaccard"),
+    ).withColumn(
+        "loop_suspect",
+        (F.col("n_turns") > 1)
+        & (F.col("n_near_repeats") * 2 >= F.col("n_turns") - 1),
+    )
+
+
 def tool_usage_stats(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -129,6 +129,34 @@ class StreamingTranscriptPipeline:
             )
         )
 
+    def dedup_stream(self, stream: DataFrame, text_col: str = "text",
+                     ts_col: str = "ts") -> DataFrame:
+        """Streaming twin of :func:`functions.dedup.exact_dedup`:
+        at-source exact dedup on the normalized-text digest via
+        ``dropDuplicatesWithinWatermark`` — state holds one digest per
+        distinct text and the watermark bounds it (digests older than
+        ``late_threshold`` age out, so state is O(distinct texts per
+        watermark window), not O(corpus)).
+
+        Equivalence law vs batch (tested): the kept rows' DIGEST SET
+        equals the batch distinct-digest set and every digest survives
+        exactly once, provided duplicates arrive within the watermark.
+        WHICH copy survives is arrival order (streaming) vs
+        ``min(doc_id)`` (batch) — at-source dedup keeps the first copy
+        it sees, the same semantics as the reference's collector-side
+        event dedup."""
+        from loongcollector_spark.functions.dedup import normalize_text
+
+        evt = (
+            stream.withColumn("__evt_ts__", F.col(ts_col).cast("timestamp"))
+            .withColumn(
+                "__digest__", F.xxhash64(normalize_text(F.col(text_col)))
+            )
+        )
+        return evt.withWatermark(
+            "__evt_ts__", self.late_threshold
+        ).dropDuplicatesWithinWatermark(["__digest__"])
+
     def start_to_memory(self, spark, path: str, name: str = "lc_stream",
                         mode: str = "append") -> "StreamingQuery":  # noqa: F821
         """Test harness: run the parse+enrich stream into a memory sink."""

@@ -321,3 +321,62 @@ class TestToolUsageStats:
         df = spark.createDataFrame(rows, _SCHEMA)
         (r,) = convstats.tool_usage_stats(df).collect()
         assert r["mean_rel_position"] == 0.0
+
+
+class TestTurnRepetition:
+    def test_loop_detection_hand_computed(self, spark):
+        rows = [
+            # conv a: exact repeat then a near-half rewrite
+            ("a", 0, "assistant", "x y z", "none", _t(0)),
+            ("a", 1, "assistant", "x y z", "none", _t(1)),
+            ("a", 2, "assistant", "x y q", "none", _t(2)),
+            # conv b: all-distinct turns
+            ("b", 0, "user", "hello there", "none", _t(0)),
+            ("b", 1, "assistant", "completely different words", "none", _t(1)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.turn_repetition_signals(df).collect()
+        }
+        a = out["a"]
+        assert a["n_exact_repeats"] == 1
+        # jaccards: turn1 = 1.0; turn2 = |{x,y}| / |{x,y,z,q}| = 0.5
+        assert a["n_near_repeats"] == 1
+        assert a["mean_prev_jaccard"] == 0.75
+        assert a["max_prev_jaccard"] == 1.0
+        assert a["loop_suspect"]  # 1 near of 2 comparable turns
+        b = out["b"]
+        assert b["n_exact_repeats"] == 0 and b["n_near_repeats"] == 0
+        assert b["mean_prev_jaccard"] == 0.0
+        assert not b["loop_suspect"]
+
+    def test_empty_turns_and_singletons(self, spark):
+        rows = [
+            ("a", 0, "assistant", "", "none", _t(0)),
+            ("a", 1, "assistant", "", "none", _t(1)),  # empty==empty
+            ("s", 0, "user", "solo", "none", _t(0)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.turn_repetition_signals(df).collect()
+        }
+        assert out["a"]["n_exact_repeats"] == 1
+        assert out["a"]["max_prev_jaccard"] == 1.0  # empty-vs-empty
+        s = out["s"]
+        assert s["mean_prev_jaccard"] is None  # no comparable turn
+        assert not s["loop_suspect"]  # singletons are never suspects
+
+    def test_single_conv_exchange(self, dirty):
+        plan = (
+            convstats.turn_repetition_signals(dirty)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        # the lag window and the groupBy share one conv-keyed Exchange
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+        assert "InPandas" not in plan

@@ -1008,3 +1008,50 @@ class TestStreamingSessionWindow:
             "SELECT n_turns FROM lc_swb_stream"
         ).collect()
         assert [r["n_turns"] for r in got] == [2]  # one merged session
+
+
+class TestStreamingDedup:
+    """dropDuplicatesWithinWatermark twin of batch exact_dedup: the
+    kept rows' digest set equals the batch distinct-digest set and
+    every digest survives exactly once across micro-batches."""
+
+    def test_stream_dedup_equals_batch_digest_set(self, spark, tmp_path):
+        from loongcollector_spark.functions.dedup import exact_dedup
+        from loongcollector_spark.sources.transcripts import (
+            transcripts_from_events,
+        )
+        from loongcollector_spark.streaming.pipeline import (
+            StreamingTranscriptPipeline,
+        )
+
+        src = str(tmp_path / "dd_src")
+        transcripts_from_events(spark, SF_DIR).repartition(4).write.parquet(
+            src
+        )
+        static = spark.read.parquet(src)
+        n_rows = static.count()
+        batch = {
+            r["text_hash"]
+            for r in exact_dedup(
+                static, text_col="text", id_col="turn_idx"
+            ).collect()
+        }
+        assert len(batch) < n_rows  # the corpus really has duplicates
+
+        # retention >= corpus span so no digest ages out mid-replay
+        sp = StreamingTranscriptPipeline(late_threshold="3650 days")
+        stream = sp.read_stream(spark, src, max_files=1)
+        q = (
+            sp.dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("lc_dd_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "query did not finish"
+        got = spark.sql(
+            "SELECT __digest__ AS d, count(*) AS n FROM lc_dd_stream GROUP BY 1"
+        ).collect()
+        assert all(r["n"] == 1 for r in got)  # exactly one survivor each
+        assert {r["d"] for r in got} == batch
