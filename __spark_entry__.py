@@ -582,6 +582,23 @@ def q_lm_perplexity_filter(spark, sf_dir):
     return perplexity_filter(docs, max_pseudo_ppl=31.0)
 
 
+def q_quantized_ann(spark, sf_dir):
+    """int8-quantized two-stage ANN (functions/similarity.py
+    quantized_topk): candidate generation over 4x-smaller symmetric
+    int8 vectors (scales cancel in the cosine; integer dots are exact
+    and order-independent in doubles), exact float re-rank of the
+    candidate set only."""
+    from loongcollector_spark.functions.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return quantized_topk(emb, qs, k=10, candidates=30)
+
+
 def q_turn_repetition(spark, sf_dir):
     """Agent-loop repetition gate (functions/convstats.py
     turn_repetition_signals): per-conversation exact/near repeat counts
@@ -2094,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk_keywords": q_tfidf_topk,
         "token_window_chunks": q_token_chunks,
         "turn_repetition_loops": q_turn_repetition,
+        "ann_quantized_int8": q_quantized_ann,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2648,6 +2666,41 @@ ppl AS (
 SELECT * FROM ppl"""
     sql["lm_perplexity_filter"] = _LM_CTE + """
 SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
+    sql["ann_quantized_int8"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), z AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+  FROM e
+), qz AS (
+  SELECT vec_id, v,
+         CASE WHEN s > 0
+              THEN list_transform(v, x -> CAST(round(x/s) AS DOUBLE))
+              ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS q
+  FROM z
+), qs AS (SELECT vec_id AS qid, v AS qv, q AS qq FROM qz WHERE vec_id < 5),
+cand0 AS (
+  SELECT qs.qid, c.vec_id AS nid, c.v AS nv, qs.qv,
+    CASE WHEN list_dot_product(c.q, c.q) > 0
+              AND list_dot_product(qs.qq, qs.qq) > 0
+         THEN list_dot_product(c.q, qs.qq)
+              / (sqrt(list_dot_product(c.q, c.q))
+                 * sqrt(list_dot_product(qs.qq, qs.qq)))
+         ELSE 0.0 END AS approx
+  FROM qz c, qs
+), cand AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, nid)
+           AS ar
+  FROM cand0 QUALIFY ar <= 30
+)
+SELECT qid, nid, round(approx, 5) AS approx_r,
+       round(list_cosine_similarity(nv, qv), 5) AS sim_r,
+       CAST(row_number() OVER (
+           PARTITION BY qid
+           ORDER BY list_cosine_similarity(nv, qv) DESC, nid) AS INT) AS rank
+FROM cand QUALIFY rank <= 10"""
 
     sql["turn_repetition_loops"] = _T + r"""
 , tok AS (

@@ -2241,3 +2241,63 @@ class TestTokenWindowChunks:
         )
         assert "Exchange" not in plan  # chunking runs at scan speed
         assert "InPandas" not in plan
+
+
+class TestQuantizedAnn:
+    def test_quantization_bounds_and_dequant_error(self, spark):
+        from loongcollector_spark.functions.similarity import quantize_int8
+
+        rows = [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r.asDict() for r in quantize_int8(df).collect()}
+        q1, s1 = out[1]["q"], out[1]["q_scale"]
+        assert s1 == 1.0 / 127
+        assert q1 == [64, -127, 32]  # round(0.5*127)=64 (half-up), etc.
+        assert all(-127 <= x <= 127 for x in q1)
+        # dequant error bounded by scale/2 per component
+        for orig, qq in zip([0.5, -1.0, 0.25], q1):
+            assert abs(orig - qq * s1) <= s1 / 2 + 1e-12
+        # zero vector: scale 0, all-zero q
+        assert out[2]["q_scale"] == 0.0 and out[2]["q"] == [0, 0, 0]
+
+    def test_recall_vs_brute_force(self, embeddings, spark):
+        from loongcollector_spark.functions.similarity import (
+            brute_force_topk,
+            quantized_topk,
+        )
+        from pyspark.sql import functions as F
+
+        emb = embeddings.withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qs = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        exact = brute_force_topk(emb, qs, k=10)
+        approx = quantized_topk(emb, qs, k=10, candidates=50)
+        e = {(r["qid"], r["nid"]) for r in exact.collect()}
+        a = {(r["qid"], r["nid"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        # int8 cosine distortion is tiny; with 5x candidate headroom
+        # the top-10 should be nearly fully recovered
+        assert recall >= 0.9, recall
+
+    def test_self_neighbor_and_ranks(self, embeddings, spark):
+        from loongcollector_spark.functions.similarity import quantized_topk
+        from pyspark.sql import functions as F
+
+        emb = embeddings.withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        qs = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        )
+        out = quantized_topk(emb, qs, k=10, candidates=30).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["qid"], []).append(r)
+        for qid, rows in by_q.items():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+            top = min(rows, key=lambda r: r["rank"])
+            assert top["nid"] == qid and top["sim_r"] == 1.0  # self first
