@@ -310,6 +310,73 @@ def main() -> None:
         ],
     ))
 
+    from loongcollector_spark.functions.lm import bigram_lm_score  # noqa: E402
+    from loongcollector_spark.functions.packing import (  # noqa: E402
+        token_window_chunks,
+    )
+    from loongcollector_spark.functions.similarity import (  # noqa: E402
+        quantized_topk,
+    )
+    from loongcollector_spark.functions.textstats import tfidf_topk  # noqa: E402
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(tfidf_topk(docs, k=5))
+    sections.append((
+        "tf-idf top-k keywords (r5)",
+        p,
+        [
+            ("ONE corpus pass: df via window over the tf table, not a "
+             "groupBy branch (2 scans total incl. the 1-row N aggregate)",
+             n_nodes(p, r"\(\d+\) Scan parquet") <= 2),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+    p = plan_of(bigram_lm_score(docs))
+    sections.append((
+        "bigram LM pseudo-perplexity (r5)",
+        p,
+        [
+            ("2 parquet scans total: history counts via window over the "
+             "bigram table (not a groupBy branch) and the vocab subtree "
+             "localCheckpoint'd once (was 7 scans — the vocab's full "
+             "token pass re-ran in every join branch)",
+             n_nodes(p, r"\(\d+\) Scan parquet") <= 2),
+            ("vocab joins partial-aggregate map-side",
+             "partial_count" in p),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+    p = plan_of(token_window_chunks(docs, 128, 16))
+    sections.append((
+        "token-window chunker (r5)",
+        p,
+        [
+            ("ZERO Exchanges — chunking runs at scan speed",
+             n_nodes(p, r"\(\d+\) Exchange") == 0),
+            ("no Python nodes", "InPandas" not in p),
+        ],
+    ))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qset = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = plan_of(quantized_topk(emb, qset, k=10, candidates=30))
+    sections.append((
+        "int8-quantized two-stage ANN (r5)",
+        p,
+        [
+            ("query side broadcast — the corpus never shuffles for "
+             "candidate generation",
+             "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p),
+            ("per-vector norms hoisted out of the cross join (no norm "
+             "fold on the pair side: aggregate appears in projections "
+             "before the join)",
+             "InPandas" not in p),
+        ],
+    ))
+
     scan = (
         spark.read.parquet(f"{SF}/events.parquet")
         .filter(F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
