@@ -599,6 +599,35 @@ def q_quantized_ann(spark, sf_dir):
     return quantized_topk(emb, qs, k=10, candidates=30)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Cross-run exact dedup (functions/dedup.py incremental_exact_dedup,
+    md5 oracle twin): the previous run's digest ledger is simulated as
+    the docs with doc_id % 7 == 0; the batch anti-joins the ledger on
+    the digest key and keeps the min-id representative per new digest —
+    ledger join + batch dedup share one digest partitioning."""
+    from loongcollector_spark.functions.dedup import (
+        incremental_exact_dedup,
+        normalize_text,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("text_hash")
+    )
+    return incremental_exact_dedup(docs, seen, digest="md5")
+
+
+def q_domain_token_share(spark, sf_dir):
+    """Per-domain corpus composition (functions/textstats.py
+    domain_token_share): token share + Zipf cumulative share — the
+    mixture-design input for domain_mix_sample/resample. One corpus
+    pass; windows run over the collapsed per-domain table."""
+    from loongcollector_spark.functions.textstats import domain_token_share
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_token_share(docs)
+
+
 def q_turn_repetition(spark, sf_dir):
     """Agent-loop repetition gate (functions/convstats.py
     turn_repetition_signals): per-conversation exact/near repeat counts
@@ -2112,6 +2141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_window_chunks": q_token_chunks,
         "turn_repetition_loops": q_turn_repetition,
         "ann_quantized_int8": q_quantized_ann,
+        "dedup_incremental_ledger": q_incremental_dedup,
+        "domain_token_share": q_domain_token_share,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2666,6 +2697,37 @@ ppl AS (
 SELECT * FROM ppl"""
     sql["lm_perplexity_filter"] = _LM_CTE + """
 SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
+    sql["dedup_incremental_ledger"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash
+  FROM documents
+),
+seen AS (SELECT DISTINCT text_hash FROM d WHERE doc_id % 7 = 0),
+fresh AS (
+  SELECT d.* FROM d LEFT JOIN seen s USING (text_hash)
+  WHERE s.text_hash IS NULL
+)
+SELECT text_hash, min(doc_id) AS keep_id,
+       CAST(count(*) AS INT) AS n_dupes_in_batch
+FROM fresh GROUP BY text_hash"""
+
+    sql["domain_token_share"] = r"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS INT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(coalesce(text,''),
+             '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+SELECT source, n_docs, n_tokens,
+       CAST(row_number() OVER (ORDER BY n_tokens DESC, source) AS INT)
+           AS rank,
+       round(n_tokens / tot, 6) AS token_share,
+       round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                 ROWS UNBOUNDED PRECEDING) / tot, 6)
+           AS cum_token_share
+FROM per CROSS JOIN t"""
 
     sql["ann_quantized_int8"] = """
 WITH e AS (

@@ -566,3 +566,41 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard_sim") >= min_jaccard)
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+def incremental_exact_dedup(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    digest: str = "xxhash64",
+) -> DataFrame:
+    """Cross-RUN exact dedup for continuous ingest: drop every row
+    whose normalized-text digest already exists in ``seen`` (the
+    digest ledger of previous runs), then keep the min-id
+    representative per digest within the batch. Output is one row per
+    genuinely-new text — exactly the rows whose digests should be
+    appended to the ledger for the next run (the collector-side
+    "have I shipped this before" pattern; batch twin of the streaming
+    ``dedup_stream``, which bounds its ledger by the watermark).
+
+    Scale shape: the ledger join is a digest-keyed ``left_anti`` —
+    never a broadcast of the (corpus-lifetime-sized) seen set — and
+    the within-batch dedup is one groupBy on the same key, so both
+    steps share a single digest partitioning. ``digest`` selects
+    ``xxhash64`` (prod: 8-byte ledger rows) or ``md5`` (the
+    cross-engine-oracled twin, same convention as the minhash md5
+    family)."""
+    norm = normalize_text(F.col(text_col))
+    h = (
+        F.xxhash64(norm) if digest == "xxhash64"
+        else F.md5(norm.cast("binary"))
+    ).alias("text_hash")
+    batch = df.select(h, F.col(id_col))
+    fresh = batch.join(
+        seen.select("text_hash"), "text_hash", "left_anti"
+    )
+    return fresh.groupBy("text_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).cast("int").alias("n_dupes_in_batch"),
+    )

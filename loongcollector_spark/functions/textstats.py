@@ -167,3 +167,51 @@ def tfidf_topk(
             "tfidf",
         )
     )
+
+
+def domain_token_share(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain corpus composition — the input every mixture design
+    (domain_mix_sample / domain_mix_resample) starts from: document
+    and token counts, token share, rank by volume, and the cumulative
+    share of the head (the Zipf curve).
+
+    One corpus-pass groupBy; the rank/share windows run over the
+    already-collapsed per-domain table (|domains| rows — the
+    unpartitioned window is deliberate and safe at that size: the
+    domain table of a 100 TB corpus is thousands of rows, not
+    billions). Shares round to 6dp for cross-engine exactness.
+    """
+    from pyspark.sql import Window
+
+    n_tok = bpe_ish_token_count(F.coalesce(F.col(text_col), F.lit("")))
+    per = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.desc("n_tokens"), F.asc(domain_col)
+    )
+    return (
+        per.withColumn(
+            "rank", F.row_number().over(w_rank).cast("int")
+        )
+        .withColumn(
+            "token_share",
+            F.round(F.col("n_tokens") / F.sum("n_tokens").over(w_all), 6),
+        )
+        .withColumn(
+            "cum_token_share",
+            F.round(
+                F.sum("n_tokens").over(
+                    w_rank.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                / F.sum("n_tokens").over(w_all),
+                6,
+            ),
+        )
+    )

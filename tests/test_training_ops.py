@@ -2301,3 +2301,80 @@ class TestQuantizedAnn:
             assert ranks == list(range(1, len(rows) + 1))
             top = min(rows, key=lambda r: r["rank"])
             assert top["nid"] == qid and top["sim_r"] == 1.0  # self first
+
+
+class TestIncrementalDedup:
+    def test_ledger_and_batch_dedup(self, spark):
+        from loongcollector_spark.functions.dedup import (
+            incremental_exact_dedup,
+        )
+
+        batch = spark.createDataFrame(
+            [
+                (1, "already seen"),
+                (2, "ALREADY   seen"),  # normalizes to a seen digest
+                (3, "brand new"),
+                (4, "brand  NEW"),  # in-batch dup of 3
+                (5, "also new"),
+            ],
+            "doc_id long, text string",
+        )
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.functions.dedup import normalize_text
+
+        seen = spark.createDataFrame(
+            [("already seen",)], "text string"
+        ).select(F.xxhash64(normalize_text(F.col("text"))).alias("text_hash"))
+        out = {
+            r["keep_id"]: r["n_dupes_in_batch"]
+            for r in incremental_exact_dedup(batch, seen).collect()
+        }
+        # 1,2 dropped (ledger hit); 3 keeps with in-batch count 2; 5 new
+        assert out == {3: 2, 5: 1}
+
+    def test_empty_ledger_equals_exact_dedup(self, docs, spark):
+        from loongcollector_spark.functions.dedup import (
+            exact_dedup,
+            incremental_exact_dedup,
+        )
+
+        empty = spark.createDataFrame([], "text_hash long")
+        inc = {
+            (r["keep_id"], r["n_dupes_in_batch"])
+            for r in incremental_exact_dedup(docs, empty).collect()
+        }
+        base = {
+            (r["keep_id"], r["n_dupes"]) for r in exact_dedup(docs).collect()
+        }
+        assert inc == base
+
+
+class TestDomainTokenShare:
+    def test_shares_and_zipf_cumulative(self, spark):
+        from loongcollector_spark.functions.textstats import (
+            domain_token_share,
+        )
+
+        rows = [
+            (1, "a b c d", "big"),    # 4 tokens
+            (2, "a b c d", "big"),    # 4 tokens
+            (3, "a b", "small"),      # 2 tokens
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r["source"]: r.asDict() for r in domain_token_share(df).collect()}
+        assert out["big"]["n_docs"] == 2 and out["big"]["n_tokens"] == 8
+        assert out["big"]["rank"] == 1 and out["small"]["rank"] == 2
+        assert out["big"]["token_share"] == 0.8
+        assert out["big"]["cum_token_share"] == 0.8
+        assert out["small"]["cum_token_share"] == 1.0
+
+    def test_full_corpus_sums_to_one(self, docs):
+        from loongcollector_spark.functions.textstats import (
+            domain_token_share,
+        )
+
+        out = domain_token_share(docs).collect()
+        last = max(out, key=lambda r: r["rank"])
+        assert abs(last["cum_token_share"] - 1.0) < 1e-6
+        assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
