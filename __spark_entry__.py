@@ -628,6 +628,20 @@ def q_domain_token_share(spark, sf_dir):
     return domain_token_share(docs)
 
 
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document boilerplate score (functions/textclean.py
+    boilerplate_ngram_score, n=5, min_df=5): fraction of a document's
+    distinct word 5-grams appearing in >=5 documents — the corpus-wide
+    substring-dup signal MinHash pairs miss; gram df via window over
+    the (doc, gram) table, one corpus pass."""
+    from loongcollector_spark.functions.textclean import (
+        boilerplate_ngram_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_ngram_score(docs, n=5, min_df=5)
+
+
 def q_turn_repetition(spark, sf_dir):
     """Agent-loop repetition gate (functions/convstats.py
     turn_repetition_signals): per-conversation exact/near repeat counts
@@ -2143,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_int8": q_quantized_ann,
         "dedup_incremental_ledger": q_incremental_dedup,
         "domain_token_share": q_domain_token_share,
+        "boilerplate_ngram_score": q_boilerplate_ngrams,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2697,6 +2712,31 @@ ppl AS (
 SELECT * FROM ppl"""
     sql["lm_perplexity_filter"] = _LM_CTE + """
 SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
+    sql["boilerplate_ngram_score"] = r"""
+WITH docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+toks AS (SELECT doc_id,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         FROM docs),
+g0 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i+4], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t)-4)) AS u(i)
+  WHERE len(t) >= 5
+),
+g AS (SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS gram_df FROM g0),
+per AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+         CAST(sum(CASE WHEN gram_df >= 5 THEN 1 ELSE 0 END) AS INT)
+             AS n_boilerplate_grams
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.n_boilerplate_grams, 0) AS n_boilerplate_grams,
+       CASE WHEN coalesce(per.n_grams, 0) > 0
+            THEN round(per.n_boilerplate_grams / per.n_grams, 6) END
+           AS boilerplate_frac
+FROM docs d LEFT JOIN per USING (doc_id)"""
 
     sql["dedup_incremental_ledger"] = r"""
 WITH d AS (

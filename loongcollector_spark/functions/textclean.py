@@ -20,7 +20,7 @@ auditable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _TERMINAL = (".", "!", "?", '"', "'")
@@ -266,4 +266,70 @@ def decontaminate(
         .drop("__id__")
         .fillna({"n_hits": 0})
         .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+
+
+def boilerplate_ngram_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 5,
+) -> DataFrame:
+    """Cross-document boilerplate score — the corpus-wide approximation
+    of substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a document whose word
+    ``n``-grams mostly also appear in ≥ ``min_df`` other documents is
+    boilerplate/template material even when no single pair of documents
+    is a near-duplicate (so MinHash misses it).
+
+    Per document: its DISTINCT word n-grams; per n-gram: document
+    frequency (each doc contributes once); per document again: the
+    fraction of its n-grams whose df ≥ ``min_df``.
+
+    Scale shape: ONE corpus pass builds the (doc, gram) table
+    (map-side-combinable explode of distinct grams); the gram df rides
+    a window over that table (gram-keyed shuffle — NOT a groupBy
+    branch, which would re-run the explode), then one doc-keyed
+    groupBy. Documents shorter than ``n`` tokens emit ``n_grams = 0``
+    with a NULL fraction (kept via a left join back to the id set).
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(r"[a-z0-9]+"),
+        F.lit(0),
+    )
+    n_tok = F.size(toks)
+    grams = F.when(
+        n_tok >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_tok - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams).alias("g")).withColumn(
+        "gram_df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    per_doc = g.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_grams"),
+        F.sum(
+            F.when(F.col("gram_df") >= min_df, 1).otherwise(0)
+        ).cast("int").alias("n_boilerplate_grams"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_boilerplate_grams"), F.lit(0)).alias(
+                "n_boilerplate_grams"
+            ),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_boilerplate_grams") / F.col("n_grams"), 6),
+            ).alias("boilerplate_frac"),
+        )
     )

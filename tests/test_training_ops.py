@@ -2378,3 +2378,36 @@ class TestDomainTokenShare:
         last = max(out, key=lambda r: r["rank"])
         assert abs(last["cum_token_share"] - 1.0) < 1e-6
         assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+
+
+class TestBoilerplateNgrams:
+    def test_template_detection(self, spark):
+        from loongcollector_spark.functions.textclean import (
+            boilerplate_ngram_score,
+        )
+
+        template = "this is the standard footer text of the site"
+        rows = [(i, template) for i in range(5)]  # 5 template copies
+        rows.append((10, "completely original writing with unique phrasing here"))
+        rows.append((11, "short"))  # < n tokens → no grams
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in boilerplate_ngram_score(df, n=4, min_df=5).collect()
+        }
+        assert out[0]["boilerplate_frac"] == 1.0  # every gram in 5 docs
+        assert out[10]["boilerplate_frac"] == 0.0
+        assert out[11]["n_grams"] == 0
+        assert out[11]["boilerplate_frac"] is None
+        assert len(out) == 7  # short doc kept, not dropped
+
+    def test_distinct_grams_count_docs_not_occurrences(self, spark):
+        from loongcollector_spark.functions.textclean import (
+            boilerplate_ngram_score,
+        )
+
+        # one doc repeats the same 4-gram 10 times; df must stay 1
+        rows = [(1, " ".join(["a b c d"] * 10))]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = boilerplate_ngram_score(df, n=4, min_df=2).collect()[0]
+        assert out["n_boilerplate_grams"] == 0  # df==1 < min_df
