@@ -628,6 +628,16 @@ def q_domain_token_share(spark, sf_dir):
     return domain_token_share(docs)
 
 
+def q_key_skew(spark, sf_dir):
+    """Shuffle-key skew diagnosis (aggregators.py key_skew_stats):
+    top-10 heaviest conversation keys + global skew ratio — the tuning
+    input for the salting/AQE decisions; one map-side-combined groupBy,
+    all stats over the collapsed key table."""
+    from loongcollector_spark.aggregators import key_skew_stats
+
+    return key_skew_stats(_transcripts(spark, sf_dir), ["conv_id"], top_k=10)
+
+
 def q_boilerplate_ngrams(spark, sf_dir):
     """Cross-document boilerplate score (functions/textclean.py
     boilerplate_ngram_score, n=5, min_df=5): fraction of a document's
@@ -2158,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_ledger": q_incremental_dedup,
         "domain_token_share": q_domain_token_share,
         "boilerplate_ngram_score": q_boilerplate_ngrams,
+        "key_skew_stats": q_key_skew,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2712,6 +2723,23 @@ ppl AS (
 SELECT * FROM ppl"""
     sql["lm_perplexity_filter"] = _LM_CTE + """
 SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
+    sql["key_skew_stats"] = _T + """
+, cnt AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM transcripts GROUP BY conv_id
+), g AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY n_rows DESC, conv_id) AS INT)
+             AS rank,
+         round(n_rows / sum(n_rows) OVER (), 6) AS share,
+         CAST(count(*) OVER () AS BIGINT) AS n_keys_total,
+         round(max(n_rows) OVER ()
+               / (sum(n_rows) OVER () / count(*) OVER ()), 6) AS skew_ratio
+  FROM cnt
+)
+SELECT conv_id, n_rows, rank, share, n_keys_total, skew_ratio
+FROM g WHERE rank <= 10"""
 
     sql["boilerplate_ngram_score"] = r"""
 WITH docs AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),

@@ -331,3 +331,48 @@ def metadata_group_bounded(
         out_col,
         F.floor((F.row_number().over(w) - 1) / F.lit(max_events)).cast("int"),
     )
+
+
+def key_skew_stats(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnosis — the tuning input for every
+    salting / AQE-skew-join decision in this engine: per-key row
+    counts, the ``top_k`` heaviest keys with their share of the
+    corpus, and the global skew ratio (max key count / mean key
+    count; ≈1 = uniform, ≫1 = salt or split before shuffling on
+    this key).
+
+    One map-side-combined groupBy collapses the corpus to the key
+    table; every statistic (rank, share, totals, ratio) rides
+    unpartitioned windows over that collapsed table — |keys| rows,
+    not |corpus| rows, so the single-partition window is deliberate
+    and bounded (at 10^12 turns the conv-key table is ~10^8 rows; for
+    key spaces that large, pre-filter with a count threshold).
+    Shares/ratios round to 6dp; ranks tie-break on the key columns.
+    """
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.desc("n_rows"), *[F.asc(c) for c in key_cols]
+    )
+    total = F.sum("n_rows").over(w_all)
+    n_keys = F.count(F.lit(1)).over(w_all)
+    return (
+        cnt.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .withColumn("share", F.round(F.col("n_rows") / total, 6))
+        .withColumn("n_keys_total", n_keys.cast("long"))
+        .withColumn(
+            "skew_ratio",
+            F.round(
+                F.max("n_rows").over(w_all)
+                / (total / n_keys),
+                6,
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+        .select(
+            *key_cols, F.col("n_rows").cast("long").alias("n_rows"),
+            "rank", "share", "n_keys_total", "skew_ratio",
+        )
+    )

@@ -485,3 +485,36 @@ class TestHotConversationSkew:
                     for r in chunk(df).collect()
                 )
                 assert a == b, (mode, treatment)
+
+
+class TestKeySkewStats:
+    def test_hot_key_detected(self, spark):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.aggregators import key_skew_stats
+        from loongcollector_spark.sources.transcripts import (
+            generate_transcripts,
+        )
+
+        n = 20_000
+        corpus = generate_transcripts(spark, n, hot_frac=0.3)
+        out = key_skew_stats(corpus, ["conv_id"], top_k=5).collect()
+        assert len(out) == 5
+        top = min(out, key=lambda r: r["rank"])
+        assert top["conv_id"] == "conv00000000"  # the planted hot key
+        assert top["share"] > 0.25
+        # hot key >> mean → the ratio flags the salting need
+        assert all(r["skew_ratio"] > 10 for r in out)
+        assert all(r["n_keys_total"] == out[0]["n_keys_total"] for r in out)
+
+    def test_uniform_keys_ratio_near_one(self, spark):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.aggregators import key_skew_stats
+
+        df = spark.range(1000).select(
+            (F.col("id") % 100).cast("string").alias("k")
+        )
+        out = key_skew_stats(df, ["k"], top_k=3).collect()
+        assert all(r["skew_ratio"] == 1.0 for r in out)
+        assert all(r["n_rows"] == 10 for r in out)
