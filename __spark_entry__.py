@@ -628,6 +628,26 @@ def q_domain_token_share(spark, sf_dir):
     return domain_token_share(docs)
 
 
+def q_pii_scan(spark, sf_dir):
+    """Per-conversation PII-pattern audit (functions/convstats.py
+    pii_scan_stats): regexp_count per pattern class + turns-with-hits —
+    the measurement side of the export redaction floor; one narrow
+    projection + one conv-keyed map-side-combinable groupBy."""
+    from loongcollector_spark.functions.convstats import pii_scan_stats
+
+    return pii_scan_stats(_transcripts(spark, sf_dir))
+
+
+def q_json_key_drift(spark, sf_dir):
+    """JSON payload schema-drift monitor (functions/convstats.py
+    json_key_drift): per (key, day) counts + first/last-seen + is_new
+    over the JSON-grammar turns — bounded-cardinality shuffles only."""
+    from loongcollector_spark.functions.convstats import json_key_drift
+
+    t = _transcripts(spark, sf_dir).filter(F.col("text").startswith("{"))
+    return json_key_drift(t)
+
+
 def q_key_skew(spark, sf_dir):
     """Shuffle-key skew diagnosis (aggregators.py key_skew_stats):
     top-10 heaviest conversation keys + global skew ratio — the tuning
@@ -2169,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_token_share": q_domain_token_share,
         "boilerplate_ngram_score": q_boilerplate_ngrams,
         "key_skew_stats": q_key_skew,
+        "pii_scan_stats": q_pii_scan,
+        "json_key_drift": q_json_key_drift,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2723,6 +2745,46 @@ ppl AS (
 SELECT * FROM ppl"""
     sql["lm_perplexity_filter"] = _LM_CTE + """
 SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
+    sql["pii_scan_stats"] = _T + r"""
+, c AS (
+  SELECT conv_id,
+    len(regexp_extract_all(coalesce(text,''),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(coalesce(text,''),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    len(regexp_extract_all(coalesce(text,''), '\d{8,}'))
+        AS n_long_digit_run,
+    len(regexp_extract_all(coalesce(text,''), '\+?\d[\d\- ]{8,}\d'))
+        AS n_phone_ish
+  FROM transcripts
+)
+SELECT conv_id,
+  CAST(sum(n_email) AS INT) AS n_email,
+  CAST(sum(n_ipv4) AS INT) AS n_ipv4,
+  CAST(sum(n_long_digit_run) AS INT) AS n_long_digit_run,
+  CAST(sum(n_phone_ish) AS INT) AS n_phone_ish,
+  CAST(sum(n_email + n_ipv4 + n_long_digit_run + n_phone_ish) AS INT)
+      AS n_pii_hits,
+  CAST(sum(CASE WHEN n_email + n_ipv4 + n_long_digit_run + n_phone_ish > 0
+                THEN 1 ELSE 0 END) AS INT) AS n_turns_with_pii,
+  CAST(count(*) AS INT) AS n_turns
+FROM c GROUP BY conv_id"""
+
+    sql["json_key_drift"] = _T + """
+, j AS (
+  SELECT unnest(json_keys(text)) AS key,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket
+  FROM transcripts WHERE text LIKE '{%' AND json_valid(text)
+), per AS (
+  SELECT key, bucket, CAST(count(*) AS BIGINT) AS n_rows
+  FROM j GROUP BY 1, 2
+)
+SELECT key, bucket, n_rows,
+       min(bucket) OVER (PARTITION BY key) AS first_seen,
+       max(bucket) OVER (PARTITION BY key) AS last_seen,
+       bucket = min(bucket) OVER (PARTITION BY key) AS is_new
+FROM per"""
 
     sql["key_skew_stats"] = _T + """
 , cnt AS (

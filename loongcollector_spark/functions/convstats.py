@@ -576,3 +576,90 @@ def tool_usage_stats(
         F.count_distinct(F.col(conv_col)).cast("long").alias("n_convs"),
         F.round(F.avg("__rel__"), 6).alias("mean_rel_position"),
     )
+
+
+PII_PATTERNS: dict[str, str] = {
+    # the auditable floor — deliberately simple, deterministic regexes
+    # both engines run identically (no lookarounds)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "long_digit_run": r"\d{8,}",
+    "phone_ish": r"\+?\d[\d\- ]{8,}\d",
+}
+
+
+def pii_scan_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation PII-pattern audit — the measurement side of the
+    export pipeline's redaction floor (:func:`training_export` redacts
+    digit runs; this op tells you what else is there and how much):
+    per conversation, the hit count for each pattern class in
+    :data:`PII_PATTERNS`, total hits, and the count of turns carrying
+    at least one hit.
+
+    One narrow projection of ``regexp_count`` columns (codegen'd, one
+    regex pass per class) + one conversation-keyed map-side-combinable
+    groupBy — scan speed at any corpus size; redaction policy work
+    (which classes block export, which mask) stays declarative on top.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+        ).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    }
+    per_turn = df.select(F.col(conv_col), *counts.values())
+    total = sum(
+        (F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0)
+    )
+    per_turn = per_turn.withColumn("__total__", total)
+    aggs = [
+        F.sum(f"n_{name}").cast("int").alias(f"n_{name}")
+        for name in PII_PATTERNS
+    ]
+    return per_turn.groupBy(conv_col).agg(
+        *aggs,
+        F.sum("__total__").cast("int").alias("n_pii_hits"),
+        F.sum(
+            F.when(F.col("__total__") > 0, 1).otherwise(0)
+        ).cast("int").alias("n_turns_with_pii"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )
+
+
+def json_key_drift(
+    df: DataFrame,
+    json_col: str = "text",
+    ts_col: str = "ts",
+    bucket: str = "day",
+) -> DataFrame:
+    """Payload schema-drift monitor for JSON-grammar streams: per
+    (json key, time bucket) row counts plus each key's first/last seen
+    bucket and an ``is_new`` flag — a producer adding or dropping a
+    field shows up here the bucket it happens (the reference's
+    self-monitor counts parse outcomes; this watches the *shape* of
+    what parses).
+
+    ``json_object_keys`` returns NULL on non-object input, so invalid
+    rows drop out of the explode instead of erroring. Two bounded
+    shuffles: (key, bucket) groupBy (map-side combinable; cardinality
+    = #keys × #buckets) and a key-partitioned window over that
+    collapsed table for first/last seen.
+    """
+    g = df.select(
+        F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+    )
+    per = g.groupBy("key", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    w = Window.partitionBy("key")
+    return (
+        per.withColumn("first_seen", F.min("bucket").over(w))
+        .withColumn("last_seen", F.max("bucket").over(w))
+        .withColumn("is_new", F.col("bucket") == F.col("first_seen"))
+    )

@@ -380,3 +380,59 @@ class TestTurnRepetition:
         # the lag window and the groupBy share one conv-keyed Exchange
         assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
         assert "InPandas" not in plan
+
+
+class TestPiiScan:
+    def test_pattern_classes(self, spark):
+        rows = [
+            ("a", 0, "user", "mail me at bob@example.com or 10.0.0.1", "none", _t(0)),
+            ("a", 1, "assistant", "card 4111111111111111 ok", "none", _t(1)),
+            ("b", 0, "user", "nothing sensitive here", "none", _t(0)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        out = {
+            r["conv_id"]: r.asDict()
+            for r in convstats.pii_scan_stats(df).collect()
+        }
+        a = out["a"]
+        assert a["n_email"] == 1 and a["n_ipv4"] == 1
+        assert a["n_long_digit_run"] == 1  # the 16-digit run
+        assert a["n_phone_ish"] == 1  # same span also phone-shaped
+        assert a["n_pii_hits"] == 4 and a["n_turns_with_pii"] == 2
+        b = out["b"]
+        assert b["n_pii_hits"] == 0 and b["n_turns_with_pii"] == 0
+
+    def test_narrow_plus_one_exchange(self, dirty):
+        plan = (
+            convstats.pii_scan_stats(dirty)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+        assert "InPandas" not in plan
+
+
+class TestJsonKeyDrift:
+    def test_new_key_flagged_in_its_first_bucket(self, spark):
+        rows = [
+            ("a", 0, "user", '{"x": 1}', "none", _t(0)),
+            ("a", 1, "user", '{"x": 2}', "none", dt.datetime(2024, 1, 2, 1)),
+            ("a", 2, "user", '{"x": 3, "y": 4}', "none",
+             dt.datetime(2024, 1, 2, 2)),  # y appears on day 2
+            ("a", 3, "user", "not json", "none", dt.datetime(2024, 1, 2, 3)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        out = {
+            (r["key"], str(r["bucket"])[:10]): r.asDict()
+            for r in convstats.json_key_drift(df).collect()
+        }
+        assert out[("x", "2024-01-01")]["is_new"]
+        assert not out[("x", "2024-01-02")]["is_new"]
+        assert out[("y", "2024-01-02")]["is_new"]
+        assert out[("y", "2024-01-02")]["n_rows"] == 1
+        assert str(out[("x", "2024-01-02")]["first_seen"])[:10] == "2024-01-01"
+        # invalid JSON row contributes nothing
+        assert all(k in ("x", "y") for k, _ in out)
