@@ -240,3 +240,57 @@ def write_routed_sinks(
         )
         paths[name] = path
     return paths
+
+
+def compact_snapshot(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for a written (parquet) sink snapshot —
+    the table-maintenance job every streaming/fan-out sink needs: a
+    micro-batched or per-sink-partitioned writer leaves thousands of
+    small files; scans then pay per-file open cost and the NameNode/
+    manifest pays per-file metadata (on Iceberg this is
+    rewrite_data_files; the parquet stand-in rewrites in place).
+
+    Sizes the output by MEASURED bytes (sum of current file sizes /
+    target), not row counts — compression-aware. Rewrites via
+    repartition(n) (one shuffle) into a temp dir, then atomically
+    swaps. Returns {files_before, files_after, bytes}.
+
+    Scale note: at 10^12 turns this runs per PARTITION of the sink
+    table (compact yesterday's partition after the day closes), never
+    whole-table — pass the partition's path.
+    """
+    import math
+    import os
+    import shutil
+
+    def _files(p):
+        out = []
+        for root, _, names in os.walk(p):
+            out += [
+                os.path.join(root, x)
+                for x in names
+                if x.endswith(".parquet")
+            ]
+        return out
+
+    before = _files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / (target_mb * (1 << 20))))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    w = df.repartition(n_out).write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return {
+        "files_before": len(before),
+        "files_after": len(_files(path)),
+        "bytes": total,
+    }

@@ -1055,3 +1055,47 @@ class TestStreamingDedup:
         ).collect()
         assert all(r["n"] == 1 for r in got)  # exactly one survivor each
         assert {r["d"] for r in got} == batch
+
+
+class TestCompaction:
+    def test_small_files_compact_and_rows_survive(self, spark, tmp_path):
+        from loongcollector_spark.sinks.writers import compact_snapshot
+        from loongcollector_spark.sources.transcripts import (
+            transcripts_from_events,
+        )
+
+        path = str(tmp_path / "sink_snapshot")
+        t = transcripts_from_events(spark, SF_DIR)
+        t.repartition(64).write.parquet(path)  # the small-file mess
+        before = sorted(
+            tuple(str(x) for x in r)
+            for r in spark.read.parquet(path).collect()
+        )
+        stats = compact_snapshot(spark, path, target_mb=128)
+        assert stats["files_before"] >= 64
+        assert stats["files_after"] == 1  # tiny table → one target file
+        after = sorted(
+            tuple(str(x) for x in r)
+            for r in spark.read.parquet(path).collect()
+        )
+        assert after == before  # byte-identical multiset of rows
+
+    def test_partitioned_compaction(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.sinks.writers import compact_snapshot
+        from loongcollector_spark.sources.transcripts import (
+            transcripts_from_events,
+        )
+
+        path = str(tmp_path / "sink_part")
+        t = transcripts_from_events(spark, SF_DIR).withColumn(
+            "role_part", F.col("role")
+        )
+        t.repartition(16).write.partitionBy("role_part").parquet(path)
+        n_before = spark.read.parquet(path).count()
+        stats = compact_snapshot(
+            spark, path, target_mb=128, partition_cols=["role_part"]
+        )
+        assert stats["files_after"] < stats["files_before"]
+        assert spark.read.parquet(path).count() == n_before
