@@ -628,6 +628,30 @@ def q_domain_token_share(spark, sf_dir):
     return domain_token_share(docs)
 
 
+def q_sliding_window_counts(spark, sf_dir):
+    """Sliding-window per-role turn counts (6h window, 3h slide) via
+    the NATIVE F.window in batch mode — each turn lands in
+    width/slide = 2 windows; output cardinality is bounded by
+    #slides × #roles. The same window spec runs unchanged on a stream
+    (StreamingTranscriptPipeline.metrics_stream uses the tumbling
+    degenerate); the DuckDB oracle recomputes Spark's epoch-aligned
+    window assignment closed-form."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"),
+            "role",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
 def q_pii_scan(spark, sf_dir):
     """Per-conversation PII-pattern audit (functions/convstats.py
     pii_scan_stats): regexp_count per pattern class + turns-with-hits —
@@ -2191,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_stats": q_key_skew,
         "pii_scan_stats": q_pii_scan,
         "json_key_drift": q_json_key_drift,
+        "sliding_window_counts": q_sliding_window_counts,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2745,6 +2770,23 @@ ppl AS (
 SELECT * FROM ppl"""
     sql["lm_perplexity_filter"] = _LM_CTE + """
 SELECT *, pseudo_ppl <= 31.0 AS keep FROM ppl"""
+
+    # Spark window assignment: a row at epoch e lands in every window
+    # whose start k*slide satisfies k*slide <= e < k*slide + width
+    # (epoch-1970-aligned): k in [floor((e - width)/slide) + 1,
+    # floor(e/slide)] — width/slide = 2 windows here.
+    sql["sliding_window_counts"] = _T + """
+, win AS (
+  SELECT role,
+         TIMESTAMP '1970-01-01' + k * 10800 * INTERVAL 1 SECOND AS w_start
+  FROM transcripts,
+       UNNEST(generate_series(
+           CAST(floor((epoch(ts) - 21600) / 10800) AS BIGINT) + 1,
+           CAST(floor(epoch(ts) / 10800) AS BIGINT))) AS u(k)
+)
+SELECT w_start, w_start + INTERVAL 6 HOUR AS w_end, role,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM win GROUP BY w_start, role"""
 
     sql["pii_scan_stats"] = _T + r"""
 , c AS (

@@ -1099,3 +1099,54 @@ class TestCompaction:
         )
         assert stats["files_after"] < stats["files_before"]
         assert spark.read.parquet(path).count() == n_before
+
+
+class TestStreamingSlidingWindow:
+    def test_sliding_window_equals_batch(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from loongcollector_spark.sources.transcripts import (
+            transcripts_from_events,
+        )
+        from loongcollector_spark.streaming.pipeline import (
+            StreamingTranscriptPipeline,
+        )
+
+        src = str(tmp_path / "slw_src")
+        transcripts_from_events(spark, SF_DIR).repartition(4).write.parquet(
+            src
+        )
+        static = spark.read.parquet(src)
+        want = sorted(
+            (str(r["w"]["start"]), r["role"], r["n"])
+            for r in static.groupBy(
+                F.window("ts", "6 hours", "3 hours").alias("w"), "role"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+        # complete mode: state holds every open window and the sink gets
+        # the full table each trigger — the exact batch law; append mode
+        # would emit nothing here (a retention-sized watermark never
+        # finalizes a window during an availableNow replay)
+        sp = StreamingTranscriptPipeline(late_threshold="3650 days")
+        stream = sp.read_stream(spark, src, max_files=1)
+        evt = stream.withColumn("__evt__", F.col("ts").cast("timestamp"))
+        q = (
+            evt.groupBy(
+                F.window("__evt__", "6 hours", "3 hours").alias("w"), "role"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName("lc_slw_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600), "query did not finish"
+        got = sorted(
+            (str(r["w"]["start"]), r["role"], r["n"])
+            for r in spark.sql("SELECT * FROM lc_slw_stream").collect()
+        )
+        assert got == want  # same sliding spec, batch == stream
