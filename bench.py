@@ -361,6 +361,11 @@ def main() -> None:
         "turn_repetition_2m",
         lambda: noop_write(turn_repetition_signals(corpus)),
     )
+    from loongcollector_spark.functions.convstats import pii_scan_stats
+
+    timed(
+        "pii_scan_2m", lambda: noop_write(pii_scan_stats(corpus))
+    )
 
     # --- operator queries over the sf-dir tables -------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
