@@ -2216,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_stats": q_pii_scan,
         "json_key_drift": q_json_key_drift,
         "sliding_window_counts": q_sliding_window_counts,
+        "pipeline_metrics_from_snapshot": q_metrics_from_snapshot,
         "conversation_quality_filter": q_conversation_quality,
         "tool_usage_stats": q_tool_usage_stats,
         "merge_multiline_auto_chunked": q_merge_multiline_auto_chunked,
@@ -2236,7 +2237,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_expand_flatten": q_json_expand_map,
         "logstore_router_regex": q_logstore_router,
         "pipeline_metrics_single_pass": q_metrics_single_pass,
-        "pipeline_metrics_from_snapshot": q_metrics_from_snapshot,
         "prom_parse_relabel": q_prom_parse_relabel,
         "route_exclusive_tagged": q_exclusive_tagged_route,
         "route_multicast_exploded": q_multicast_exploded,
