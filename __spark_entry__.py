@@ -2232,6 +2232,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_sink_errors": _q_sink("sink_errors"),
         "route_sink_all_multicast": _q_sink("sink_all"),
         "pipeline_sink_metrics": q_sink_metrics,
+        # r5-continuation touched code: the norm-hoisting change in
+        # similarity.py — these four cover every hoisted join site
+        # (brute force, LSH bucket, IVF probe/rerank, near-dup self-join)
+        "similarity_cosine_topk": q_cosine_topk,
+        "lsh_ann_full_probe": q_lsh_ann_full_probe,
+        "ivf_ann_recall": q_ivf_ann_recall,
+        "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
         "droplastkey_times": q_droplastkey_times,
         "encrypt_roundtrip": q_encrypt_roundtrip,
         "json_expand_flatten": q_json_expand_map,
@@ -2295,13 +2302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_grammar_dispatch": q_parse_dispatch,
         "route_sink_model": _q_sink("sink_model"),
         "ivf_ann_topk": q_ivf_ann,
-        "ivf_ann_recall": q_ivf_ann_recall,
         "split_log_string_explode": q_split_explode,
         "parse_container_log": q_parse_container_log,
         "ivf_full_probe": q_ivf_full_probe,
-        "lsh_ann_full_probe": q_lsh_ann_full_probe,
-        "similarity_cosine_topk": q_cosine_topk,
-        "embedding_near_dup_anchor": q_embedding_near_dup_anchor,
         "embedding_pair_sim_topk": q_embedding_pair_sim,
         "dedup_clusters_cc": q_dedup_clusters,
         "exact_dedup": q_exact_dedup,
