@@ -302,13 +302,15 @@ def main() -> None:
     # context-assembly RANGE frame — both one conversation-keyed
     # Exchange over the 2M corpus; the rows pin the per-turn window
     # cost the flagship's training-data consumers pay
-    def run_window_ops():
-        from loongcollector_spark.functions import textstats
-        from loongcollector_spark.functions.packing import (
-            context_window_stats,
-        )
-        from loongcollector_spark.functions.sessions import sessionize
+    # (r5 continuation: split into two rows — the bundled
+    # transcript_window_ops row hid which half paid the hot-conversation
+    # serial window; per-conversation windows over the 400k-turn hot
+    # group are inherently one-core, the documented skew bound)
+    from loongcollector_spark.functions import textstats
+    from loongcollector_spark.functions.packing import context_window_stats
+    from loongcollector_spark.functions.sessions import sessionize
 
+    def run_sessionize_rollup():
         s = sessionize(corpus, gap_seconds=86400)
         noop_write(
             s.groupBy("conv_id").agg(
@@ -316,6 +318,8 @@ def main() -> None:
                 F.max("session_idx").alias("max_s"),
             )
         )
+
+    def run_context_stats():
         noop_write(
             context_window_stats(
                 corpus.withColumn(
@@ -326,7 +330,8 @@ def main() -> None:
             )
         )
 
-    timed("transcript_window_ops", run_window_ops)
+    timed("sessionize_rollup_2m", run_sessionize_rollup)
+    timed("context_window_stats_2m", run_context_stats)
 
     # conversation-stats family (r5): the ingestion-gate audit + the
     # quality filter share one conversation-keyed Exchange each; the
