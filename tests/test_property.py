@@ -347,3 +347,114 @@ class TestSplitCharQuoteParity:
                     else:
                         assert got[2] is True, (v, nk)
                         assert (got[0], got[1]) == want, (v, nk, preserve, got, want)
+
+
+class TestChunkerProperties:
+    """token_window_chunks: every token is covered, consecutive chunks
+    overlap by exactly `overlap` (when both are full-length), and
+    re-joining chunk 0..last at stride offsets reconstructs the token
+    stream — for ANY text and any (chunk_size, overlap)."""
+
+    @given(
+        texts=st.lists(st.text(max_size=80), min_size=1, max_size=12),
+        chunk_size=st.integers(min_value=2, max_value=16),
+        overlap_frac=st.integers(min_value=0, max_value=99),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_coverage_and_reconstruction(
+        self, spark, texts, chunk_size, overlap_frac
+    ):
+        import re
+
+        from loongcollector_spark.functions.packing import (
+            token_window_chunks,
+        )
+
+        overlap = (chunk_size - 1) * overlap_frac // 100
+        stride = chunk_size - overlap
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        out = token_window_chunks(
+            df, chunk_size=chunk_size, overlap=overlap
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, t in enumerate(texts):
+            toks = re.findall(r"[a-z0-9]+", t.lower())
+            chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+            if not toks:
+                assert chunks == []
+                continue
+            # chunk starts are exactly the stride multiples below len
+            assert [c["start_tok"] for c in chunks] == list(
+                range(0, len(toks), stride)
+            )
+            # every chunk's text is the exact token slice
+            for c in chunks:
+                want = toks[c["start_tok"]:c["start_tok"] + chunk_size]
+                assert c["chunk_text"].split(" ") == want or (
+                    c["chunk_text"] == "" and want == []
+                )
+                assert c["n_tokens"] == len(want) > 0
+            # coverage: the union of chunk ranges is [0, len)
+            covered = set()
+            for c in chunks:
+                covered.update(
+                    range(c["start_tok"], c["start_tok"] + c["n_tokens"])
+                )
+            assert covered == set(range(len(toks)))
+
+
+class TestXorFingerprintProperties:
+    """conversation_fingerprint_xor agrees with the serialize variant's
+    dedup verdicts on ANY corpus whose turns are unique per conversation
+    (the documented precondition)."""
+
+    @given(
+        n_convs=st.integers(min_value=1, max_value=4),
+        texts=st.lists(
+            st.text(alphabet="abc \t", max_size=12), min_size=1, max_size=8
+        ),
+        data=st.data(),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_dedup_verdicts_match_serialize(self, spark, n_convs, texts, data):
+        from loongcollector_spark.functions import convstats
+
+        rows = []
+        for c in range(n_convs):
+            # some conversations are exact copies of conversation 0
+            copy_of = data.draw(st.booleans()) if c else False
+            src = 0 if copy_of else c
+            for i, t in enumerate(texts):
+                rows.append(
+                    (
+                        f"c{c}",
+                        i,
+                        "user",
+                        f"{t}-{src}" if not copy_of else f"{t}-0",
+                        "none",
+                        "2024-01-01 00:00:00",
+                    )
+                )
+        df = (
+            spark.createDataFrame(
+                rows,
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts_s string",
+            )
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+        )
+        ser = {
+            r["conv_id"]: (r["n_copies"], r["keep"])
+            for r in convstats.conversation_fingerprint(df).collect()
+        }
+        xor = {
+            r["conv_id"]: (r["n_copies"], r["keep"])
+            for r in convstats.conversation_fingerprint_xor(df).collect()
+        }
+        assert ser == xor
