@@ -1150,3 +1150,49 @@ class TestStreamingSlidingWindow:
             for r in spark.sql("SELECT * FROM lc_slw_stream").collect()
         )
         assert got == want  # same sliding spec, batch == stream
+
+
+class TestStreamingProgressRecorder:
+    def test_batches_recorded_and_rows_conserved(self, spark, tmp_path):
+        import time
+
+        from loongcollector_spark.monitor import StreamingProgressRecorder
+        from loongcollector_spark.sources.transcripts import (
+            transcripts_from_events,
+        )
+        from loongcollector_spark.streaming.pipeline import (
+            StreamingTranscriptPipeline,
+        )
+
+        src = str(tmp_path / "spr_src")
+        transcripts_from_events(spark, SF_DIR).repartition(4).write.parquet(
+            src
+        )
+        n = spark.read.parquet(src).count()
+
+        rec = StreamingProgressRecorder().attach(spark)
+        try:
+            sp = StreamingTranscriptPipeline()
+            q = sp.parse_enrich(
+                sp.read_stream(spark, src, max_files=1)
+            ).writeStream.format("noop").queryName("lc_spr").trigger(
+                availableNow=True
+            ).option(
+                "checkpointLocation", str(tmp_path / "spr_ckpt")
+            ).start()
+            assert q.awaitTermination(600), "query did not finish"
+            # listener callbacks are async — give the bus a moment
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                if sum(r["num_input_rows"] for r in rec.rows) >= n:
+                    break
+                time.sleep(0.5)
+        finally:
+            rec.detach(spark)
+        got = rec.frame(spark)
+        rows = got.collect()
+        assert len(rows) >= 4  # one per micro-batch (max_files=1, 4 files)
+        assert sum(r["num_input_rows"] for r in rows) == n
+        assert all(r["batch_id"] >= 0 for r in rows)
+        named = [r for r in rows if r["name"] == "lc_spr"]
+        assert named  # our query's progress is attributable by name
