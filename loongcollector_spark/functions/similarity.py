@@ -415,26 +415,33 @@ def quantized_topk(
     (4× fewer bytes off disk/network at 10^10 vectors) or where the
     engine vectorizes int8 (SIMD). The operator's value at scale is
     the storage/IO geometry, not the local fold count.
+
+    r6 restructure (guide §8 — decide on light rows, re-attach the
+    payload): the candidate stage used to carry BOTH float vectors and
+    both int arrays through the per-query ranking Exchange for every
+    pair row (~1 KB/row) just so the ``candidates`` survivors per query
+    could be re-ranked; now the scan/rank stage ships only (nid, qid,
+    approx) and the survivors broadcast-join their float vectors back
+    by id (the candidate set is |queries|×candidates rows — tiny by
+    construction at any corpus size; the big side is never shuffled).
+    Scores are unchanged: same int dot (exact, order-independent),
+    same float re-rank on the same vectors.
     """
     # per-VECTOR norms projected before the cross join — per-pair norm
     # evaluation was |corpus|×|queries| higher-order folds for values
     # that only depend on one side
-    c = quantize_int8(
-        corpus.select(
-            F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nvec")
-        ),
-        "nvec",
-    ).select(
-        "nid", "nvec", F.col("q").alias("nq")
+    corp_named = corpus.select(
+        F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nvec")
+    )
+    c = quantize_int8(corp_named, "nvec").select(
+        "nid", F.col("q").alias("nq")
     ).withColumn("__nn__", F.sqrt(_int_dot(F.col("nq"), F.col("nq"))))
+    q_named = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    )
     qs = F.broadcast(
-        quantize_int8(
-            queries.select(
-                F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
-            ),
-            "qvec",
-        ).select(
-            "qid", "qvec", F.col("q").alias("qq")
+        quantize_int8(q_named, "qvec").select(
+            "qid", F.col("q").alias("qq")
         ).withColumn("__qn__", F.sqrt(_int_dot(F.col("qq"), F.col("qq"))))
     )
     approx = F.when(
@@ -442,12 +449,16 @@ def quantized_topk(
         _int_dot(F.col("nq"), F.col("qq"))
         / (F.col("__nn__") * F.col("__qn__")),
     ).otherwise(F.lit(0.0))
-    scored = c.crossJoin(qs).withColumn("approx", approx)
+    scored = c.crossJoin(qs).select("nid", "qid", approx.alias("approx"))
     wc = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("nid"))
     cand = scored.withColumn("ar", F.row_number().over(wc)).filter(
         F.col("ar") <= candidates
     )
-    exact = cand.withColumn("sim", cosine(F.col("nvec"), F.col("qvec")))
+    exact = (
+        corp_named.join(F.broadcast(cand.select("nid", "qid", "approx")), "nid")
+        .join(F.broadcast(q_named), "qid")
+        .withColumn("sim", cosine(F.col("nvec"), F.col("qvec")))
+    )
     wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
         exact.withColumn("rank", F.row_number().over(wk).cast("int"))

@@ -1145,7 +1145,13 @@ class MergeMultilineLog(Processor):
             )
         if chunk_rows is None:
             if self.continue_pattern or self.end_pattern:
-                return self._call_fsm(df)
+                # honor Engine='sql' here too (ADVICE r5: this branch
+                # ignored it, breaking the no-Python-workers guarantee)
+                return (
+                    self._call_fsm_sql(df)
+                    if self.engine == "sql"
+                    else self._call_fsm(df)
+                )
             return self._call_start_only(df)
         stat_rows = big_stats.limit(100_001).collect()
         if not stat_rows:

@@ -287,8 +287,19 @@ def compact_snapshot(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    # two renames, then delete (ADVICE r5): a crash between steps leaves
+    # either the original or the new snapshot intact — never neither.
+    # (Same-filesystem renames; a cross-fs tmp would have failed the
+    # parquet write into `tmp` long before this point.)
+    old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # restore the original snapshot
+        raise
+    shutil.rmtree(old)
     return {
         "files_before": len(before),
         "files_after": len(_files(path)),
