@@ -1297,6 +1297,16 @@ class MergeMultilineLog(Processor):
             flag(self.end_pattern).alias("__e__"),
             F.floor(ordinal / C).cast("long").alias("__chunk__"),
         )
+        # r6: the flagged projection feeds TWO chunk passes (meta +
+        # records) and the DataFrame API has no common-subplan reuse, so
+        # without materialization the scan + regex flags + big-group
+        # semi-join run twice. The big-group side is the skewed minority
+        # (bounded by the caller's routing), so one lazy localCheckpoint
+        # (memory-and-disk, spills if a hot group is huge) halves the
+        # input passes. Locally the bench row barely moves (4.29 vs
+        # 4.41 min-of-5 — the serial 4-stage chain latency dominates at
+        # 2 chunks); the saved pass is a full input scan at real scale.
+        flagged = flagged.localCheckpoint(eager=False)
         gfield = in_schema[gk]
         ofield = in_schema[okey]
 
@@ -1335,7 +1345,11 @@ class MergeMultilineLog(Processor):
                 columns=[gk, "__chunk__", "f0", "f1", "b0", "b1"],
             )
 
-        meta = flagged.groupBy(gk, "__chunk__").applyInPandas(
+        # r6: the transfer-function pass reads only flags + order — keep
+        # the text column out of its exchange and Arrow transfer (guide
+        # §2.3 project-before-the-exchange; §4.1 pass only the columns
+        # the function needs)
+        meta = flagged.drop("__v__").groupBy(gk, "__chunk__").applyInPandas(
             meta_fn, meta_schema
         )
 
