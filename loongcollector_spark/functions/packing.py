@@ -55,6 +55,17 @@ def pack_sequences(
     if budget < 1:
         raise ValueError("budget must be >= 1")
     shard_cols = list(shard_cols or [])
+    if not shard_cols:
+        import warnings
+
+        warnings.warn(
+            "pack_sequences without shard_cols serializes the ENTIRE "
+            "input through one window task (Window.partitionBy(lit(1))) "
+            "— fine for tests, a scalability cliff at corpus scale. "
+            "Shard by a hash of the key (shards ∝ rows, tens of "
+            "thousands of rows per shard; see BENCH.md §packing).",
+            stacklevel=2,
+        )
     tok = F.col(token_col).cast("long")
     w = (
         (

@@ -1418,6 +1418,12 @@ class MergeMultilineLog(Processor):
             )
             ordv = pdf[okey].to_numpy()
             text = pdf["__v__"].to_numpy(dtype=object)
+            # unique NEGATIVE event id per direct (single-emitted) line:
+            # -(global dense position + 1), so the assembly can fold
+            # direct lines into the same (group, event) groupBy as
+            # merged events (r6 — one pass instead of a 3-branch union;
+            # member events have evt >= 0, so the id spaces never meet)
+            gpos = int(key[1]) * C + np.arange(len(pdf), dtype=np.int64)
             unmatched = ~member & ~standalone
             if merge_unmatched:
                 # start-only 'merge' extension: unmatched lines exist
@@ -1447,7 +1453,7 @@ class MergeMultilineLog(Processor):
                     pd.DataFrame(
                         {
                             gk: key[0],
-                            "__evt__": np.int64(-1),
+                            "__evt__": -(gpos[direct] + 1),
                             okey: ordv[direct],
                             "__v__": text[direct],
                             "__ok__": True,
@@ -1494,34 +1500,30 @@ class MergeMultilineLog(Processor):
         needs no union and keeps the group-key partitioning."""
         gk, okey, sk = self.group_key, self.order_key, self.source_key
         single_line = self.unmatched != "discard"
-        directs = records.filter(F.col("__direct__")).select(
-            gk,
-            F.col("__v__").alias(sk),
-            F.col(okey),
-            F.lit(1).cast("long").alias("n_merged"),
-        )
-        aggd = (
-            records.filter(~F.col("__direct__"))
-            .groupBy(gk, "__evt__")
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col(okey).alias("o"), F.col("__v__").alias("v")
-                        )
+        # r6: ONE groupBy + ONE generate cover merged events, broken
+        # events and direct singles. The previous 3-branch union
+        # (merged / broken / directs) re-executed everything above the
+        # last Exchange per branch — the records applyInPandas chain ran
+        # THREE times (the DataFrame API has no common-subplan reuse
+        # above reused exchanges). Direct lines carry unique negative
+        # event ids (lines_fn), so they fold into the same aggregation
+        # as 1-piece complete events. Plan diff: 3× FlatMapGroupsInPandas
+        # → 1×, Union removed; bench skew row 4.3 → 3.85 s (min-of-5).
+        aggd = records.groupBy(gk, "__evt__").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(okey).alias("o"), F.col("__v__").alias("v")
                     )
-                ).alias("pieces"),
-                F.max("__ok__").alias("__complete__"),
-            )
+                )
+            ).alias("pieces"),
+            F.max("__ok__").alias("__complete__"),
         )
-        merged = aggd.filter(F.col("__complete__")).select(
-            gk,
-            # 1-line events keep a null source verbatim (only reachable
-            # via the 'merge' extension — pattern-matched 1-line members
-            # are never null), matching _call_start_only's contract
-            F.when(
-                F.size("pieces") == 1, F.element_at("pieces", 1)["v"]
-            )
+        # 1-line events keep a null source verbatim (direct singles and
+        # the 'merge' extension — pattern-matched 1-line members are
+        # never null), matching _call_start_only's contract
+        merged_struct = F.struct(
+            F.when(F.size("pieces") == 1, F.element_at("pieces", 1)["v"])
             .otherwise(
                 F.array_join(
                     F.transform(
@@ -1531,23 +1533,31 @@ class MergeMultilineLog(Processor):
                     "\n",
                 )
             )
-            .alias(sk),
-            F.element_at(F.col("pieces"), 1)["o"].alias(okey),
-            F.size("pieces").cast("long").alias("n_merged"),
+            .alias("v"),
+            F.element_at(F.col("pieces"), 1)["o"].alias("o"),
+            F.size("pieces").cast("long").alias("n"),
         )
-        if single_line:
-            broken = (
-                aggd.filter(~F.col("__complete__"))
-                .select(gk, F.explode("pieces").alias("x"))
-                .select(
-                    gk,
-                    F.col("x.v").alias(sk),
-                    F.col("x.o").alias(okey),
-                    F.lit(1).cast("long").alias("n_merged"),
-                )
+        singles = F.transform(
+            F.col("pieces"),
+            lambda x: F.struct(
+                x["v"].alias("v"), x["o"].alias("o"),
+                F.lit(1).cast("long").alias("n"),
+            ),
+        )
+        # incomplete events: per-line singles under 'single_line',
+        # dropped under 'discard' (slice(…, 1, 0) = typed empty array)
+        outs = F.when(F.col("__complete__"), F.array(merged_struct)).otherwise(
+            singles if single_line else F.slice(singles, 1, 0)
+        )
+        return (
+            aggd.select(gk, F.explode(outs).alias("__x__"))
+            .select(
+                gk,
+                F.col("__x__")["v"].alias(sk),
+                F.col("__x__")["o"].alias(okey),
+                F.col("__x__")["n"].alias("n_merged"),
             )
-            return merged.unionByName(broken).unionByName(directs)
-        return merged.unionByName(directs)
+        )
 
     def _call_start_only(self, df: DataFrame) -> DataFrame:
         src = F.col(self.source_key)
