@@ -161,13 +161,34 @@ def minhash_lsh_stages(
         .dropDuplicates(["id_a", "id_b"])
     )
     # verify join: shingles attach by id AFTER candidate dedup, so the
-    # banded shuffle never carried the heavy arrays
-    sh_a = docs_sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs_sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # banded shuffle never carried the heavy arrays. r6: ONE join
+    # against the shingle table instead of one per pair side — the
+    # DataFrame API has no common-subplan reuse, so the old
+    # sh_a/sh_b double join re-ran the scan+shingling lineage twice (a
+    # second full corpus pass at scale). Pairs melt to (pair, side id),
+    # join docs_sh once, and regroup per pair; first(ignorenulls) over
+    # the exactly-one-match side is deterministic.
+    sides = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+    )
+    pair_sh = (
+        sides.join(docs_sh, "id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(
+                F.when(F.col("id") == F.col("id_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("id") == F.col("id_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
+    )
     verified = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pair_sh.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard_sim") >= min_jaccard)
         .select("id_a", "id_b", "jaccard_sim")
     )
