@@ -932,71 +932,89 @@ class MergeMultilineLog(Processor):
             member, boundary, close_ok = s | (p & c), s & (~p | ~c), F.lit(True)
         else:
             member, boundary, close_ok = p | s, ~p & s, p & ~c & e
-        unmatched = ~member & ~standalone
         # one pass: event id + a per-line ordinal (unique negative ids
         # for single-emitted lines, so ONE groupBy covers merged events,
         # broken events, unmatched singles, and standalone completes —
-        # no union, no recomputation of the window chain)
+        # no union, no recomputation of the window chain).
+        # r6: completeness moved INTO the aggregation (max over the
+        # event's member-close flags) — the per-row completeness window
+        # needed an extra Sort(gk, evt) + Window pass; now the groupBy
+        # decides merged-vs-singles per group and an array generate
+        # emits either shape (same single-pass trick as
+        # _assemble_events). Plan diff: 1 Sort + 1 Window removed.
+        final_evt = F.when(member, F.sum(boundary.cast("long")).over(wincl)).otherwise(
+            -F.row_number().over(w)
+        )
         step4 = step3.select(
             gk,
             okey,
             "__v__",
             member.alias("__m__"),
             standalone.alias("__sa__"),
-            unmatched.alias("__um__"),
-            close_ok.alias("__cl__"),
-            F.sum(boundary.cast("long")).over(wincl).alias("__evt__"),
-            F.row_number().over(w).alias("__rn__"),
+            (member & close_ok).alias("__mcl__"),
+            final_evt.alias("__fe__"),
         )
-        # event completeness = any close line among the event's MEMBER
-        # lines (non-members never have __cl__ true — mode algebra);
-        # same gk hash partitioning → local sort only, no new exchange
-        w_evt = Window.partitionBy(gk, "__evt__")
-        step5 = step4.withColumn(
-            "__complete__",
-            F.max((F.col("__m__") & F.col("__cl__")).cast("int")).over(w_evt)
-            == 1,
+        aggd = step4.groupBy(gk, "__fe__").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(okey).alias("o"), F.col("__v__").alias("v"))
+                )
+            ).alias("pieces"),
+            F.max("__mcl__").alias("__complete__"),
+            F.max("__m__").alias("__is_m__"),
+            F.max("__sa__").alias("__has_sa__"),
         )
-        mc = F.col("__m__") & F.col("__complete__")
-        keep = mc | F.col("__sa__") | (
-            F.lit(single_line)
-            & (F.col("__um__") | (F.col("__m__") & ~F.col("__complete__")))
-        )
-        final_evt = F.when(mc, F.col("__evt__")).otherwise(-F.col("__rn__"))
-        merged = (
-            step5.filter(keep)
-            .groupBy(gk, final_evt.alias("__fe__"))
-            .agg(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col(okey).alias("o"), F.col("__v__").alias("v")
-                        )
-                    )
-                ).alias("pieces"),
+        # 1-piece events (incl. singles) keep the raw value — null
+        # preserved, matching every other engine's contract
+        merged_struct = F.struct(
+            F.when(F.size("pieces") == 1, F.element_at("pieces", 1)["v"])
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.col("pieces"),
+                        lambda x: F.coalesce(x["v"], F.lit("")),
+                    ),
+                    "\n",
+                )
             )
+            .alias("v"),
+            F.element_at(F.col("pieces"), 1)["o"].alias("o"),
+            F.size("pieces").cast("long").alias("n"),
+        )
+        singles = F.transform(
+            F.col("pieces"),
+            lambda x: F.struct(
+                x["v"].alias("v"), x["o"].alias("o"),
+                F.lit(1).cast("long").alias("n"),
+            ),
+        )
+        empty = F.slice(singles, 1, 0)
+        # member events: merged when complete, else per-line singles
+        # under 'single_line' / dropped under 'discard'; non-member
+        # singleton groups: standalone always emits, unmatched only
+        # under 'single_line' — identical keep law to the previous
+        # per-row filter (mc | sa | single_line & (um | broken-member))
+        outs = (
+            F.when(F.col("__is_m__") & F.col("__complete__"), F.array(merged_struct))
+            .when(
+                F.col("__is_m__"),
+                singles if single_line else empty,
+            )
+            .otherwise(
+                singles
+                if single_line
+                else F.when(F.col("__has_sa__"), singles).otherwise(empty)
+            )
+        )
+        return (
+            aggd.select(gk, F.explode(outs).alias("__x__"))
             .select(
                 gk,
-                # 1-piece events (incl. singles) keep the raw value —
-                # null preserved, matching every other engine's contract
-                F.when(
-                    F.size("pieces") == 1, F.element_at("pieces", 1)["v"]
-                )
-                .otherwise(
-                    F.array_join(
-                        F.transform(
-                            F.col("pieces"),
-                            lambda x: F.coalesce(x["v"], F.lit("")),
-                        ),
-                        "\n",
-                    )
-                )
-                .alias(sk),
-                F.element_at(F.col("pieces"), 1)["o"].alias(okey),
-                F.size("pieces").cast("long").alias("n_merged"),
+                F.col("__x__")["v"].alias(sk),
+                F.col("__x__")["o"].alias(okey),
+                F.col("__x__")["n"].alias("n_merged"),
             )
         )
-        return merged
 
     def _call_fsm(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import types as T
