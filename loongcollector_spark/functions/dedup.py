@@ -42,8 +42,15 @@ def exact_dedup(
 
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array of strings (distinct)."""
-    toks = F.split(F.trim(normalize_text(col)), r"\s+")
+    """Word k-shingles as an array of strings (distinct).
+
+    r6: tokens come straight from ``split(trim(lower(text)), \\s+)`` —
+    the old ``normalize_text`` whitespace-collapse pass produced the
+    exact same token sequence (splitting on ``\\s+`` already treats any
+    whitespace run as one separator), so it was a full extra regex pass
+    over the corpus for nothing. Shingle strings are byte-identical
+    (pinned by the golden-vector tests)."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return F.array_distinct(
