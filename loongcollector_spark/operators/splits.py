@@ -1317,14 +1317,15 @@ class MergeMultilineLog(Processor):
         )
         # r6: the flagged projection feeds TWO chunk passes (meta +
         # records) and the DataFrame API has no common-subplan reuse, so
-        # without materialization the scan + regex flags + big-group
-        # semi-join run twice. The big-group side is the skewed minority
-        # (bounded by the caller's routing), so one lazy localCheckpoint
-        # (memory-and-disk, spills if a hot group is huge) halves the
-        # input passes. Locally the bench row barely moves (4.29 vs
-        # 4.41 min-of-5 — the serial 4-stage chain latency dominates at
-        # 2 chunks); the saved pass is a full input scan at real scale.
-        flagged = flagged.localCheckpoint(eager=False)
+        # without help the scan + regex flags + big-group semi-join run
+        # twice AND each groupBy().applyInPandas adds its own exchange.
+        # One explicit (group, chunk) repartition fixes both: the two
+        # consumers canonicalize to the SAME exchange (ReuseExchange —
+        # scan+flags run once, the shuffle is written once and read
+        # twice) and both applyInPandas calls see their required
+        # clustering already satisfied (no further exchange). Plan diff
+        # vs r5: 3 big-side exchanges → 1 reused.
+        flagged = flagged.repartition(F.col(gk), F.col("__chunk__"))
         gfield = in_schema[gk]
         ofield = in_schema[okey]
 
