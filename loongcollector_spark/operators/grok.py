@@ -11,9 +11,12 @@ driver (pure Python, below); execution is either
   patterns run the regex ONCE per claiming row (``regexp_replace`` with a
   ``$1\\x01$2…`` template + split); single-alias or non-anchored
   patterns use ``F.regexp_extract`` per alias, or
-* ``Engine='python'`` — one Arrow-batch pandas UDF doing
-  ``Series.str.extract`` (needed when the compiled regex uses named groups
-  with duplicate names or Perl-isms Java rejects).
+* ``Engine='python'`` — one Arrow-batched UDF. When every compiled
+  pattern is RE2-expressible (no lookarounds/backrefs — see
+  ``_re2_translate``) the batch runs native vectorized
+  ``pyarrow.compute.extract_regex`` (r6, guide §4.2); otherwise a pandas
+  ``Series.str.extract`` per pattern (needed when the compiled regex uses
+  Perl-isms RE2 lacks, or a per-log match timeout is configured).
 
 Multi-pattern dispatch (Match list) = chained ``CASE WHEN rlike`` — the
 anchored-dispatch pattern, identical to the reference's first-match-wins.
@@ -28,6 +31,7 @@ from __future__ import annotations
 
 import re
 
+import pyarrow as pa  # noqa: F401 — resolves arrow_udf type hints
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -125,6 +129,87 @@ DEFAULT_PATTERNS: dict[str, str] = {
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]."  r"@-]+))?\}")
+
+
+def _re2_translate(rx: str) -> str | None:
+    """Translate a Python-``re``-compiled grok regex into an RE2 pattern
+    whose capture groups are named ``g1..gN``, or return ``None`` when the
+    pattern uses a construct RE2 lacks or whose semantics silently differ.
+
+    Rejected outright: lookarounds/atomic groups/conditionals (any ``(?``
+    other than ``(?:`` or ``(?flags``), backreferences, ``\\Z``/``\\G`` and
+    python-only escapes, and ``$`` anywhere but the very end (RE2's ``$``
+    is end-of-text while python's also matches before one trailing
+    newline — the trailing ``$`` is rewritten to ``(?:\\n)?$`` to keep that
+    semantics). Perl classes (``\\w``/``\\d``/``\\s``/``\\b``) pass through
+    and are ASCII under RE2 — the same sets ``java.util.regex`` (the
+    ``jvm`` engine) and Go ``regexp`` (the reference runtime) use, so the
+    fast path tightens cross-engine parity rather than loosening it;
+    python-``re``'s Unicode classes were the outlier."""
+    out: list[str] = []
+    i, n = 0, len(rx)
+    group = 0
+    in_class = False
+    while i < n:
+        c = rx[i]
+        if c == "\\":
+            if i + 1 >= n:
+                return None
+            nxt = rx[i + 1]
+            if nxt.isdigit() or nxt in "ZGuUN":
+                return None
+            out.append(rx[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            if i < n and rx[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and rx[i] == "]":
+                # python treats a leading ']' as a literal; RE2 needs it
+                # escaped to mean the same thing
+                out.append("\\]")
+                i += 1
+            continue
+        if c == "(":
+            if rx.startswith("(?", i):
+                if rx.startswith("(?:", i):
+                    out.append("(?:")
+                    i += 3
+                    continue
+                j = i + 2
+                k = j
+                while k < n and rx[k] in "ims":
+                    k += 1
+                if k > j and k < n and rx[k] in "):":
+                    out.append(rx[i : k + 1])
+                    i = k + 1
+                    continue
+                return None
+            group += 1
+            out.append(f"(?P<g{group}>")
+            i += 1
+            continue
+        if c == "$":
+            if i == n - 1:
+                out.append("(?:\n)?$")
+                i += 1
+                continue
+            return None
+        out.append(c)
+        i += 1
+    if in_class:
+        return None
+    return "".join(out)
 
 
 class GrokCompileError(ValueError):
@@ -327,7 +412,120 @@ class Grok(Processor):
             df = df.drop(self.source_key)
         return df
 
+    def _re2_patterns(self) -> list[tuple[str, list[str]]] | None:
+        """The python engine's RE2 fast path: every Match pattern must
+        translate cleanly (see ``_re2_translate``) and compile under the
+        worker-side engine (probed here on the driver). ``None`` → the
+        pandas ``str.extract`` path. Timeout configs stay on the pandas
+        path: the per-log deadline is a backtracking-engine concept and
+        the ``regex`` module owns it."""
+        if self.timeout_ms > 0:
+            return None
+        pats: list[tuple[str, list[str]]] = []
+        for rx, aliases in self.compiled:
+            rx2 = _re2_translate(rx)
+            if rx2 is None:
+                return None
+            pats.append((rx2, aliases))
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            probe = pa.array(["x"], type=pa.string())
+            for rx2, aliases in pats:
+                if aliases:
+                    pc.extract_regex(probe, pattern=rx2)
+                else:
+                    pc.match_substring_regex(probe, rx2)
+        except Exception:
+            return None
+        return pats
+
+    def _call_python_re2(
+        self, df: DataFrame, pats: list[tuple[str, list[str]]]
+    ) -> DataFrame:
+        """Arrow-batched RE2 extraction (guide §4.2): one ArrowEvalPython
+        node, ``pyarrow.compute.extract_regex`` per Match pattern —
+        native vectorized RE2 instead of per-row python-``re``
+        backtracking (measured ~6× on the counting swaps this round; the
+        same engine gap applies to extraction). First-match-wins and the
+        non-participating-group → '' law are identical to the pandas
+        path (masks below mirror its ``remaining`` bookkeeping)."""
+        all_keys = self.all_keys
+        max_len = self.max_source_length
+        fields = [T.StructField("__ok__", T.BooleanType())] + [
+            T.StructField(k, T.StringType()) for k in all_keys
+        ]
+        out_type = T.StructType(fields)
+
+        @F.arrow_udf(out_type)
+        def extract(arr: pa.Array) -> pa.Array:
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = len(arr)
+            eligible = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+            if max_len is not None:
+                ln_ok = pc.fill_null(
+                    pc.less_equal(pc.utf8_length(arr), max_len), False
+                )
+                eligible &= ln_ok.to_numpy(zero_copy_only=False)
+            ok = np.zeros(n, dtype=bool)
+            cols = {k: np.full(n, None, dtype=object) for k in all_keys}
+            remaining = eligible.copy()
+            for rx2, aliases in pats:
+                if not remaining.any():
+                    break
+                if aliases:
+                    ext = pc.extract_regex(arr, pattern=rx2)
+                    hit = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+                    take = remaining & hit
+                    if take.any():
+                        for gi, alias in enumerate(aliases):
+                            # matched row + non-participating group = ''
+                            # (Go FindStringSubmatch / JVM regexp_extract)
+                            vals = pc.fill_null(
+                                ext.field(f"g{gi + 1}"), ""
+                            ).to_numpy(zero_copy_only=False)
+                            cols[alias][take] = vals[take]
+                else:
+                    hit = pc.fill_null(
+                        pc.match_substring_regex(arr, rx2), False
+                    ).to_numpy(zero_copy_only=False)
+                    take = remaining & hit
+                ok |= take
+                remaining &= ~hit
+            children = [pa.array(ok)] + [
+                pa.array(cols[k], type=pa.string()) for k in all_keys
+            ]
+            return pa.StructArray.from_arrays(
+                children, names=["__ok__"] + list(all_keys)
+            )
+
+        tmp = "__lc_grok__"
+        out = df.withColumn(tmp, extract(F.col(self.source_key)))
+        ok = F.col(f"{tmp}.__ok__")
+        for k in all_keys:
+            out = out.withColumn(k, F.col(f"{tmp}.{k}"))
+        if self.error_class_key:
+            out = out.withColumn(
+                self.error_class_key,
+                F.when(ok, F.lit("")).otherwise(F.lit("grok_parse_fail")),
+            )
+        elif not self.ignore_parse_failure:
+            out = out.filter(ok)
+        out = out.drop(tmp)
+        if not self.keep_source:
+            out = out.drop(self.source_key)
+        return out
+
     def _call_python(self, df: DataFrame) -> DataFrame:
+        re2_pats = self._re2_patterns()
+        if re2_pats is not None:
+            return self._call_python_re2(df, re2_pats)
         compiled = self.compiled
         all_keys = self.all_keys
         timeout_ms = self.timeout_ms

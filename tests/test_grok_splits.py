@@ -227,6 +227,73 @@ class TestGrokProcessor:
             assert rows[0]["ec"] == "" and rows[0]["v"] == "1", eng
             assert rows[1]["ec"] == "grok_parse_fail" and rows[1]["v"] is None, eng
 
+    def test_python_re2_fast_path_selection(self):
+        """r6: the python engine's RE2 fast path engages exactly when every
+        compiled pattern is RE2-expressible; lookarounds (COMBINEDAPACHELOG
+        via TIME), atomic groups (WINPATH) and a configured timeout fall
+        back to the pandas path."""
+        plain = Grok(SourceKey="c", Match=[r"%{WORD:k}=%{INT:v}"])
+        assert plain._re2_patterns() is not None
+        apache = Grok(SourceKey="c", Match=["%{COMBINEDAPACHELOG}"])
+        assert apache._re2_patterns() is None
+        winpath = Grok(SourceKey="c", Match=[r"%{WINPATH:p}"])
+        assert winpath._re2_patterns() is None
+        timed = Grok(
+            SourceKey="c", Match=[r"%{WORD:k}=%{INT:v}"],
+            TimeoutMilliSeconds=100,
+        )
+        assert timed._re2_patterns() is None
+        # one RE2-hostile pattern in the Match list poisons the whole list
+        # (first-match-wins must run every pattern under ONE engine)
+        mixed = Grok(
+            SourceKey="c",
+            Match=[r"%{WORD:k}=%{INT:v}", "%{COMBINEDAPACHELOG}"],
+        )
+        assert mixed._re2_patterns() is None
+
+    def test_python_re2_translate_semantics(self):
+        """The translation keeps python-``re``'s trailing-``$`` semantics
+        (matches before one final newline) and names groups g1..gN."""
+        from loongcollector_spark.operators.grok import _re2_translate
+
+        assert _re2_translate(r"^(a)(b)$") == "^(?P<g1>a)(?P<g2>b)(?:\n)?$"
+        # class contents pass through untouched; leading ] is escaped
+        assert _re2_translate(r"[]a]") == r"[\]a]"
+        assert _re2_translate(r"[a$(]") == r"[a$(]"
+        # silent-divergence constructs are rejected
+        assert _re2_translate(r"a$b") is None  # $ not at end
+        assert _re2_translate(r"(?=x)a") is None
+        assert _re2_translate(r"(a)\1") is None
+        assert _re2_translate(r"a\Z") is None
+
+    def test_python_re2_matches_pandas_path(self, text_df_factory):
+        """Same Grok config, fast path vs forced pandas fallback: identical
+        rows, including trailing-newline sources, non-participating
+        optional groups, NULLs and unmatched rows."""
+        wide = (
+            "%{IPV4:ip} %{WORD:meth} %{URIPATH:path} %{INT:code}"
+            "(?: %{WORD:proto})?"
+        )
+        lines = [
+            "10.0.0.1 GET /x/y 200 http",
+            "10.0.0.3 PUT /q 204",          # optional group absent -> ''
+            "10.0.0.9 GET /n 200 tls\n",    # trailing newline, $ law
+            None,
+            "garbage",
+        ]
+        kw = dict(SourceKey="content", Match=[wide], IgnoreParseFailure=True)
+        fast = Grok(Engine="python", **kw)
+        assert fast._re2_patterns() is not None
+        slow = Grok(Engine="python", **kw)
+        slow._re2_patterns = lambda: None  # force the pandas path
+        df = text_df_factory(lines)
+        a = rows_as_dicts(fast(df))
+        b = rows_as_dicts(slow(df))
+        assert a == b
+        assert a[1]["proto"] == ""  # matched + non-participating = ''
+        assert a[2]["proto"] == "tls"  # $ matched before the final \n
+        assert a[4]["ip"] is None
+
 
 class TestSplits:
     def test_split_char(self, text_df_factory):
