@@ -368,6 +368,21 @@ class TestTurnRepetition:
         assert s["mean_prev_jaccard"] is None  # no comparable turn
         assert not s["loop_suspect"]  # singletons are never suspects
 
+    def test_null_text_pair_not_exact_repeat(self, spark):
+        """r6 hashed-identity lag: NULL text keeps a NULL 64-bit
+        identity, so NULL-vs-NULL is NOT an exact repeat (string
+        `NULL == NULL` semantics), while both tokenize to the empty
+        set and still count as a near repeat (Jaccard 1.0)."""
+        rows = [
+            ("n", 0, "assistant", None, "none", _t(0)),
+            ("n", 1, "assistant", None, "none", _t(1)),
+        ]
+        df = spark.createDataFrame(rows, _SCHEMA)
+        (r,) = convstats.turn_repetition_signals(df).collect()
+        assert r["n_exact_repeats"] == 0
+        assert r["n_near_repeats"] == 1
+        assert r["max_prev_jaccard"] == 1.0
+
     def test_single_conv_exchange(self, dirty):
         plan = (
             convstats.turn_repetition_signals(dirty)
