@@ -204,6 +204,24 @@ class TranscriptPipeline:
 
     # -- aggregate ---------------------------------------------------------
     def metrics(self, sinks: dict[str, DataFrame]) -> DataFrame:
+        """Per-sink flat metrics rows.
+
+        r6 (guide §2.1 — remove repeated passes): when the dict is the
+        router's standard fan-out (exactly the ``SINKS`` keys), the
+        N-sink union of :func:`sink_metrics_flat` aggregations — each of
+        which re-ran the parse/enrich lineage (or re-scanned the route
+        cache) — collapses into ONE pass: ``sink_all`` is the
+        unconditional route (row-identical to the shared parent) and the
+        exploded multicast reproduces every sink's row set (pinned by
+        tests), so one grouped-by-sink aggregation over
+        ``route_multicast_exploded(sink_all)`` yields the identical row
+        multiset. Measured: 4 aggregation passes → 1 on the bench's
+        sf-transcripts row. A custom dict (different keys) keeps the
+        general per-frame union path."""
+        if set(sinks) == set(self.SINKS):
+            return self.metrics_single_pass(
+                self.router.route_multicast_exploded(sinks["sink_all"])
+            )
         parts = [
             sink_metrics_flat(df, name, prefix_len=self.conv_prefix_len)
             for name, df in sinks.items()
